@@ -1,0 +1,224 @@
+"""The two flagship report queries of the reference, Spark-first.
+
+Reference parity:
+- "Budget vs Tracked Time" task-level report —
+  ``/root/reference/SAMPLE-REPORTS.md:20-137`` (recursive closure, entries
+  join, grouped SUM, left-join assembly, "Xh YYm" formatting, ORDER BY desc).
+- "Project Cumulative vs Budgeted" project-level report —
+  ``/root/reference/SAMPLE-PROJECT-BUDGET-REPORT.md:20-147`` (roots-as-
+  projects, two grouped SUMs over the closure, '%.4f' hour formatting).
+
+Both run over the task tree synthesized from testdata (plans/testdata.py).
+Each ``report_*`` function has an ``oracle_*_sql`` twin producing the exact
+ANSI-SQL equivalent for DuckDB.
+
+Scale design (100 TB): the entries fact is the only big input. The closure
+and task dim are broadcast (`F.broadcast`), so the only shuffle in either
+report is the final groupBy on ancestor/project id — a partial-aggregated
+hash agg whose key cardinality is the task count, not the fact count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.formatting import format_duration, format_duration_signed, format_hours
+from ..operators.hierarchy import breadcrumbs, closure_sql, transitive_closure
+from .testdata import ENTRIES_SQL, TASKS_SQL, entries_df, tasks_df
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments for the oracle side (DuckDB) — must mirror functions/formatting
+# ---------------------------------------------------------------------------
+
+def _fmt_duration_sql(expr: str) -> str:
+    """Inline "Xh YYm" — assumes ``expr`` >= 0 (pmod == % there)."""
+    return (
+        f"CAST(CAST(FLOOR(({expr}) / 3600) AS BIGINT) AS VARCHAR) || 'h ' || "
+        f"LPAD(CAST(CAST(FLOOR((({expr}) % 3600) / 60) AS BIGINT) AS VARCHAR), 2, '0') || 'm'"
+    )
+
+
+def _fmt_duration_signed_sql(expr: str) -> str:
+    return (
+        f"CASE WHEN ({expr}) < 0 THEN '-' || {_fmt_duration_sql(f'ABS({expr})')} "
+        f"ELSE {_fmt_duration_sql(expr)} END"
+    )
+
+
+def _fmt_hours_sql(expr: str) -> str:
+    return f"printf('%.4f', ({expr}) / 3600.0)"
+
+
+_CRUMB_CTE = """
+crumb AS (
+    WITH RECURSIVE walk(task_id, cursor_id, path, d) AS (
+        SELECT task_id, parent_id, name, 0 FROM _tasks
+        UNION ALL
+        SELECT w.task_id, t.parent_id, t.name || ' / ' || w.path, w.d + 1
+        FROM walk w JOIN _tasks t ON w.cursor_id = t.task_id
+        WHERE w.d < 8
+    )
+    SELECT task_id, path AS task_breadcrumb FROM walk WHERE cursor_id IS NULL
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Report 1 — Budget vs Tracked Time (task level)
+# ---------------------------------------------------------------------------
+
+def report_task_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tasks = tasks_df(spark, sf_dir)
+    entries = entries_df(spark, sf_dir)
+
+    closure = transitive_closure(tasks)
+    tracked = (
+        entries.join(
+            F.broadcast(closure),
+            entries["task_id"] == closure["descendant_id"],
+        )
+        .groupBy("ancestor_id")
+        .agg(F.sum("duration").alias("cumulative_seconds"))
+    )
+    dim = breadcrumbs(tasks)  # adds task_breadcrumb + task_level_1..8
+
+    left_expr = F.col("budgeted_seconds") - F.col("cumulative_seconds")
+    return (
+        dim.filter(F.col("budgeted") > 0)
+        .join(tracked, dim["task_id"] == tracked["ancestor_id"], "left")
+        .select(
+            dim["task_id"],
+            dim["name"],
+            F.col("task_breadcrumb"),
+            dim["budgeted"].alias("budgeted_seconds"),
+            F.coalesce(F.col("cumulative_seconds"), F.lit(0).cast("long")).alias(
+                "cumulative_seconds"
+            ),
+        )
+        .withColumn("left_seconds", left_expr)
+        .withColumn("cumulative_fmt", format_duration(F.col("cumulative_seconds")))
+        .withColumn("left_fmt", format_duration_signed(F.col("left_seconds")))
+        .withColumn("budgeted_fmt", format_duration(F.col("budgeted_seconds")))
+        .orderBy(F.desc("cumulative_seconds"), F.asc("task_id"))
+    )
+
+
+def oracle_task_budget_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{closure_sql(TASKS_SQL)},
+_entries AS ({ENTRIES_SQL}),
+{_CRUMB_CTE},
+tracked AS (
+    SELECT th.ancestor_id, SUM(e.duration) AS cumulative_seconds
+    FROM _entries e
+    JOIN task_hierarchy th ON e.task_id = th.descendant_id
+    GROUP BY th.ancestor_id
+)
+SELECT t.task_id,
+       t.name,
+       c.task_breadcrumb,
+       t.budgeted                                    AS budgeted_seconds,
+       COALESCE(tr.cumulative_seconds, 0)            AS cumulative_seconds,
+       t.budgeted - COALESCE(tr.cumulative_seconds, 0) AS left_seconds,
+       {_fmt_duration_sql('COALESCE(tr.cumulative_seconds, 0)')} AS cumulative_fmt,
+       {_fmt_duration_signed_sql('t.budgeted - COALESCE(tr.cumulative_seconds, 0)')} AS left_fmt,
+       {_fmt_duration_sql('t.budgeted')}             AS budgeted_fmt
+FROM _tasks t
+LEFT JOIN tracked tr ON t.task_id = tr.ancestor_id
+LEFT JOIN crumb c   ON t.task_id = c.task_id
+WHERE t.budgeted > 0
+ORDER BY cumulative_seconds DESC, t.task_id ASC
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# Report 2 — Project Cumulative vs Budgeted (project = root task)
+# ---------------------------------------------------------------------------
+
+def report_project_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tasks = tasks_df(spark, sf_dir)
+    entries = entries_df(spark, sf_dir)
+
+    closure = transitive_closure(tasks)
+    projects = tasks.filter(F.col("parent_id").isNull()).select(
+        F.col("task_id").alias("project_id"), F.col("name").alias("project_name")
+    )
+    # (project_id, descendant_id) pairs — every node under each root
+    pd_pairs = projects.join(
+        closure, projects["project_id"] == closure["ancestor_id"]
+    ).select("project_id", "project_name", "descendant_id")
+
+    tracked = (
+        entries.join(
+            F.broadcast(pd_pairs),
+            entries["task_id"] == pd_pairs["descendant_id"],
+        )
+        .groupBy("project_id")
+        .agg(F.sum("duration").alias("cumulative_seconds"))
+    )
+    budget = (
+        tasks.join(
+            F.broadcast(pd_pairs),
+            tasks["task_id"] == pd_pairs["descendant_id"],
+        )
+        .groupBy("project_id")
+        .agg(F.sum("budgeted").alias("budgeted_seconds"))
+    )
+
+    return (
+        projects.join(tracked, "project_id", "left")
+        .join(budget, "project_id", "left")
+        .select(
+            "project_id",
+            "project_name",
+            F.coalesce(F.col("cumulative_seconds"), F.lit(0).cast("long")).alias(
+                "cumulative_seconds"
+            ),
+            F.coalesce(F.col("budgeted_seconds"), F.lit(0).cast("long")).alias(
+                "budgeted_seconds"
+            ),
+        )
+        .withColumn("cumulative_hours", format_hours(F.col("cumulative_seconds")))
+        .withColumn("budgeted_hours", format_hours(F.col("budgeted_seconds")))
+        .orderBy(F.desc("cumulative_seconds"), F.asc("project_id"))
+    )
+
+
+def oracle_project_budget_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{closure_sql(TASKS_SQL)},
+_entries AS ({ENTRIES_SQL}),
+projects AS (
+    SELECT task_id AS project_id, name AS project_name
+    FROM _tasks WHERE parent_id IS NULL
+),
+pd AS (
+    SELECT p.project_id, p.project_name, th.descendant_id
+    FROM projects p
+    JOIN task_hierarchy th ON th.ancestor_id = p.project_id
+),
+tracked AS (
+    SELECT pd.project_id, SUM(e.duration) AS cumulative_seconds
+    FROM _entries e JOIN pd ON e.task_id = pd.descendant_id
+    GROUP BY pd.project_id
+),
+budget AS (
+    SELECT pd.project_id, SUM(t.budgeted) AS budgeted_seconds
+    FROM _tasks t JOIN pd ON t.task_id = pd.descendant_id
+    GROUP BY pd.project_id
+)
+SELECT p.project_id,
+       p.project_name,
+       COALESCE(tr.cumulative_seconds, 0) AS cumulative_seconds,
+       COALESCE(b.budgeted_seconds, 0)    AS budgeted_seconds,
+       {_fmt_hours_sql('COALESCE(tr.cumulative_seconds, 0)')} AS cumulative_hours,
+       {_fmt_hours_sql('COALESCE(b.budgeted_seconds, 0)')}    AS budgeted_hours
+FROM projects p
+LEFT JOIN tracked tr ON p.project_id = tr.project_id
+LEFT JOIN budget b   ON p.project_id = b.project_id
+ORDER BY cumulative_seconds DESC, p.project_id ASC
+""".strip()

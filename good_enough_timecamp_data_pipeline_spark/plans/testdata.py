@@ -1,0 +1,133 @@
+"""Testdata access + the synthesized task-hierarchy fixture.
+
+The driver ships TPC-H-ish parquet tables (TESTDATA.md). The reference
+engine's hierarchy operators (SURVEY.md §2.5, modeled on the tasks tree of
+``/root/reference/dlt_fetch_timecamp.py:527-547``) need a tree, so we derive
+one deterministically from ``region → nation → customer``:
+
+- regions are roots  (``task_id 'r<k>'``, parent NULL)
+- nations are level 2 (``'n<k>'``, parent ``'r<regionkey>'``)
+- customers are leaves (``'c<k>'``, parent ``'n<nationkey>'``), budgeted =
+  ``floor(c_acctbal)`` clamped at >= 0 (budget-in-seconds analog)
+
+and an ``entries`` fact from ``orders`` (``task_id 'c<o_custkey>'``,
+``duration = floor(o_totalprice)``), mirroring the reference's
+entries-join-tasks shape (``SAMPLE-REPORTS.md:51-84``).
+
+Every derivation is written twice — once as a DataFrame plan, once as an
+ANSI-SQL CTE string — so DuckDB can replay it bit-for-bit as the oracle.
+``floor`` before every double→bigint cast: Spark truncates toward zero while
+DuckDB rounds, so an explicit floor is the only portable semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Synthesized tasks tree (Spark side)
+# ---------------------------------------------------------------------------
+
+def tasks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-level task tree: region roots → nation → customer leaves.
+
+    Column contract matches FIXTURES.md §A tasks: (task_id string,
+    parent_id string nullable, name string, budgeted bigint).
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+
+    roots = region.select(
+        F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias("task_id"),
+        F.lit(None).cast("string").alias("parent_id"),
+        F.col("r_name").alias("name"),
+        F.lit(0).cast("long").alias("budgeted"),
+    )
+    mids = nation.select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("task_id"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent_id"),
+        F.col("n_name").alias("name"),
+        F.lit(0).cast("long").alias("budgeted"),
+    )
+    leaves = customer.select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("task_id"),
+        F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("parent_id"),
+        F.col("c_name").alias("name"),
+        F.greatest(F.floor(F.col("c_acctbal")).cast("long"), F.lit(0).cast("long")).alias(
+            "budgeted"
+        ),
+    )
+    return roots.unionByName(mids).unionByName(leaves)
+
+
+def entries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entries fact over the synthesized tree: one row per order.
+
+    (entry_id string, task_id string, duration bigint, entry_date date).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("entry_id"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("task_id"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("duration"),
+        F.to_date("o_orderdate").alias("entry_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Identical derivations as SQL CTE bodies (DuckDB oracle side)
+# ---------------------------------------------------------------------------
+
+TASKS_SQL = """
+SELECT 'r' || CAST(r_regionkey AS VARCHAR) AS task_id,
+       CAST(NULL AS VARCHAR)               AS parent_id,
+       r_name                              AS name,
+       CAST(0 AS BIGINT)                   AS budgeted
+FROM region
+UNION ALL
+SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+       'r' || CAST(n_regionkey AS VARCHAR),
+       n_name,
+       CAST(0 AS BIGINT)
+FROM nation
+UNION ALL
+SELECT 'c' || CAST(c_custkey AS VARCHAR),
+       'n' || CAST(c_nationkey AS VARCHAR),
+       c_name,
+       GREATEST(CAST(FLOOR(c_acctbal) AS BIGINT), CAST(0 AS BIGINT))
+FROM customer
+""".strip()
+
+ENTRIES_SQL = """
+SELECT CAST(o_orderkey AS VARCHAR)        AS entry_id,
+       'c' || CAST(o_custkey AS VARCHAR)  AS task_id,
+       CAST(FLOOR(o_totalprice) AS BIGINT) AS duration,
+       CAST(o_orderdate AS DATE)          AS entry_date
+FROM orders
+""".strip()
