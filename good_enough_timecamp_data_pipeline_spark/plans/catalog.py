@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import reports
+from . import relational, reports
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -48,3 +48,60 @@ register(
     reports.report_project_budget,
     reports.oracle_project_budget_sql(),
 )
+
+# --- SURVEY §2.2 projections / filters -------------------------------------
+register("p_filter_pushdown", relational.p_filter_pushdown, relational.P_FILTER_PUSHDOWN_SQL)
+register(
+    "p_null_canonicalization",
+    relational.p_null_canonicalization,
+    relational.P_NULL_CANONICALIZATION_SQL,
+)
+register("p_type_coercion", relational.p_type_coercion, relational.P_TYPE_COERCION_SQL)
+
+# --- SURVEY §2.3 joins ------------------------------------------------------
+register("j_broadcast_lookup", relational.j_broadcast_lookup, relational.J_BROADCAST_LOOKUP_SQL)
+register(
+    "j_first_group_enrich",
+    relational.j_first_group_enrich,
+    relational.J_FIRST_GROUP_ENRICH_SQL,
+)
+register("j_semi", relational.j_semi, relational.J_SEMI_SQL)
+register("j_anti", relational.j_anti, relational.J_ANTI_SQL)
+register(
+    "j_assembly_left_defaults",
+    relational.j_assembly_left_defaults,
+    relational.J_ASSEMBLY_LEFT_DEFAULTS_SQL,
+)
+
+# --- SURVEY §2.4 aggregations ----------------------------------------------
+register("a_groupsum_pricing", relational.a_groupsum_pricing, relational.A_GROUPSUM_PRICING_SQL)
+register("a_stats_minmax", relational.a_stats_minmax, relational.A_STATS_MINMAX_SQL)
+register("a_distinct_ids", relational.a_distinct_ids, relational.A_DISTINCT_IDS_SQL)
+register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
+
+# --- SURVEY §2.5 hierarchy --------------------------------------------------
+register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)
+register(
+    "h_breadcrumb_levels",
+    relational.h_breadcrumb_levels,
+    relational.H_BREADCRUMB_LEVELS_SQL,
+)
+
+# --- SURVEY §2.8 scalar functions -------------------------------------------
+register("f_formatting_wide", relational.f_formatting_wide, relational.F_FORMATTING_WIDE_SQL)
+register("f_string_ids", relational.f_string_ids, relational.F_STRING_IDS_SQL)
+register("f_dates", relational.f_dates, relational.F_DATES_SQL)
+register("f_date_explode", relational.f_date_explode, relational.F_DATE_EXPLODE_SQL)
+register("f_json_props", relational.f_json_props, relational.F_JSON_PROPS_SQL)
+
+# --- SURVEY §2.6/2.7 windows, sorts, sets ----------------------------------
+register("o_sort_topk", relational.o_sort_topk, relational.O_SORT_TOPK_SQL)
+register("o_set_ops", relational.o_set_ops, relational.O_SET_OPS_SQL)
+register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_SQL)
+register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
+register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
+register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
+
+# --- event-time batch queries ----------------------------------------------
+register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
+register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)

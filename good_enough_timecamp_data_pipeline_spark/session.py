@@ -52,6 +52,9 @@ def get_spark(
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         "spark.ui.enabled": "false",
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+        # testdata events.parquet carries TIMESTAMP(NANOS) which the parquet
+        # reader rejects by default; read as long and convert (plans/testdata)
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }
     if extra_conf:
         conf.update(extra_conf)
