@@ -1,0 +1,176 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH (SURVEY §2.11).
+
+Scale design (the whole point of these at 100 TB):
+
+- **Exact dedup** hashes content (md5/xxhash64) and keeps one winner per
+  hash via min-id aggregation — one shuffle on the hash key; no sort, no
+  window over the full data.
+- **N-gram Jaccard** is the *exact* near-dup method: shingle → explode →
+  self-join on shingle → per-pair intersection counts. Feasible when
+  shingles are selective (word n-grams with n≥5 are near-unique); the
+  shingle join is the classic "documents sharing ≥1 shingle" candidate
+  generator, so skew on hot shingles is the risk — mitigated by dropping
+  shingles with document-frequency above ``max_shingle_df`` (a standard
+  prefix-filtering move: a shingle shared by thousands of docs contributes
+  nothing to high-jaccard detection but dominates the join).
+- **MinHash+LSH** is the scale path: K hash functions → per-doc signature
+  (K mins) → B bands hashed to buckets → join docs per (band, bucket) —
+  candidate generation cost is O(docs × B) instead of all-pairs; verified
+  candidates are re-checked with exact Jaccard so false positives never
+  surface. Deterministic: seeds are fixed, xxhash64 is a pure function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+
+def ngram_shingles(text_col, n: int = 5):
+    """Distinct word n-gram shingles of a text column (array<string>).
+
+    Docs shorter than ``n`` tokens yield an empty array — guarded
+    explicitly because Spark's ``sequence(1, 0)`` counts *down* ([1, 0])
+    rather than returning empty like DuckDB's ``range``."""
+    toks = tokenize(text_col)
+    n_sh = F.size(toks) - (n - 1)
+    idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One winner (min id) per exact content hash.
+
+    Returns (hash, winner_id, n_copies). groupBy on the hash: single
+    shuffle, partial-agg combine, no per-group sort."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("winner_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(ngram_shingles(F.col(text_col), n)).alias("sh")
+    )
+    if max_shingle_df is not None:
+        hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash signature + banded LSH candidate pairs, exact-verified.
+
+    Output schema matches `shingle_pairs_jaccard` — with near-identical
+    inputs the banding probability of a false negative is ~0, so the two
+    methods agree (which is what the oracle asserts); the difference is
+    cost: candidates come from B bucket-joins, never an all-pairs product.
+    """
+    rows_per_band = num_hashes // bands
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(ngram_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    # K min-hashes per doc: min over shingles of seeded xxhash64
+    sig = sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # band buckets: hash the tuple of rows_per_band signature slots
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_rows.append(
+            sig.select(
+                F.col("doc"),
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("bucket"),
+            )
+        )
+    buckets = band_rows[0]
+    for extra in band_rows[1:]:
+        buckets = buckets.unionByName(extra)
+
+    candidates = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        candidates.join(sh.alias("a"), F.col("id_a") == F.col("a.doc"))
+        .join(
+            sh.alias("b"),
+            (F.col("id_b") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )

@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import relational, reports
+from . import northstar, relational, reports
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -105,3 +105,24 @@ register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
 # --- event-time batch queries ----------------------------------------------
 register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
 register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)
+
+# --- SURVEY §2.11 north-star: text analysis --------------------------------
+register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
+register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)
+register("t_langid", northstar.t_langid, northstar.T_LANGID_SQL)
+register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
+register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
+
+# --- SURVEY §2.11 north-star: deduplication --------------------------------
+register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
+register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
+register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
+
+# --- SURVEY §2.11 north-star: similarity search ----------------------------
+register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
+register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
+
+# --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
+register("s_ann_lsh", northstar.s_ann_lsh)
+register("m_multimodal_features", northstar.m_multimodal_features)
+register("s_stream_tumbling", northstar.s_stream_tumbling)

@@ -1,0 +1,343 @@
+"""North-star LLM-data-pipeline queries (SURVEY §2.11) over documents/
+embeddings, with DuckDB oracle twins where SQL-expressible.
+
+Duplicate/near-duplicate inputs are *injected* deterministically (the
+driver's documents table has fully distinct texts): exact copies under
+``doc_id + 1_000_000`` for ``doc_id % 7 = 0``, near-copies (5 appended
+tokens) for ``doc_id % 19 = 0`` — both sides derive the same unioned view.
+
+Portability notes:
+- tokenization: ``split on \\s+, drop empties`` ≙ DuckDB
+  ``list_filter(string_split_regex(trim(text),'\\s+'), x -> x <> '')``;
+- all text hashes are md5 (bit-identical across engines);
+- cosine scores are bit-identical because both sides multiply float32
+  values widened to float64 and fold sequentially (verified empirically:
+  Spark ``aggregate(zip_with(...))`` == DuckDB ``list_dot_product``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..streaming.windows import streaming_tumbling_counts
+from .testdata import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB side)
+# ---------------------------------------------------------------------------
+
+TOKS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
+
+
+def _shingles_sql(toks: str, n: int = 5) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))"
+    )
+
+
+DOCS_EXACT_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+""".strip()
+
+DOCS_NEAR_DUP_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000, text || ' qq zz vv ww yy' FROM documents WHERE doc_id % 19 = 0
+""".strip()
+
+
+def _docs_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+def _docs_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz vv ww yy")).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+# ---------------------------------------------------------------------------
+# T — text analysis
+# ---------------------------------------------------------------------------
+
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    total_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        total_chars.alias("total_token_chars"),
+        F.when(n > 0, total_chars.cast("double") / n).otherwise(F.lit(0.0)).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+T_TOKEN_STATS_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS INTEGER) AS total_token_chars,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS avg_token_len
+FROM t
+""".strip()
+
+
+def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        text.stopword_ratio(toks, text.STOPWORDS["en"]).alias("en_stop_ratio"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def _stop_hits_sql(toks: str, words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({toks}, x -> x IN ({inlist})))"
+
+
+def _stop_ratio_sql(toks: str, words: tuple[str, ...]) -> str:
+    return (
+        f"CASE WHEN len({toks}) > 0 "
+        f"THEN CAST({_stop_hits_sql(toks, words)} AS DOUBLE) / len({toks}) "
+        f"ELSE 0.0 END"
+    )
+
+
+T_QUALITY_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+m AS (
+    SELECT doc_id,
+           {_stop_ratio_sql('toks', text.STOPWORDS['en'])} AS en_stop_ratio,
+           CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0
+                WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS alpha_ratio
+    FROM t
+)
+SELECT doc_id, en_stop_ratio,
+       0.4 * len_band + 0.4 * alpha_ratio
+           + 0.2 * (CASE WHEN en_stop_ratio > 0.01 THEN 1.0 ELSE 0.0 END) AS quality
+FROM m
+""".strip()
+
+
+def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
+
+
+T_LANGID_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+r AS (
+    SELECT doc_id,
+           {_stop_ratio_sql('toks', text.STOPWORDS['de'])} AS r_de,
+           {_stop_ratio_sql('toks', text.STOPWORDS['en'])} AS r_en,
+           {_stop_ratio_sql('toks', text.STOPWORDS['es'])} AS r_es
+    FROM t
+)
+SELECT doc_id,
+       CASE WHEN r_es > r_de AND r_es > r_en AND r_es > 0 THEN 'es'
+            WHEN r_en > r_de AND r_en > 0 THEN 'en'
+            WHEN r_de > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM r
+""".strip()
+
+
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.content_fingerprint(F.col("text")).alias("content_hash"),
+        text.key_fingerprint(F.col("text")).alias("key_hash"),
+    )
+
+
+T_FINGERPRINT_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+SELECT doc_id,
+       md5(array_to_string(toks, ' ')) AS content_hash,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS key_hash
+FROM t
+""".strip()
+
+
+def t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok_rows = docs.select(
+        "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
+    ).withColumn("tok_hash", F.md5("tok"))
+    aggs = [
+        F.expr(f"SUM({text.simhash_bit_sql('tok_hash', j)})").alias(f"bit_{j}")
+        for j in range(64)
+    ]
+    return (
+        tok_rows.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.expr(text.simhash_bits_concat_sql(64)).alias("simhash"))
+    )
+
+
+T_SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS tok_hash FROM t),
+s AS (SELECT doc_id, {', '.join(text.simhash_agg_exprs('tok_hash', 64))}
+      FROM h GROUP BY doc_id)
+SELECT doc_id, {text.simhash_bits_concat_sql(64)} AS simhash
+FROM s
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# D — deduplication
+# ---------------------------------------------------------------------------
+
+def d_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs_exact_dup(spark, sf_dir))
+
+
+D_EXACT_DEDUP_SQL = f"""
+WITH d AS ({DOCS_EXACT_DUP_SQL})
+SELECT md5(text) AS content_hash,
+       MIN(doc_id) AS winner_id,
+       COUNT(*) AS n_copies
+FROM d GROUP BY md5(text)
+""".strip()
+
+
+def _jaccard_tail_sql(threshold: float) -> str:
+    return f"""
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+""".strip()
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.shingle_pairs_jaccard(
+        _docs_near_dup(spark, sf_dir), n=5, threshold=0.5, max_shingle_df=None
+    )
+
+
+D_NGRAM_JACCARD_SQL = f"""
+WITH d AS ({DOCS_NEAR_DUP_SQL}),
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM d),
+sh AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM t),
+{_jaccard_tail_sql(0.5)}
+""".strip()
+
+
+def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH + exact verification. Oracle = the exact-Jaccard pair set: with
+    near-identical injected dups the banded-LSH miss probability is ~1e-18,
+    so the outputs must agree exactly (and the driver asserts they do)."""
+    return dedup.minhash_lsh_pairs(
+        _docs_near_dup(spark, sf_dir), n=5, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+D_MINHASH_LSH_SQL = D_NGRAM_JACCARD_SQL
+
+
+# ---------------------------------------------------------------------------
+# S — similarity search
+# ---------------------------------------------------------------------------
+
+def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.brute_force_topk(emb, queries, k=10)
+
+
+S_COSINE_TOPK_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM v WHERE vec_id % 100 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_dot_product(q.v, c.v)
+             / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+           AS score
+    FROM q JOIN v c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, score, rank
+FROM (
+    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+) WHERE rank <= 10
+""".strip()
+
+
+def s_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs_blocked(emb, block_col="label", threshold=0.40)
+
+
+S_COSINE_NEARDUP_SQL = """
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.40
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent — approximate / UDF / streaming)
+# ---------------------------------------------------------------------------
+
+def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets (recall < 1 by
+    design — not oracle-expressible)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.lsh_topk(emb, queries, k=10, n_planes=8)
+
+
+def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + Arrow-batched (stub) feature extraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(docs, mime="text/plain")
+    return multimodal.extract_features(media)
+
+
+def s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked tumbling window over events."""
+    return streaming_tumbling_counts(spark, sf_dir)

@@ -1,0 +1,84 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only (SURVEY §2.10) — this is the optional stretch:
+the same tumbling-window aggregation as ``plans.relational.e_tumbling_window``
+expressed as a streaming query with a watermark, driven to completion over
+the parquet file so a batch test can assert on it.
+
+At scale this is the real shape for the reference's "recent days always
+refetched" incremental pattern: a 7-day watermark bounds state exactly like
+the reference's CACHE_THRESHOLD_DAYS bounds refetch
+(``/root/reference/dlt_fetch_timecamp.py:194-217``).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the watermarked tumbling-window agg over events as a stream;
+    returns the completed result as a batch DataFrame.
+
+    Watermark semantics: events later than ``watermark`` behind the max
+    seen event time are dropped from state — the streaming analog of the
+    reference's immutable-past cache horizon.
+    """
+    # FileStreamSource requires a directory; expose the single parquet file
+    # through a temp dir of symlinks (testdata is read-only).
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "value_cents"
+        )
+    )
+    name = "stream_tumbling_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # materialize before the memory sink table goes away
+    out = spark.table(name)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -1,0 +1,57 @@
+"""Similarity-search operator tests."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.1, 0.0], 0),   # close to 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+        (5, [0.1, 0.0, 0.9], 1),   # close to 4
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    r = df.select(
+        similarity.dot("a", "b").alias("d"), similarity.cosine("a", "b").alias("c")
+    ).first()
+    assert r.d == 11.0
+    assert abs(r.c - 11.0 / (math.sqrt(5) * math.sqrt(25))) < 1e-12
+
+
+def test_brute_force_topk(vectors):
+    out = similarity.brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 1), k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [2, 5]
+    assert rows[0].rank == 1 and rows[0].score > 0.99
+    assert all(r.query_id == 1 for r in rows)
+
+
+def test_lsh_topk_subset_of_brute(vectors):
+    brute = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in similarity.brute_force_topk(vectors, vectors, k=4).collect()
+    }
+    lsh = similarity.lsh_topk(vectors, vectors, k=4, n_planes=2).collect()
+    # every LSH result's score must agree with the exact computation
+    for r in lsh:
+        assert (r.query_id, r.neighbor_id) in brute
+        assert abs(brute[(r.query_id, r.neighbor_id)] - r.score) < 1e-12
+
+
+def test_neardup_blocked(vectors):
+    pairs = similarity.neardup_pairs_blocked(vectors, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert got == {(1, 2), (4, 5)}  # within-label close pairs only

@@ -1,0 +1,104 @@
+"""Text-analysis + dedup operator tests (SURVEY §2.11)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.operators import dedup, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat sat on the mat and it is a fine day to be a cat"),
+        (2, "the cat sat on the mat and it is a fine day to be a cat"),  # exact dup of 1
+        (3, "the cat sat on the mat and it is a fine day to be a dog"),  # near dup of 1
+        (4, "el gato es un animal que vive en la casa y es de la familia"),
+        (5, "der hund ist ein tier und das ist zu erwarten in der stadt"),
+        (6, "completely different words about spark catalyst tungsten optimizer"),
+        (7, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_tokenize_and_stats(spark):
+    df = spark.createDataFrame([(" a  b\tc ",), ("",)], "text string")
+    got = df.select(F.size(text.tokenize("text")).alias("n")).collect()
+    assert [r.n for r in got] == [3, 0]
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", text.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[4] == "es"
+    assert got[5] == "de"
+    assert got[6] == "und"  # no stopwords at all
+    assert got[7] == "und"  # empty doc
+
+
+def test_quality_score_bounds(docs):
+    got = docs.select(text.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in got)
+
+
+def test_exact_dedup(docs):
+    out = {r.winner_id: r.n_copies for r in dedup.exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 2 collapse, min id wins
+    assert 2 not in out
+    assert out[3] == 1
+
+
+def test_fingerprint_collapses_reorder(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta")], "doc_id long, text string"
+    )
+    fps = df.select(
+        text.content_fingerprint("text").alias("c"), text.key_fingerprint("text").alias("k")
+    ).collect()
+    assert fps[0].c != fps[1].c       # different content hash
+    assert fps[0].k == fps[1].k       # same sorted-token key
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.shingle_pairs_jaccard(docs, n=3, threshold=0.5, max_shingle_df=None)
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0   # exact dup
+    assert (1, 3) in got and 0.5 < got[(1, 3)] < 1.0
+    assert (2, 3) in got
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
+
+
+def test_minhash_matches_exact(docs):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.shingle_pairs_jaccard(
+            docs, n=3, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, n=3, num_hashes=64, bands=16, threshold=0.5
+        ).collect()
+    }
+    assert lsh == exact
+
+
+def test_simhash_near_dup_close(spark, docs):
+    from good_enough_timecamp_data_pipeline_spark.plans.northstar import T_SIMHASH_SQL  # noqa: F401
+    tok_rows = docs.filter(F.col("doc_id").isin(1, 3, 6)).select(
+        "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
+    ).withColumn("tok_hash", F.md5("tok"))
+    aggs = [
+        F.expr(f"SUM({text.simhash_bit_sql('tok_hash', j)})").alias(f"bit_{j}")
+        for j in range(64)
+    ]
+    sigs = {
+        r.doc_id: r.simhash
+        for r in tok_rows.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.expr(text.simhash_bits_concat_sql(64)).alias("simhash"))
+        .collect()
+    }
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[6])
+    assert len(sigs[1]) == 64
