@@ -39,6 +39,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # operators pin reused intermediates (shingles, LSH buckets);
+        # drop them so later queries aren't timed under cache pressure
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

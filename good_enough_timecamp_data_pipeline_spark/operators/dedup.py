@@ -24,23 +24,51 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .text import tokenize
 
 
-def ngram_shingles(text_col, n: int = 5):
-    """Distinct word n-gram shingles of a text column (array<string>).
+def _pin(df: DataFrame) -> DataFrame:
+    """Persist a DataFrame that the surrounding plan consumes several times.
+
+    Spark's ReuseExchange only kicks in for bit-identical physical subplans
+    inside ONE query; a self-join plus two side-joins on the same derived
+    set otherwise re-reads and re-derives it per consumer. MEMORY_AND_DISK
+    so a 100-TB-scale shingle set spills instead of OOMing."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def ngram_shingles(toks_col, n: int = 5):
+    """Distinct word n-gram shingles of a token-array column.
 
     Docs shorter than ``n`` tokens yield an empty array — guarded
     explicitly because Spark's ``sequence(1, 0)`` counts *down* ([1, 0])
-    rather than returning empty like DuckDB's ``range``."""
-    toks = tokenize(text_col)
+    rather than returning empty like DuckDB's ``range``.
+
+    Takes a *token array column attribute*, not raw text: higher-order
+    ``transform`` lambdas run interpreted, so an inline ``tokenize(text)``
+    argument would be re-evaluated (a regex split!) once per shingle
+    index — measured 3× the whole stage cost. Callers materialize tokens
+    with ``withColumn`` first (``shingle_rows`` does this)."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
     n_sh = F.size(toks) - (n - 1)
     idx = F.when(n_sh > 0, F.sequence(F.lit(1), n_sh)).otherwise(
         F.array().cast("array<int>")
     )
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
+) -> DataFrame:
+    """(doc, sh) exploded distinct-shingle rows, one pass over the text."""
+    return (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col))
+        .withColumn("__toks", tokenize(F.col(text_col)))
+        .select("doc", F.explode(ngram_shingles(F.col("__toks"), n)).alias("sh"))
     )
 
 
@@ -70,12 +98,10 @@ def shingle_pairs_jaccard(
     max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(ngram_shingles(F.col(text_col), n)).alias("sh")
-    )
+    sh = _pin(shingle_rows(df, text_col, id_col, n))
     if max_shingle_df is not None:
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+        sh = _pin(sh.join(F.broadcast(hot), "sh", "left_anti"))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     inter = (
@@ -114,33 +140,30 @@ def minhash_lsh_pairs(
     cost: candidates come from B bucket-joins, never an all-pairs product.
     """
     rows_per_band = num_hashes // bands
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(ngram_shingles(F.col(text_col), n)).alias("sh"),
-    )
-    # K min-hashes per doc: min over shingles of seeded xxhash64
+    sh = _pin(shingle_rows(df, text_col, id_col, n))
+    # K min-hashes per doc: min over shingles of seeded xxhash64 — ONE
+    # hash-agg pass produces the whole signature (partial+final combine).
     sig = sh.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
-    # band buckets: hash the tuple of rows_per_band signature slots
-    band_rows = []
+    # band buckets in a single projection+explode over the signature —
+    # never B separate scans of sig.
+    band_structs = []
     for b in range(bands):
         cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            sig.select(
-                F.col("doc"),
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("bucket"),
-            )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
         )
-    buckets = band_rows[0]
-    for extra in band_rows[1:]:
-        buckets = buckets.unionByName(extra)
+    buckets = _pin(
+        sig.select(F.col("doc"), F.explode(F.array(*band_structs)).alias("bb")).select(
+            "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+    )
 
-    candidates = (
+    candidates = _pin(
         buckets.alias("x")
         .join(
             buckets.alias("y"),
@@ -152,12 +175,20 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    # exact verification of candidates only: restrict the shingle set to
+    # docs that appear in some candidate pair (tiny vs the corpus) before
+    # the intersection join — the full corpus is never pair-joined.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc"))
+        .unionByName(candidates.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "doc", "left_semi")
+    sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
-        candidates.join(sh.alias("a"), F.col("id_a") == F.col("a.doc"))
+        candidates.join(sh_cand.alias("a"), F.col("id_a") == F.col("a.doc"))
         .join(
-            sh.alias("b"),
+            sh_cand.alias("b"),
             (F.col("id_b") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
         )
         .groupBy("id_a", "id_b")

@@ -263,11 +263,16 @@ sh AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM t),
 
 
 def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH + exact verification. Oracle = the exact-Jaccard pair set: with
-    near-identical injected dups the banded-LSH miss probability is ~1e-18,
-    so the outputs must agree exactly (and the driver asserts they do)."""
+    """LSH + exact verification. Oracle = the exact-Jaccard pair set.
+
+    Banding 32 bands × 2 rows: a pair at exactly the 0.5 threshold is
+    caught with prob 1-(1-0.5²)^32 ≈ 1-1e-4; the testdata corpus has a
+    few dozen borderline (j∈[0.5,0.8)) natural pairs, and at 16×4 their
+    per-pair miss prob was ~0.35 — observed one miss at sf0.1. More bands
+    → more candidates, but the exact-verify stage discards false
+    positives, so the only cost is candidate-join width."""
     return dedup.minhash_lsh_pairs(
-        _docs_near_dup(spark, sf_dir), n=5, num_hashes=64, bands=16, threshold=0.5
+        _docs_near_dup(spark, sf_dir), n=5, num_hashes=64, bands=32, threshold=0.5
     )
 
 
