@@ -1,0 +1,110 @@
+"""Table readers/writers (SURVEY §2.1 S8, S9, S11).
+
+Layout parity with the reference's dlt filesystem destination — one
+directory per table under a base dir (``/root/reference/
+dlt_fetch_timecamp.py:685-698`` uses ``{table_name}.{file_id}.{ext}``; a
+dir-per-table is the Spark-native equivalent of that namespace), formats
+csv / jsonl / parquet (``:36``), full-refresh overwrite (``:458`` etc.),
+dedup-by-primary-key before landing (A5).
+
+S9 (object stores) needs no code here: every writer takes a path, and an
+``s3a://bucket/prefix`` path works as-is once ``spark.hadoop.fs.s3a.*``
+creds are configured — same division of labor as the reference, which
+swaps ``bucket_url`` + env creds (``docs/fetch-project-data-to-s3.md:6-17``).
+
+Scale notes: parquet+snappy is the default (the reference disables
+compression for debuggability — pass ``compression='none'`` for parity);
+``partition_by`` turns on directory partitioning so downstream date-range
+scans prune files (S12 builds on this).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import schemas
+
+FORMATS = {"parquet", "jsonl", "csv"}
+
+
+def dedup_by_pk(df: DataFrame, pk: str | None) -> DataFrame:
+    """A5: last-write-wins per key ≙ keep one row per pk (deterministic:
+    dropDuplicates keeps an arbitrary row, fine for identical replaces —
+    the reference's dlt replace semantics)."""
+    return df.dropDuplicates([pk]) if pk else df
+
+
+def table_path(base_dir: str, table: str) -> str:
+    return os.path.join(base_dir, table)
+
+
+def write_table(
+    df: DataFrame,
+    base_dir: str,
+    table: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    pk: str | None = None,
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> str:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; pick one of {sorted(FORMATS)}")
+    if pk is None:
+        pk = schemas.PRIMARY_KEYS.get(table)
+    out = dedup_by_pk(df, pk)
+    path = table_path(base_dir, table)
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if compression:
+        writer = writer.option("compression", compression)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "jsonl":
+        writer.json(path)  # spark json sink IS line-delimited
+    else:
+        # csv cannot carry dates/arrays implicitly; header on like S8
+        writer.option("header", True).csv(path)
+    return path
+
+
+def read_table(
+    spark: SparkSession,
+    base_dir: str,
+    table: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """S11: schema-pinned read (inference only when no contract is known)."""
+    path = table_path(base_dir, table)
+    if schema is None:
+        schema = schemas.TABLE_SCHEMAS.get(table)
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "jsonl":
+        r = spark.read
+        return (r.schema(schema) if schema else r).json(path)
+    r = spark.read.option("header", True)
+    if schema:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", True)
+    return r.csv(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S10: warehouse sinks. MySQL/Postgres/SQLite land through plain JDBC;
+    BigQuery via the spark-bigquery connector (``format('bigquery')``) when
+    its jar is on the classpath — both are configuration, not engine code."""
+    df.write.mode(mode).jdbc(url, table, properties=properties or {})

@@ -1,0 +1,267 @@
+"""Sources-layer tests.
+
+Tier 1 mirrors the reference's API-client suite (mocked HTTP —
+``/root/reference/tests/test_api.py:26-87``): retry honors retry_after,
+retry cap raises, 400 fails fast, 100-id application batching.
+Tier 2 covers what the reference never tested: the enrichment builders,
+writers, and incremental layer, end-to-end on the offline fixture
+workspace.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.sources import incremental, ingest, io
+from good_enough_timecamp_data_pipeline_spark.sources.client import (
+    TimeCampAPIError,
+    TimeCampClient,
+)
+from good_enough_timecamp_data_pipeline_spark.sources.fixtures import (
+    DictTransport,
+    demo_transport,
+)
+from good_enough_timecamp_data_pipeline_spark.sources.pipeline import run_pipeline
+
+
+def make_client(transport) -> TimeCampClient:
+    sleeps: list[float] = []
+    c = TimeCampClient(transport, sleeper=sleeps.append)
+    c._sleeps = sleeps  # type: ignore[attr-defined]
+    return c
+
+
+# ---------------------------------------------------------------------------
+# tier 1: client semantics (no Spark)
+# ---------------------------------------------------------------------------
+
+class TestClientRetry:
+    def test_retry_honors_json_retry_after(self):
+        t = DictTransport({r"/entries$": [
+            (429, {}, {"retry_after": 2}),
+            (200, {}, [{"id": 1}]),
+        ]})
+        c = make_client(t)
+        rows = c.get_time_entries("2026-01-01", "2026-01-02")
+        assert rows == [{"id": 1}]
+        assert c._sleeps == [2.0]
+
+    def test_retry_honors_header(self):
+        t = DictTransport({r"/entries$": [
+            (503, {"Retry-After": "7"}, {}),
+            (200, {}, []),
+        ]})
+        c = make_client(t)
+        c.get_time_entries("2026-01-01", "2026-01-02")
+        assert c._sleeps == [7.0]
+
+    def test_linear_backoff_default(self):
+        t = DictTransport({r"/entries$": [
+            (500, {}, "oops"),
+            (500, {}, "oops"),
+            (200, {}, []),
+        ]})
+        c = make_client(t)
+        c.get_time_entries("2026-01-01", "2026-01-02")
+        assert c._sleeps == [5.0, 10.0]  # 5s * attempt
+
+    def test_retry_cap_raises(self):
+        t = DictTransport({r"/entries$": (503, {}, "downstream down")})
+        c = make_client(t)
+        with pytest.raises(TimeCampAPIError) as e:
+            c.get_time_entries("2026-01-01", "2026-01-02")
+        assert e.value.status == 503
+        assert len(c._sleeps) == 4  # 5 attempts, 4 sleeps between
+
+    def test_non_retryable_fails_fast(self):
+        t = DictTransport({r"/entries$": (400, {}, "bad request")})
+        c = make_client(t)
+        with pytest.raises(TimeCampAPIError) as e:
+            c.get_time_entries("2026-01-01", "2026-01-02")
+        assert e.value.status == 400
+        assert len(t.requests) == 1 and c._sleeps == []
+
+
+class TestClientBatching:
+    def test_applications_batch_100(self):
+        t = DictTransport({r"/application$": {}})
+        c = make_client(t)
+        c.get_applications([str(i) for i in range(201)])
+        sizes = [len(p["application_ids"].split(",")) for _, _, p in t.requests]
+        assert sizes == [100, 100, 1]
+
+    def test_user_settings_batch_50(self):
+        t = DictTransport({r"/user_settings$": []})
+        c = make_client(t)
+        c.get_user_settings(list(range(120)), "disabled_user")
+        sizes = [len(p["user_ids"].split(",")) for _, _, p in t.requests]
+        assert sizes == [50, 50, 20]
+
+    def test_activities_chunk_20_dates_per_user(self):
+        t = DictTransport({r"/computer_activities$": []})
+        c = make_client(t)
+        dates = [f"2026-01-{d:02d}" for d in range(1, 26)]  # 25 dates
+        c.get_computer_activities(dates, user_ids=[1, 2])
+        # 2 users x (20+5 dates) = 4 requests
+        assert len(t.requests) == 4
+        assert {p.get("user_id") for _, _, p in t.requests} == {"1", "2"}
+
+    def test_activities_tolerates_failed_batch(self):
+        calls = {"n": 0}
+
+        def flaky(method, url, params):
+            calls["n"] += 1
+            if params.get("user_id") == "1":
+                return 400, {}, "boom"  # non-retryable → batch dropped
+            return 200, {}, json.dumps([{"user_id": "2", "application_id": "5"}])
+
+        c = make_client(flaky)
+        rows = c.get_computer_activities(["2026-01-01"], user_ids=[1, 2])
+        assert rows == [{"user_id": "2", "application_id": "5"}]
+
+    def test_tasks_dict_normalized_to_list(self):
+        t = DictTransport({r"/tasks$": {"1": {"task_id": 1}, "2": {"task_id": 2}}})
+        c = make_client(t)
+        assert sorted(x["task_id"] for x in c.get_tasks()) == [1, 2]
+
+
+# ---------------------------------------------------------------------------
+# tier 2: builders on the fixture workspace
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def demo_client():
+    return TimeCampClient(demo_transport(), sleeper=lambda s: None)
+
+
+def test_build_tasks_breadcrumbs(spark, demo_client):
+    tasks = {r["task_id"]: r for r in ingest.build_tasks(spark, demo_client).collect()}
+    assert tasks["3"]["task_breadcrumb"] == "Acme / Platform / Ingest"
+    assert tasks["3"]["task_level_1"] == "Acme"
+    assert tasks["3"]["task_level_3"] == "Ingest"
+    assert tasks["3"]["task_level_4"] == ""
+    # '' and 0 parents are roots
+    assert tasks["1"]["parent_id"] is None and tasks["5"]["parent_id"] is None
+    # orphan parent → walk stops at self
+    assert tasks["6"]["task_breadcrumb"] == "Orphan"
+    assert tasks["2"]["budgeted"] == 7200
+
+
+def test_build_users_enrichment(spark, demo_client):
+    users = {r["user_id"]: r for r in
+             ingest.build_users(spark, demo_client, include_disabled=True).collect()}
+    # W1 deterministic primary group: min numeric id → Everyone (10) for 101
+    assert users["101"]["group_name"] == "Everyone"
+    assert users["102"]["group_name"] == "Engineering"
+    assert users["102"]["group_breadcrumb"] == "Everyone / Engineering"
+    assert users["102"]["group_level_2"] == "Engineering"
+    # enabled flag from 50-id-batched settings; 102 disabled
+    assert users["101"]["is_enabled"] is True
+    assert users["102"]["is_enabled"] is False
+    # default filter drops disabled (P3)
+    active = ingest.build_users(spark, demo_client).select("user_id").collect()
+    assert {r.user_id for r in active} == {"101", "103"}
+
+
+def test_build_entries_tags_json(spark, demo_client):
+    entries = ingest.build_entries(spark, demo_client, "2025-01-01", "2026-02-01")
+    rows = {r["id"]: r for r in entries.collect()}
+    assert json.loads(rows["9001"]["tags"]) == [{"tagId": "7"}]
+    assert rows["9002"]["tags"] is None  # empty list → NULL like json.dumps skip
+    assert rows["9001"]["duration"] == 3600
+
+
+def test_build_application_names(spark, demo_client):
+    acts = ingest.build_computer_activities(
+        spark, demo_client, ["2026-01-05", "2026-01-06"]
+    )
+    # P4: '0' app id excluded
+    ids = {r.application_id for r in ingest.distinct_application_ids(acts).collect()}
+    assert ids == {"501", "502"}
+    apps = {r["application_id"]: r for r in
+            ingest.build_application_names(spark, demo_client, acts).collect()}
+    # F4 fallback chain: full_name first, else aditional_info (typo renamed)
+    assert apps["501"]["application_name"] == "Super Editor"
+    assert apps["502"]["application_name"] == "Web Browser"
+    assert apps["502"]["additional_info"] == "Web Browser"
+    # J3 category map with default
+    assert apps["501"]["category_name"] == "Developer Tools"
+    assert apps["502"]["category_name"] == "Reference & Search"
+
+
+def test_run_pipeline_roundtrip(spark, tmp_path, demo_client):
+    res = run_pipeline(
+        spark,
+        demo_transport(),
+        str(tmp_path),
+        "2025-01-01",
+        "2026-02-01",
+        dates=["2026-01-05", "2026-01-06"],
+    )
+    assert set(res.tables) == {"tasks", "users", "entries",
+                               "computer_activities", "application_names"}
+    # dedup by pk: fixture entries contain a duplicated id 9004
+    landed = io.read_table(spark, str(tmp_path), "entries")
+    assert landed.count() == 4
+    assert landed.filter(F.col("id") == "9004").count() == 1
+    # jsonl + csv writers round-trip the same table
+    io.write_table(res.tables["tasks"], str(tmp_path / "alt"), "tasks", fmt="jsonl")
+    back = io.read_table(spark, str(tmp_path / "alt"), "tasks", fmt="jsonl")
+    assert back.count() == res.tables["tasks"].count()
+    assert {f.name for f in back.schema.fields} == \
+        {f.name for f in res.tables["tasks"].schema.fields}
+
+
+# ---------------------------------------------------------------------------
+# tier 2: incremental layer
+# ---------------------------------------------------------------------------
+
+def test_grow_only_dim(spark, tmp_path):
+    path = str(tmp_path / "apps_dim")
+    fetched_batches: list[list[str]] = []
+
+    def fetch(ids):
+        fetched_batches.append(list(ids))
+        return spark.createDataFrame(
+            [(i, f"name-{i}") for i in ids], "application_id string, name string"
+        )
+
+    need1 = spark.createDataFrame([("1",), ("2",)], "application_id string")
+    dim = incremental.grow_only_dim(spark, path, need1, fetch)
+    assert dim.count() == 2
+
+    # second call: only the never-seen id is fetched
+    need2 = spark.createDataFrame([("2",), ("3",)], "application_id string")
+    dim = incremental.grow_only_dim(spark, path, need2, fetch)
+    assert fetched_batches == [["1", "2"], ["3"]]
+    assert dim.count() == 3
+
+
+def test_refresh_activities_partition_overwrite(spark, tmp_path):
+    import datetime
+
+    path = str(tmp_path / "acts")
+    today = datetime.date.today()
+    old_day = str(today - datetime.timedelta(days=30))
+    recent_day = str(today)
+    fetch_log: list[list[str]] = []
+
+    def fetch(dates):
+        fetch_log.append(sorted(dates))
+        return spark.createDataFrame(
+            [(d, "u1", 1) for d in dates], "end_date string, user_id string, v long"
+        )
+
+    # bootstrap: both days fetched
+    out = incremental.refresh_activities(spark, path, fetch, [old_day, recent_day])
+    assert out.count() == 2
+    # second run: the old (immutable) day is served from the table,
+    # only the recent day is refetched
+    out = incremental.refresh_activities(spark, path, fetch, [old_day, recent_day])
+    assert fetch_log == [sorted([old_day, recent_day]), [recent_day]]
+    assert out.count() == 2
+    # the old partition survived the dynamic overwrite
+    assert out.filter(F.col("end_date") == old_day).count() == 1
