@@ -16,15 +16,21 @@ Reference parity (SURVEY.md §2.5):
 Spark-first design
 ------------------
 Spark 4 has native recursive CTEs, but the closure is also a library
-operator here (`transitive_closure`) built as a bounded iterative loop of
+operator here (`transitive_closure`) built as a bounded *lazy* unroll of
 broadcast self-joins:
 
 - The hierarchy table is a *dimension* — even at 100 TB of facts, the tasks
   dim is millions of rows at most, so each iteration's join broadcasts the
-  (node → parent) edge list: zero shuffles, and the loop runs ``max_depth``
-  (reference caps at 8) rounds.
-- `localCheckpoint` after each round cuts the lineage so the final plan
-  doesn't nest ``max_depth`` joins (keeps codegen + planning time flat).
+  (node → parent) edge list: zero shuffles, and the unroll runs
+  ``max_depth`` (reference caps at 8) rounds.
+- The unroll is fully lazy: no ``localCheckpoint``/``isEmpty`` inside the
+  loop, so building the closure schedules ZERO jobs — the whole consumer
+  query (closure + fact join + agg) runs as ONE Spark job. Eager
+  per-iteration checkpointing cost ~2 blocking jobs × max_depth on a
+  3-level tree (~3-4 s of pure scheduling at sf0.1); the lazy plan is a
+  linear chain of broadcast joins whose edge-side broadcast exchange is
+  built once and reused (ReuseExchange). For *unbounded* hierarchies pass
+  ``checkpoint_every`` to cut lineage periodically.
 - Cycle safety: the walk carries a ``_visited`` id array and stops a branch
   when the next ancestor is already in it — same semantics as the
   reference's ``visited`` set — plus the hard depth bound.
@@ -35,12 +41,36 @@ facts against it (done in plans/reports.py).
 
 from __future__ import annotations
 
+import itertools
 from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_DEPTH = 8
+
+_view_ids = itertools.count()
+
+
+def _as_view(df: DataFrame, tag: str) -> str:
+    """Register a DataFrame under a fresh temp-view name (SQL fast paths)."""
+    name = f"__hier_{tag}_{next(_view_ids)}"
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def _native_recursive_cte(df: DataFrame) -> bool:
+    try:
+        return int(df.sparkSession.version.split(".")[0]) >= 4
+    except ValueError:  # non-standard version string — feature-probe instead
+        try:
+            df.sparkSession.sql(
+                "WITH RECURSIVE __p(n) AS (SELECT 1 UNION ALL SELECT n+1 FROM __p "
+                "WHERE n < 2) SELECT 1 WHERE FALSE"
+            ).collect()
+            return True
+        except Exception:
+            return False
 
 
 def transitive_closure(
@@ -49,21 +79,59 @@ def transitive_closure(
     parent_col: str = "parent_id",
     max_depth: int = DEFAULT_MAX_DEPTH,
     include_self: bool = True,
+    checkpoint_every: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Ancestor/descendant closure of an adjacency-list hierarchy.
 
     Returns (descendant_id, ancestor_id, depth): depth 0 is the self-pair,
     depth 1 the parent, etc. ``parent_col`` must already be canonicalized
     (''/'0' → NULL — see operators.canonicalize.null_canonical).
+
+    Two physical strategies with identical semantics (cycle guard + depth
+    cap included):
+
+    - ``recursive_cte`` (default on Spark ≥ 4): native ``WITH RECURSIVE``
+      — the engine iterates a working table and *stops when the frontier
+      empties*, so a 3-level tree costs 3 rounds regardless of
+      ``max_depth``, in one job.
+    - ``unroll``: a lazy chain of ``max_depth`` broadcast self-joins —
+      portable to any Spark, and the broadcast edge exchange is reused
+      across rounds; costs O(max_depth) plan nodes even for shallow trees.
+      Set ``checkpoint_every=k`` to cut lineage on deep hierarchies.
     """
-    edges = (
-        tasks.select(
-            F.col(id_col).alias("_node"),
-            F.col(parent_col).alias("_parent"),
+    if strategy not in ("auto", "recursive_cte", "unroll"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy in ("auto", "recursive_cte") and _native_recursive_cte(tasks):
+        v = _as_view(
+            tasks.select(
+                F.col(id_col).alias("_node"), F.col(parent_col).alias("_parent")
+            ),
+            "closure",
         )
-        .filter(F.col("_parent").isNotNull())
-        .localCheckpoint(eager=True)
-    )
+        out = tasks.sparkSession.sql(
+            f"""
+            WITH RECURSIVE __closure(descendant_id, ancestor_id, depth, _visited) AS (
+                SELECT _node, _node, 0, array(_node) FROM {v}
+                UNION ALL
+                SELECT c.descendant_id, t._parent, c.depth + 1,
+                       array_append(c._visited, t._parent)
+                FROM __closure c JOIN {v} t ON c.ancestor_id = t._node
+                WHERE t._parent IS NOT NULL
+                  AND NOT array_contains(c._visited, t._parent)
+                  AND c.depth < {int(max_depth)}
+            )
+            SELECT descendant_id, ancestor_id, depth FROM __closure
+            """
+        )
+        if not include_self:
+            out = out.filter(F.col("depth") > 0)
+        return out
+
+    edges = tasks.select(
+        F.col(id_col).alias("_node"),
+        F.col(parent_col).alias("_parent"),
+    ).filter(F.col("_parent").isNotNull())
 
     base = tasks.select(
         F.col(id_col).alias("descendant_id"),
@@ -87,10 +155,9 @@ def transitive_closure(
                 F.lit(d).alias("depth"),
                 F.array_append(F.col("f._visited"), F.col("e._parent")).alias("_visited"),
             )
-            .localCheckpoint(eager=True)
         )
-        if frontier.isEmpty():
-            break
+        if checkpoint_every and d % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=False)
         levels.append(frontier)
 
     out = reduce(DataFrame.unionByName, levels).drop("_visited")
@@ -129,6 +196,7 @@ def breadcrumbs(
     n_levels: int = 8,
     sep: str = " / ",
     prefix: str = "task",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Denormalized breadcrumb columns for every node of a hierarchy.
 
@@ -136,14 +204,66 @@ def breadcrumbs(
     by ``sep``) + ``{prefix}_level_1..n_levels`` ('' beyond actual depth).
     Missing parents end the walk (reference yields the partial path);
     a repeated ancestor id ends it too (cycle guard).
+
+    Strategies as in `transitive_closure`: native ``WITH RECURSIVE`` walk
+    (rounds = actual depth) on Spark ≥ 4, else a lazy linear chain of
+    ``max_depth`` broadcast left joins where a finished row (NULL cursor)
+    passes through the remaining joins unchanged.
     """
-    dim = (
-        tasks.select(
-            F.col(id_col).alias("_node"),
-            F.col(parent_col).alias("_parent"),
-            F.col(name_col).alias("_name"),
+    if strategy not in ("auto", "recursive_cte", "unroll"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    if strategy in ("auto", "recursive_cte") and _native_recursive_cte(tasks):
+        v = _as_view(
+            tasks.select(
+                F.col(id_col).alias("_node"),
+                F.col(parent_col).alias("_parent"),
+                F.col(name_col).alias("_name"),
+            ),
+            "crumb",
         )
-        .localCheckpoint(eager=True)
+        # walk upward; a branch retires by taking _cursor NULL (root reached
+        # or cycle detected), which simply stops matching the recursive join
+        walk_sql = tasks.sparkSession.sql(
+            f"""
+            WITH RECURSIVE __walk(_id, _path, _visited, _cursor, _d) AS (
+                SELECT _node, array(_name), array(_node), _parent, 0 FROM {v}
+                UNION ALL
+                SELECT w._id,
+                       array_prepend(w._path, p._name),
+                       array_append(w._visited, p._node),
+                       CASE WHEN p._parent IS NULL
+                              OR array_contains(w._visited, p._parent)
+                            THEN CAST(NULL AS STRING) ELSE p._parent END,
+                       w._d + 1
+                FROM __walk w JOIN {v} p ON w._cursor = p._node
+                WHERE w._d < {int(max_depth)}
+            )
+            SELECT _id, _path
+            FROM (
+                SELECT _id, _path,
+                       ROW_NUMBER() OVER (PARTITION BY _id ORDER BY _d DESC) AS _rn
+                FROM __walk
+            ) WHERE _rn = 1
+            """
+        )
+        crumbs = walk_sql.select(
+            F.col("_id"),
+            F.concat_ws(sep, F.col("_path")).alias(f"{prefix}_breadcrumb"),
+            *[
+                F.coalesce(F.try_element_at(F.col("_path"), F.lit(i)), F.lit("")).alias(
+                    f"{prefix}_level_{i}"
+                )
+                for i in range(1, n_levels + 1)
+            ],
+        )
+        return tasks.join(
+            F.broadcast(crumbs), tasks[id_col] == crumbs["_id"], "left"
+        ).drop("_id")
+
+    dim = tasks.select(
+        F.col(id_col).alias("_node"),
+        F.col(parent_col).alias("_parent"),
+        F.col(name_col).alias("_name"),
     )
 
     walk = dim.select(
@@ -153,8 +273,6 @@ def breadcrumbs(
         F.col("_parent").alias("_cursor"),
     )
     for _ in range(max_depth):
-        if walk.filter(F.col("_cursor").isNotNull()).isEmpty():
-            break
         p = F.col("p._node")
         walk = (
             walk.alias("w")
@@ -174,7 +292,6 @@ def breadcrumbs(
                 .otherwise(F.col("p._parent"))
                 .alias("_cursor"),
             )
-            .localCheckpoint(eager=True)
         )
 
     crumbs = walk.select(

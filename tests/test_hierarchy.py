@@ -35,10 +35,13 @@ def tree(spark):
     return canonicalize_hierarchy(df)
 
 
-def test_closure_pairs(tree):
+@pytest.mark.parametrize("strategy", ["recursive_cte", "unroll"])
+def test_closure_pairs(tree, strategy):
     got = {
         (r.descendant_id, r.ancestor_id, r.depth)
-        for r in transitive_closure(tree.filter(~F.col("task_id").isin("x", "y", "f"))).collect()
+        for r in transitive_closure(
+            tree.filter(~F.col("task_id").isin("x", "y", "f")), strategy=strategy
+        ).collect()
     }
     expect = {
         ("a", "a", 0),
@@ -53,11 +56,14 @@ def test_closure_pairs(tree):
     assert got == expect
 
 
-def test_closure_cycle_terminates(tree):
+@pytest.mark.parametrize("strategy", ["recursive_cte", "unroll"])
+def test_closure_cycle_terminates(tree, strategy):
     # x<->y must not loop: visited guard stops after each node saw the other
     got = {
         (r.descendant_id, r.ancestor_id)
-        for r in transitive_closure(tree.select("task_id", "parent_id", "name")).collect()
+        for r in transitive_closure(
+            tree.select("task_id", "parent_id", "name"), strategy=strategy
+        ).collect()
         if r.descendant_id in ("x", "y")
     }
     assert got == {("x", "x"), ("x", "y"), ("y", "y"), ("y", "x")}
@@ -73,10 +79,11 @@ def test_closure_missing_parent_keeps_edge(tree):
     assert got == {("f", "f"), ("f", "zz")}
 
 
-def test_breadcrumbs(tree):
+@pytest.mark.parametrize("strategy", ["recursive_cte", "unroll"])
+def test_breadcrumbs(tree, strategy):
     out = {
         r.task_id: (r.task_breadcrumb, r.task_level_1, r.task_level_2, r.task_level_3)
-        for r in breadcrumbs(tree).collect()
+        for r in breadcrumbs(tree, strategy=strategy).collect()
     }
     assert out["c"] == ("A / B / C", "A", "B", "C")
     assert out["b"] == ("A / B", "A", "B", "")
@@ -94,6 +101,8 @@ def test_depth_cap(spark):
     df = spark.createDataFrame(rows, "task_id string, parent_id string, name string")
     closure = transitive_closure(df, max_depth=8)
     assert closure.agg(F.max("depth")).first()[0] == 8
+    closure_u = transitive_closure(df, max_depth=8, strategy="unroll")
+    assert closure_u.agg(F.max("depth")).first()[0] == 8
     crumbs = breadcrumbs(df, max_depth=8)
     deepest = crumbs.filter(F.col("task_id") == "11").first()
     assert deepest.task_breadcrumb.count(" / ") == 8  # 9 names = self + 8 walked
