@@ -126,3 +126,5 @@ register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEAR
 register("s_ann_lsh", northstar.s_ann_lsh)
 register("m_multimodal_features", northstar.m_multimodal_features)
 register("s_stream_tumbling", northstar.s_stream_tumbling)
+register("s_stream_sliding", northstar.s_stream_sliding)
+register("s_stream_sessions", northstar.s_stream_sessions)

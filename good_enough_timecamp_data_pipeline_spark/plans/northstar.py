@@ -21,7 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
-from ..streaming.windows import streaming_tumbling_counts
+from ..streaming.stateful import streaming_sessionize
+from ..streaming.windows import streaming_sliding_counts, streaming_tumbling_counts
 from .testdata import load_table
 
 # ---------------------------------------------------------------------------
@@ -346,3 +347,15 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming watermarked tumbling window over events."""
     return streaming_tumbling_counts(spark, sf_dir)
+
+
+def s_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked sliding window over events."""
+    return streaming_sliding_counts(spark, sf_dir)
+
+
+def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState sessionization,
+    state handed across micro-batches (events streamed in 4 time-ordered
+    chunks). Emits sessions closed by a later event."""
+    return streaming_sessionize(spark, sf_dir)

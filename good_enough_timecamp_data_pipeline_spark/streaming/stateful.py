@@ -1,0 +1,174 @@
+"""Custom stateful streaming operator: per-user sessionization.
+
+The reference has no streaming surface (SURVEY §2.10); this is the engine's
+`applyInPandasWithState` tier — the shape any custom stateful operator
+(sessionization, dedup-within-horizon, CDC conflation) takes at scale:
+
+- input is hash-partitioned by key (``groupBy(user_id)``) so each user's
+  state lives on exactly one executor;
+- state is a tiny summary (open-session start/last/count), never the raw
+  events — state size is O(active keys), not O(events);
+- sessions are *emitted when closed* by a later event (gap > threshold);
+  the still-open tail session per user stays in state (production closes
+  it with a timeout — here the input is finite, so the batch invariant
+  "emitted == total sessions − open tails" is what the test asserts
+  against the window-function sessionization of
+  ``plans.relational.e_sessionize``).
+
+The events table is re-landed as several time-ordered parquet chunks and
+streamed with ``maxFilesPerTrigger=1``, so sessions genuinely span
+micro-batches and the state handoff between batches is exercised — one
+big batch would make stateful processing trivially correct.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .windows import EVENTS_RAW_SCHEMA
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches e_sessionize
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _sessionize_user(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = n = None
+
+    closed: list[tuple[int, int, int]] = []
+    for pdf in pdfs:
+        for ts_us in sorted(int(v) for v in pdf["ts_us"]):
+            if start_us is None:
+                start_us, last_us, n = ts_us, ts_us, 1
+            elif ts_us - last_us > SESSION_GAP_US:
+                closed.append((start_us, last_us, n))
+                start_us, last_us, n = ts_us, ts_us, 1
+            else:
+                last_us, n = ts_us, n + 1
+
+    if start_us is not None:
+        state.update((int(start_us), int(last_us), int(n)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(closed),
+            "session_start_us": [c[0] for c in closed],
+            "session_end_us": [c[1] for c in closed],
+            "n_events": [c[2] for c in closed],
+        }
+    )
+
+
+def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Land events as time-ordered parquet chunks for multi-batch streaming.
+
+    FileStreamSource replays files in *modification-time* order, and a
+    parallel write gives every chunk the same mtime — which would replay
+    chunks in arbitrary order and feed the stateful operator out-of-order
+    batches. So chunks are written one at a time and their mtimes spaced
+    explicitly; chunk i covers the i-th quantile range of ``ts``.
+    """
+    import glob
+    import shutil
+    import time as _time
+
+    out = tempfile.mkdtemp(prefix="events_chunks_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    qs = [i / n_chunks for i in range(1, n_chunks)]
+    bounds = events.approxQuantile("ts", qs, 0.001)
+    lo = None
+    base = _time.time() - 3600
+    for i in range(n_chunks):
+        hi = bounds[i] if i < len(bounds) else None
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col("ts") < F.lit(hi))
+        tmp = os.path.join(out, f"_stage_{i}")
+        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        dst = os.path.join(out, f"chunk-{i:03d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (base + i * 10, base + i * 10))
+        lo = hi
+    return out
+
+
+def streaming_sessionize(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Run stateful sessionization over events as a multi-batch stream;
+    returns the closed sessions as a batch DataFrame."""
+    src = _chunked_events_dir(spark, sf_dir, n_chunks)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(
+            F.col("user_id"),
+            (F.col("ts") / 1000).cast("long").alias("ts_us"),  # nanos → micros
+        )
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_user,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_sessions_out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        # fewer state-store shards: per-batch task overhead dominates at
+        # local scale; on a cluster, size this to active-key cardinality
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                sessions.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table(name)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema) if rows else spark.createDataFrame(
+        [], out.schema
+    )

@@ -65,19 +65,59 @@ def streaming_tumbling_counts(
             F.col("w.start").alias("window_start"), "event_type", "n", "value_cents"
         )
     )
-    name = "stream_tumbling_out"
+    return _run_to_completion(spark, agg, "stream_tumbling_out")
+
+
+def streaming_sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked *sliding* window counts: each event lands in
+    window/slide overlapping buckets (4 here) — the state-size trade-off
+    version of the tumbling agg."""
+    stream_dir = tempfile.mkdtemp(prefix="events_stream_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_completion(spark, agg, "stream_sliding_out")
+
+
+def _run_to_completion(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+    """Drive a finite streaming agg to completion via a memory sink.
+
+    Shuffle partitions are temporarily lowered: each micro-batch pays a
+    per-state-store-shard cost, which dwarfs the work at local scale (on a
+    cluster, shard count is sized to key cardinality instead).
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", ckpt)
-            .start()
-        )
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
-            q.processAllAvailable()
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # materialize before the memory sink table goes away
     out = spark.table(name)
     rows = out.collect()

@@ -45,3 +45,32 @@ def test_streaming_matches_batch(spark, sf_dir):
         for r in streaming_tumbling_counts(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_streaming_sliding_covers_tumbling(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.streaming.windows import (
+        streaming_sliding_counts,
+    )
+
+    slide = streaming_sliding_counts(spark, sf_dir).collect()
+    # every event lands in exactly window/slide = 4 overlapping windows
+    total_batch = sum(
+        r.n for r in e_tumbling_window(spark, sf_dir).collect()
+    )
+    assert sum(r.n for r in slide) == 4 * total_batch
+
+
+def test_stateful_sessionize_matches_batch_invariant(spark, sf_dir):
+    """Closed-session emission must equal the window-function answer minus
+    the still-open tail session of each user."""
+    from good_enough_timecamp_data_pipeline_spark.plans.relational import e_sessionize
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        streaming_sessionize,
+    )
+
+    batch = e_sessionize(spark, sf_dir).collect()
+    expected_closed = sum(r.n_sessions for r in batch) - len(batch)  # minus tails
+    emitted = streaming_sessionize(spark, sf_dir).collect()
+    assert len(emitted) == expected_closed
+    assert all(r.session_end_us >= r.session_start_us for r in emitted)
+    assert all(r.n_events >= 1 for r in emitted)
