@@ -85,9 +85,11 @@ def report_task_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = breadcrumbs(tasks)  # adds task_breadcrumb + task_level_1..8
 
     left_expr = F.col("budgeted_seconds") - F.col("cumulative_seconds")
+    # tracked is keyed by ancestor id (≤ task count) — broadcast it so the
+    # assembly join never shuffles the dim
     return (
         dim.filter(F.col("budgeted") > 0)
-        .join(tracked, dim["task_id"] == tracked["ancestor_id"], "left")
+        .join(F.broadcast(tracked), dim["task_id"] == tracked["ancestor_id"], "left")
         .select(
             dim["task_id"],
             dim["name"],
@@ -168,9 +170,10 @@ def report_project_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("budgeted").alias("budgeted_seconds"))
     )
 
+    # both aggregates are keyed by project id (root count) — broadcast
     return (
-        projects.join(tracked, "project_id", "left")
-        .join(budget, "project_id", "left")
+        projects.join(F.broadcast(tracked), "project_id", "left")
+        .join(F.broadcast(budget), "project_id", "left")
         .select(
             "project_id",
             "project_name",

@@ -1,0 +1,75 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness tests prove the operators compute the right answer at small
+scale; these prove the *plans* are the ones that survive 100 TB: filters
+and projections reach the parquet scan, dimension joins broadcast instead
+of shuffling the fact side, aggregations combine map-side, and the hot
+expressions stay inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from good_enough_timecamp_data_pipeline_spark.plans import relational, reports
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def scans(plan: str) -> list[str]:
+    return re.findall(r"FileScan parquet[^\n]*", plan)
+
+
+def test_filter_and_projection_reach_scan(spark, sf_dir):
+    plan = plan_of(relational.p_filter_pushdown(spark, sf_dir))
+    (scan,) = scans(plan)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan
+    # column pruning: 5 of lineitem's 11 columns read (4 projected +
+    # l_shipdate for the filter) — never the full row
+    m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+    assert len(m.group(1).split(",")) <= 5
+
+
+def test_dim_lookup_is_broadcast(spark, sf_dir):
+    plan = plan_of(relational.j_broadcast_lookup(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_groupsum_has_partial_agg(spark, sf_dir):
+    plan = plan_of(relational.a_groupsum_pricing(spark, sf_dir))
+    # map-side combine: partial_sum before the exchange, final after
+    assert "partial_sum" in plan
+    assert plan.count("Exchange") >= 1
+
+
+def test_flagship_reports_never_sort_merge(spark, sf_dir):
+    """The only shuffle either report may do is the groupBy on the
+    closure/project key — every join is against a dimension-sized side
+    and must broadcast."""
+    for fn in (reports.report_task_budget, reports.report_project_budget):
+        plan = plan_of(fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, f"{fn.__name__} shuffles a join"
+
+
+def test_codegen_covers_hot_path(spark, sf_dir):
+    # AQE prints codegen spans only in the finalized plan — execute first
+    df = relational.a_groupsum_pricing(spark, sf_dir)
+    df.collect()
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the final plan;
+    # both aggregates and the scan must sit inside one
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+def test_fact_scans_prune_columns_in_reports(spark, sf_dir):
+    plan = plan_of(reports.report_project_budget(spark, sf_dir))
+    for scan in scans(plan):
+        m = re.search(r"ReadSchema: struct<([^>]*)", scan)
+        cols = m.group(1).split(",") if m and m.group(1) else []
+        assert len(cols) <= 4, f"scan reads too many columns: {scan[:160]}"
