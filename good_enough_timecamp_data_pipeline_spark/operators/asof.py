@@ -1,0 +1,81 @@
+"""As-of (nearest-previous) join — an operator Spark lacks natively.
+
+Not in the reference (SURVEY §2.3 notes its absence) but first-class in the
+north-star surface: joining a fact stream to the most recent earlier row of
+a reference stream (prices, sensor states, session context) is the core
+temporal-enrichment primitive of a training-data pipeline, and DuckDB ships
+it natively (``ASOF JOIN``) which gives us an exact oracle.
+
+Spark-first realization — the union/carry-forward pattern:
+
+1. tag both inputs and union them (left probe rows + right reference rows);
+2. one window per key ordered by (ts, tag) carries the latest reference
+   values forward (``last(..., ignorenulls=True)`` over an unbounded-
+   preceding frame) — tag order makes an equal-timestamp reference row
+   visible to the probe row (inclusive match, same as ASOF's ``>=``);
+3. keep probe rows.
+
+Cost at scale: ONE shuffle of both inputs on the key (hash partition), a
+per-partition sort — identical shape to a sort-merge join, with no
+range-condition explosion risk: each probe row emits exactly once. The
+right side is pre-aggregated to one row per (key, ts) so ties are
+deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "key",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: for every left row, the latest right row with
+    ``right[on] <= left[on]`` within the same ``by`` group.
+
+    Right must be unique per (by, on) — pre-aggregate if not. Output =
+    left columns + ``{on}{suffix}`` (matched right timestamp, NULL when no
+    earlier right row) + each value col as ``{col}{suffix}``.
+    """
+    by_cols = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(by_cols) | {on}
+    ]
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_probe"),
+        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(by_cols) | {on}],
+        F.lit(0).alias("_probe"),
+        F.col(on).alias("_r_on"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).select(*lhs.columns)  # align column order
+
+    unioned = lhs.unionByName(rhs)
+    w = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_probe"),
+        F.last("_r_on", ignorenulls=True).over(w).alias(f"{on}{suffix}"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_probe") == 1).drop("_probe")

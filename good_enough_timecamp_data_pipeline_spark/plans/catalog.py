@@ -106,6 +106,12 @@ register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
 register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
 register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)
 
+# --- temporal/analytic extensions ------------------------------------------
+register("x_asof_join", relational.x_asof_join, relational.X_ASOF_JOIN_SQL)
+register("a_count_distinct", relational.a_count_distinct, relational.A_COUNT_DISTINCT_SQL)
+register("x_cube", relational.x_cube, relational.X_CUBE_SQL)
+register("w_frames", relational.w_frames, relational.W_FRAMES_SQL)
+
 # --- SURVEY §2.11 north-star: text analysis --------------------------------
 register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
 register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)

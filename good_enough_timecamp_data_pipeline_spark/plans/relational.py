@@ -804,3 +804,122 @@ WITH marked AS (
 SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
 FROM marked GROUP BY user_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# temporal / analytic extensions (SURVEY §2.3 absent-in-reference + §2.4/2.6
+# free Spark extras) — all exact-arithmetic (cents as bigint) for the oracle
+# ---------------------------------------------------------------------------
+
+def x_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event enriched with the user's most recent
+    (<=) view event. Spark lacks the operator; `operators.asof.asof_join`
+    supplies it, DuckDB's native ASOF JOIN is the oracle."""
+    from ..operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", cents.alias("purchase_cents")
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max(cents).alias("view_cents"))
+    )
+    return asof_join(
+        purchases, views, on="ts", by="user_id", value_cols=["view_cents"]
+    )
+
+
+X_ASOF_JOIN_SQL = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS purchase_cents
+    FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, ts, MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS view_cents
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, l.purchase_cents,
+       r.ts AS ts_asof, r.view_cents AS view_cents_asof
+FROM purchases l
+ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts >= r.ts
+""".strip()
+
+
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregates (absent in the reference; free in
+    Spark — expand-based distinct agg, still one shuffle)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+A_COUNT_DISTINCT_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY event_type
+""".strip()
+
+
+def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, year): all 4 grouping-set combinations in one
+    pass (Expand + single hash agg)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn("y", F.year("ts"))
+        .cube("event_type", "y")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+X_CUBE_SQL = """
+SELECT event_type, CAST(year(ts) AS INTEGER) AS y, COUNT(*) AS n,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+FROM events
+GROUP BY CUBE (event_type, y)
+""".strip()
+
+
+def w_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frames: lag/lead + a bounded ROWS frame moving sum
+    per user (exact bigint arithmetic)."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    wf = w.rowsBetween(-3, 0)
+    return events.select(
+        "event_id",
+        "user_id",
+        cents.alias("cents"),
+        F.lag(cents, 1).over(w).alias("prev_cents"),
+        F.lead(cents, 1).over(w).alias("next_cents"),
+        F.sum(cents).over(wf).alias("moving4_cents"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+W_FRAMES_SQL = """
+SELECT event_id, user_id,
+       CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       lag(CAST(FLOOR(value * 100) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_cents,
+       lead(CAST(FLOOR(value * 100) AS BIGINT), 1)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_cents,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving4_cents,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            AS INTEGER) AS seq
+FROM events
+""".strip()
