@@ -214,6 +214,75 @@ FROM s
 """.strip()
 
 
+def t_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation as ONE composed plan:
+    duplicate-injected docs → exact-dedup (keep min-id winner) → quality
+    gate (≥ 0.5) → language ID + token stats for the surviving docs.
+
+    The composition is the point: dedup winners come from a groupBy on the
+    content hash, the gate and stats are pure column expressions, and
+    Catalyst fuses it all into one job with a single wide shuffle (the
+    hash groupBy) — the same shape it would have at 100 TB.
+    """
+    docs = _docs_exact_dup(spark, sf_dir)
+    winners = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(winners, "doc_id", "left_semi")
+    toks = text.tokenize(F.col("text"))
+    return (
+        kept.withColumn("quality", text.quality_score(F.col("text")))
+        .filter(F.col("quality") >= 0.5)
+        .select(
+            "doc_id",
+            "quality",
+            text.lang_id(F.col("text")).alias("lang_pred"),
+            F.size(toks).alias("n_tokens"),
+        )
+    )
+
+
+T_CORPUS_PREP_SQL = f"""
+WITH d AS ({DOCS_EXACT_DUP_SQL}),
+winners AS (
+    SELECT MIN(doc_id) AS doc_id FROM d GROUP BY md5(text)
+),
+t AS (
+    SELECT d.doc_id, d.text, {TOKS_SQL} AS toks
+    FROM d JOIN winners w ON d.doc_id = w.doc_id
+),
+m AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0
+                WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS alpha_ratio,
+           {_stop_ratio_sql('toks', text.STOPWORDS['en'])} AS r_en,
+           {_stop_ratio_sql('toks', text.STOPWORDS['es'])} AS r_es,
+           {_stop_ratio_sql('toks', text.STOPWORDS['de'])} AS r_de,
+           len(toks) AS n_tokens
+    FROM t
+),
+q AS (
+    SELECT doc_id,
+           0.4 * len_band + 0.4 * alpha_ratio
+               + 0.2 * (CASE WHEN r_en > 0.01 THEN 1.0 ELSE 0.0 END) AS quality,
+           CASE WHEN r_es > r_de AND r_es > r_en AND r_es > 0 THEN 'es'
+                WHEN r_en > r_de AND r_en > 0 THEN 'en'
+                WHEN r_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred,
+           n_tokens
+    FROM m
+)
+SELECT doc_id, quality, lang_pred, n_tokens
+FROM q WHERE quality >= 0.5
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # D — deduplication
 # ---------------------------------------------------------------------------
