@@ -1,0 +1,111 @@
+"""CLI entry point — same surface as the reference's batch pipeline.
+
+Mirrors ``python dlt_fetch_timecamp.py --from ... --to ... --output ...
+--format ... --datasets ...`` (``/root/reference/dlt_fetch_timecamp.py:49-99``)
+on the Spark engine::
+
+    python -m good_enough_timecamp_data_pipeline_spark.cli \
+        --from 2026-01-01 --to yesterday --output ./out --format parquet \
+        --datasets tasks,users,entries
+
+Credentials come from ``TIMECAMP_API_KEY`` (the reference reads the same
+env via dotenv); ``--offline-demo`` swaps in the deterministic fixture
+workspace so the full pipeline runs with zero network — that is also the
+smoke-test path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import sys
+
+from .session import get_spark
+from .sources.client import requests_transport
+from .sources.fixtures import demo_transport
+from .sources.pipeline import DATASETS, run_pipeline
+
+SUPPORTED_FORMATS = ("csv", "jsonl", "parquet")
+
+
+def _resolve_date(s: str) -> str:
+    if s.strip().lower() == "yesterday":
+        return str(datetime.date.today() - datetime.timedelta(days=1))
+    return s
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        description="Fetch TimeCamp data with Spark and land it as files",
+        epilog="By default, fetches data for yesterday unless specified otherwise.",
+    )
+    p.add_argument("--from", dest="from_date", default="yesterday",
+                   help="Start date (YYYY-MM-DD or 'yesterday'). Default: yesterday")
+    p.add_argument("--to", dest="to_date", default="yesterday",
+                   help="End date (YYYY-MM-DD or 'yesterday'). Default: yesterday")
+    p.add_argument("--output", default="./timecamp_data",
+                   help="Output directory. Default: ./timecamp_data")
+    p.add_argument("--format", dest="output_format", choices=SUPPORTED_FORMATS,
+                   default="parquet", help="Output format. Default: parquet")
+    p.add_argument("--datasets", default="entries",
+                   help=f"Comma-separated datasets. Available: {', '.join(DATASETS)}. "
+                        "Default: entries")
+    p.add_argument("--offline-demo", action="store_true",
+                   help="Use the built-in fixture workspace instead of the API")
+    p.add_argument("--api-key", default=None,
+                   help="TimeCamp API token (default: $TIMECAMP_API_KEY)")
+    return p.parse_args(argv)
+
+
+def parse_datasets(datasets_str: str) -> tuple[str, ...]:
+    datasets = tuple(d.strip().lower() for d in datasets_str.split(",") if d.strip())
+    invalid = [d for d in datasets if d not in DATASETS]
+    if invalid:
+        raise ValueError(
+            f"Invalid datasets: {', '.join(invalid)}. Available: {', '.join(DATASETS)}"
+        )
+    return datasets
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    datasets = parse_datasets(args.datasets)
+    from_date, to_date = _resolve_date(args.from_date), _resolve_date(args.to_date)
+
+    if args.offline_demo:
+        transport = demo_transport()
+    else:
+        import os
+
+        token = args.api_key or os.environ.get("TIMECAMP_API_KEY")
+        if not token:
+            print("error: no API key (use --api-key, $TIMECAMP_API_KEY, or "
+                  "--offline-demo)", file=sys.stderr)
+            return 2
+        transport = requests_transport(token)
+
+    # activity-dependent datasets need the explicit date grid (S4 semantics)
+    dates = None
+    if {"computer_activities", "application_names"} & set(datasets):
+        d0 = datetime.date.fromisoformat(from_date)
+        d1 = datetime.date.fromisoformat(to_date)
+        dates = [str(d0 + datetime.timedelta(days=i)) for i in range((d1 - d0).days + 1)]
+
+    spark = get_spark("timecamp_pipeline")
+    res = run_pipeline(
+        spark,
+        transport,
+        args.output,
+        from_date,
+        to_date,
+        dates=dates,
+        datasets=datasets,
+        fmt=args.output_format,
+    )
+    for name, path in res.paths.items():
+        print(f"{name}: {res.tables[name].count()} rows -> {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,7 @@ def run_pipeline(
     res = PipelineResult()
 
     def land(name: str, df: DataFrame) -> None:
+        df = io.dedup_by_pk(df, io.schemas.PRIMARY_KEYS.get(name))
         res.tables[name] = df
         res.paths[name] = io.write_table(df, out_dir, name, fmt=fmt)
 

@@ -265,3 +265,40 @@ def test_refresh_activities_partition_overwrite(spark, tmp_path):
     assert out.count() == 2
     # the old partition survived the dynamic overwrite
     assert out.filter(F.col("end_date") == old_day).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# CLI surface
+# ---------------------------------------------------------------------------
+
+def test_cli_offline_demo(spark, tmp_path, capsys):
+    from good_enough_timecamp_data_pipeline_spark import cli
+
+    rc = cli.main([
+        "--offline-demo", "--from", "2025-01-01", "--to", "2026-02-01",
+        "--datasets", "tasks,entries", "--output", str(tmp_path / "out"),
+        "--format", "parquet",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "tasks: 6 rows" in out
+    assert "entries: 4 rows" in out  # dedup-by-pk applied before landing
+
+    landed = io.read_table(spark, str(tmp_path / "out"), "entries")
+    assert landed.count() == 4
+
+
+def test_cli_rejects_unknown_dataset():
+    from good_enough_timecamp_data_pipeline_spark import cli
+
+    with pytest.raises(ValueError, match="Invalid datasets"):
+        cli.parse_datasets("tasks,nonsense")
+
+
+def test_cli_requires_credentials(capsys, monkeypatch):
+    from good_enough_timecamp_data_pipeline_spark import cli
+
+    monkeypatch.delenv("TIMECAMP_API_KEY", raising=False)
+    rc = cli.main(["--datasets", "tasks"])
+    assert rc == 2
+    assert "no API key" in capsys.readouterr().err
