@@ -12,13 +12,14 @@ operators cannot express the semantics.
 Layout
 ------
 - ``session``    : SparkSession builder tuned for local[N] and cluster use
-- ``schemas``    : explicit StructType contracts for every table
-- ``io``         : read/write csv/jsonl/parquet with dir-per-table layout
+- ``cli``        : ``python -m ….cli`` — the reference CLI surface on Spark
 - ``functions/`` : scalar Column builders (formatting, dates, ids, json)
-- ``operators/`` : hierarchy closure, canonicalize, dedup, similarity, text
-- ``sources/``   : TimeCamp REST client port, incremental cache patterns
+- ``operators/`` : hierarchy closure, canonicalize, as-of join, dedup,
+                   similarity, text analysis, multimodal plumbing
+- ``sources/``   : REST client, ingest builders, schemas, writers
+                   (csv/jsonl/parquet/JDBC/BigQuery), incremental patterns
 - ``plans/``     : report queries + the driver-facing query catalog
-- ``streaming/`` : Structured Streaming surface over the events table
+- ``streaming/`` : watermarked windows + stateful ops over events
 """
 
 __version__ = "0.1.0"

@@ -105,6 +105,39 @@ def write_jdbc(
     properties: dict[str, str] | None = None,
 ) -> None:
     """S10: warehouse sinks. MySQL/Postgres/SQLite land through plain JDBC;
-    BigQuery via the spark-bigquery connector (``format('bigquery')``) when
-    its jar is on the classpath — both are configuration, not engine code."""
+    both are configuration, not engine code."""
     df.write.mode(mode).jdbc(url, table, properties=properties or {})
+
+
+def write_bigquery(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    temporary_gcs_bucket: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """S10: BigQuery sink via the spark-bigquery connector
+    (``--packages com.google.cloud.spark:spark-bigquery-with-dependencies``).
+
+    ``table`` is ``project.dataset.table``. The indirect write path stages
+    through GCS (``temporary_gcs_bucket``); omit it to use the Storage
+    Write API direct path. Raises a clear error when the connector jar is
+    not on the classpath (it is not bundled here).
+    """
+    writer = df.write.format("bigquery").mode(mode)
+    if temporary_gcs_bucket:
+        writer = writer.option("temporaryGcsBucket", temporary_gcs_bucket)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    try:
+        writer.save(table)
+    except Exception as e:  # surface the missing-connector case precisely
+        if "bigquery" in str(e).lower() and (
+            "Failed to find" in str(e) or "ClassNotFound" in str(e)
+        ):
+            raise RuntimeError(
+                "spark-bigquery connector not on the classpath; launch with "
+                "--packages com.google.cloud.spark:"
+                "spark-bigquery-with-dependencies_2.13:<version>"
+            ) from e
+        raise

@@ -302,3 +302,11 @@ def test_cli_requires_credentials(capsys, monkeypatch):
     rc = cli.main(["--datasets", "tasks"])
     assert rc == 2
     assert "no API key" in capsys.readouterr().err
+
+
+def test_write_bigquery_reports_missing_connector(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises((RuntimeError, Exception)) as e:
+        io.write_bigquery(df, "proj.ds.t")
+    # no connector jar here: the error must say so (or name the format)
+    assert "bigquery" in str(e.value).lower()
