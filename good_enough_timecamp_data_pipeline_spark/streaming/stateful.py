@@ -98,30 +98,22 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> 
     explicitly; chunk i covers the i-th quantile range of ``ts``.
     """
     import glob
-    import shutil
     import time as _time
 
     out = tempfile.mkdtemp(prefix="events_chunks_")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    qs = [i / n_chunks for i in range(1, n_chunks)]
-    bounds = events.approxQuantile("ts", qs, 0.001)
-    lo = None
+    # one scan + one range shuffle: RangePartitioner assigns ascending ts
+    # ranges to ascending partition ids, so part-file NAME order is already
+    # time order — only the mtimes need explicit spacing afterwards.
+    (
+        events.repartitionByRange(n_chunks, F.col("ts"))
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
     base = _time.time() - 3600
-    for i in range(n_chunks):
-        hi = bounds[i] if i < len(bounds) else None
-        cond = F.lit(True)
-        if lo is not None:
-            cond = cond & (F.col("ts") >= F.lit(lo))
-        if hi is not None:
-            cond = cond & (F.col("ts") < F.lit(hi))
-        tmp = os.path.join(out, f"_stage_{i}")
-        events.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
-        dst = os.path.join(out, f"chunk-{i:03d}.parquet")
-        shutil.move(part, dst)
-        shutil.rmtree(tmp)
-        os.utime(dst, (base + i * 10, base + i * 10))
-        lo = hi
+    for i, part in enumerate(sorted(glob.glob(os.path.join(out, "part-*.parquet")))):
+        os.utime(part, (base + i * 10, base + i * 10))
     return out
 
 
@@ -167,8 +159,6 @@ def streaming_sessionize(
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    out = spark.table(name)
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema) if rows else spark.createDataFrame(
-        [], out.schema
-    )
+    # the memory sink keeps the rows in the session; hand the table straight
+    # to the caller instead of round-tripping 10^5 rows through the driver
+    return spark.table(name)

@@ -118,7 +118,5 @@ def _run_to_completion(spark: SparkSession, agg: DataFrame, name: str) -> DataFr
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # materialize before the memory sink table goes away
-    out = spark.table(name)
-    rows = out.collect()
-    return spark.createDataFrame(rows, out.schema)
+    # the memory sink keeps the rows in the session; no driver round-trip
+    return spark.table(name)
