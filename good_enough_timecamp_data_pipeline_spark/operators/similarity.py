@@ -78,20 +78,20 @@ def brute_force_topk(
     )
 
 
-def _plane_component(plane: int, dim_index: Column) -> Column:
+def _plane_component(table: int, plane: int, dim_index: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(plane), dim_index)
+    h = F.xxhash64(F.lit(table), F.lit(plane), dim_index)
     return (h % 2001).cast("double") / 1000.5  # symmetric-ish around 0
 
 
-def srp_bucket(vec: Column | str, n_planes: int = 16) -> Column:
+def srp_bucket(vec: Column | str, n_planes: int = 16, table: int = 0) -> Column:
     """Sign-random-projection bucket id: one bit per hyperplane."""
     v = as_double(vec)
     idx = F.sequence(F.lit(0), F.size(v) - 1)
     bits = []
     for p in range(n_planes):
         proj = F.aggregate(
-            F.zip_with(v, idx, lambda x, i: x * _plane_component(p, i)),
+            F.zip_with(v, idx, lambda x, i: x * _plane_component(table, p, i)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -102,40 +102,149 @@ def srp_bucket(vec: Column | str, n_planes: int = 16) -> Column:
     return out
 
 
+def _srp_buckets(vec: Column, n_planes: int, n_tables: int) -> Column:
+    """Array of (table, bucket) structs — one entry per hash table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                srp_bucket(vec, n_planes, table=t).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: compare only within SRP buckets.
+    """Approximate top-k: compare only vectors sharing an SRP bucket in at
+    least one of ``n_tables`` independent hash tables (OR-amplification).
 
-    With ``n_planes`` bits the corpus splits into 2^n buckets → compare
-    cost drops ~2^n-fold; recall loss is the ANN trade-off (raise recall
-    by multi-probing or fewer planes). Same output schema as brute force.
+    A single neighbor at angle θ collides in one table with prob
+    (1-θ/π)^planes; with L tables the recall amplifies to 1-(1-r)^L while
+    compare cost stays ~L·n/2^planes per query. Both knobs are the
+    recall/cost dial; candidates are deduped before scoring so each pair
+    is scored once. Same output schema as brute force.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("_cvec"),
-    ).withColumn("_cnorm", norm("_cvec")).withColumn(
-        "_bucket", srp_bucket("_cvec", n_planes)
-    )
+    ).withColumn("_cnorm", norm("_cvec"))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
-    ).withColumn("_qnorm", norm("_qvec")).withColumn(
-        "_bucket", srp_bucket("_qvec", n_planes)
+    ).withColumn("_qnorm", norm("_qvec"))
+
+    c_b = c.withColumn("_tb", F.explode(_srp_buckets(F.col("_cvec"), n_planes, n_tables)))
+    q_b = q.withColumn("_tb", F.explode(_srp_buckets(F.col("_qvec"), n_planes, n_tables)))
+
+    candidates = (
+        F.broadcast(q_b.select("query_id", "_tb"))
+        .join(c_b.select("neighbor_id", "_tb"), "_tb")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
-        F.broadcast(q)
-        .join(c, "_bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        candidates.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .withColumn("score", dot("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index, DataFrame-native.
+
+    Structure of the classic IVF-Flat, Spark-first:
+
+    1. **Train**: centroids = a deterministic sample of the corpus (every
+       ``n``-th vector by id rank — seeded k-means would also fit here; the
+       sample keeps the whole operator closed-form and reproducible).
+       Centroids are tiny → broadcast.
+    2. **Assign**: every corpus vector joins the broadcast centroids and
+       keeps its nearest (one narrow shuffle on the list id if the index
+       is persisted; none here since assignment is a map).
+    3. **Probe**: each query scores the centroids, takes its ``n_probe``
+       nearest lists, and scans only those lists — compare cost drops
+       ~n_lists/n_probe-fold vs brute force; recall < 1 is the ANN trade.
+
+    Same output schema as `brute_force_topk` (query_id, neighbor_id,
+    score, rank).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cvec")
+    ).withColumn("_cnorm", norm("_cvec"))
+
+    # 1. deterministic "training": every n-th vector by id order
+    w_all = Window.orderBy(F.col("neighbor_id"))
+    stride = F.greatest(
+        (F.count("*").over(Window.partitionBy()) / n_lists).cast("long"), F.lit(1)
+    )
+    centroids = (
+        c.withColumn("_rk", F.row_number().over(w_all) - 1)
+        .withColumn("_stride", stride)
+        .filter((F.col("_rk") % F.col("_stride") == 0))
+        .withColumn("_list", (F.col("_rk") / F.col("_stride")).cast("long"))
+        .filter(F.col("_list") < n_lists)
+        .select("_list", F.col("_cvec").alias("_centroid"), F.col("_cnorm").alias("_ctr_norm"))
+    )
+
+    # 2. assign each corpus vector to its nearest centroid
+    sim_to_ctr = dot("_cvec", "_centroid") / (F.col("_cnorm") * F.col("_ctr_norm"))
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("_ctr_sim"), F.asc("_list")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(centroids))
+        .withColumn("_ctr_sim", sim_to_ctr)
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("neighbor_id", "_cvec", "_cnorm", "_list")
+    )
+
+    # 3. queries probe their n_probe nearest lists
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
+    ).withColumn("_qnorm", norm("_qvec"))
+    q_sim = dot("_qvec", "_centroid") / (F.col("_qnorm") * F.col("_ctr_norm"))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("_q_sim"), F.asc("_list"))
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("_q_sim", q_sim)
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "_qvec", "_qnorm", "_list")
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "_list")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", dot("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "score", "rank")
     )

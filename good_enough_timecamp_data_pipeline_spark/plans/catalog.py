@@ -131,6 +131,7 @@ register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEAR
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("s_ann_lsh", northstar.s_ann_lsh)
+register("s_ann_ivf", northstar.s_ann_ivf)
 register("m_multimodal_features", northstar.m_multimodal_features)
 register("s_stream_tumbling", northstar.s_stream_tumbling)
 register("s_stream_sliding", northstar.s_stream_sliding)

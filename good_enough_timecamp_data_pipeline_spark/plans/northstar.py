@@ -403,7 +403,17 @@ def s_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     design — not oracle-expressible)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.lsh_topk(emb, queries, k=10, n_planes=8)
+    # 3 planes × 6 OR-amplified tables: ~0.8 recall on the near-uniform
+    # synthetic embeddings (single-table SRP collapses to ~0.01 there)
+    return similarity.lsh_topk(emb, queries, k=10, n_planes=3, n_tables=6)
+
+
+def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index (probe 4 of 16 lists — recall < 1
+    by design, so rows-only)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return similarity.ivf_topk(emb, queries, k=10, n_lists=16, n_probe=4)
 
 
 def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
