@@ -99,3 +99,66 @@ def extract_features(media: DataFrame) -> DataFrame:
         "doc_id", "payload", F.col("meta.mime").alias("mime")
     )
     return flat.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample plumbing (decode stubbed, batch shape real)
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id bigint, width int, height int, payload binary"
+FRAME_SCHEMA = "doc_id bigint, frame_index int, frame_offset bigint, frame binary"
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize tier: mapInPandas over (doc_id, payload) batches.
+
+    The pixel work is stubbed (no imaging libs here): the "resized" payload
+    is a deterministic fixed-length digest of the original bytes, standing
+    in for the real ``decode → resample → re-encode`` kernel. The Spark
+    shape is the real one: binary in/binary out, one Arrow batch per serde,
+    constant output size per row (the property downstream training shards
+    rely on)."""
+
+    target = width * height // 64  # stand-in output length
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda b: bytes((b[i % len(b)] if len(b) else 0) for i in range(target))
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": resized,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling tier: one input row fans out to ≤ max_frames
+    frame rows (mapInPandas may change cardinality — that is the point).
+
+    A real codec would seek keyframes; the stub slices the payload at
+    fixed byte offsets, which preserves the contract that matters for the
+    pipeline: per-frame rows carry (doc_id, frame_index, offset, bytes)
+    and partitioning stays by source row, so a downstream
+    ``groupBy(doc_id)`` reassembles without a shuffle surprise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_index": [], "frame_offset": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = min(max_frames, max(len(payload) // every_n_bytes, 1))
+                for i in range(n):
+                    off = i * every_n_bytes
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame"].append(bytes(payload[off : off + every_n_bytes]))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)

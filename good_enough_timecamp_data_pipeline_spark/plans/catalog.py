@@ -78,6 +78,7 @@ register("a_groupsum_pricing", relational.a_groupsum_pricing, relational.A_GROUP
 register("a_stats_minmax", relational.a_stats_minmax, relational.A_STATS_MINMAX_SQL)
 register("a_distinct_ids", relational.a_distinct_ids, relational.A_DISTINCT_IDS_SQL)
 register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
+register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
 
 # --- SURVEY §2.5 hierarchy --------------------------------------------------
 register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)

@@ -923,3 +923,42 @@ SELECT event_id, user_id,
             AS INTEGER) AS seq
 FROM events
 """.strip()
+
+
+def a_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a pathologically skewed key.
+
+    ~85% of lineitem rows are funneled to one hot key (quantity bucket 0).
+    A plain groupBy would put the hot key's entire partial stream onto one
+    reducer; salting splits it 16 ways first (partial agg per (key, salt)),
+    then re-aggregates the 16 partials — the second shuffle carries only
+    n_keys × 16 rows. AQE's skew handling covers *joins*; for aggregations
+    the salt is still the portable fix. The oracle is the plain SUM (the
+    rewrite must be semantically invisible).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    skew_key = F.when(F.col("l_quantity") <= 42, F.lit("hot")).otherwise(
+        F.concat(F.lit("k"), F.floor(F.col("l_quantity")).cast("long").cast("string"))
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    salted = li.select(
+        skew_key.alias("k"),
+        cents.alias("cents"),
+        (F.xxhash64("l_orderkey", "l_linenumber") % 16).alias("salt"),
+    )
+    partial = salted.groupBy("k", "salt").agg(
+        F.sum("cents").alias("p_cents"), F.count("*").alias("p_n")
+    )
+    return partial.groupBy("k").agg(
+        F.sum("p_cents").alias("total_cents"), F.sum("p_n").alias("n_rows")
+    )
+
+
+A_SALTED_SKEW_SUM_SQL = """
+SELECT CASE WHEN l_quantity <= 42 THEN 'hot'
+            ELSE 'k' || CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) END AS k,
+       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS total_cents,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY 1
+""".strip()

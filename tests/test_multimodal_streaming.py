@@ -74,3 +74,34 @@ def test_stateful_sessionize_matches_batch_invariant(spark, sf_dir):
     assert len(emitted) == expected_closed
     assert all(r.session_end_us >= r.session_start_us for r in emitted)
     assert all(r.n_events >= 1 for r in emitted)
+
+
+def test_resize_constant_output_size(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "a much longer document body " * 10), (3, "")],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_binary_payload(df)
+    out = {r.doc_id: r for r in multimodal.resize_images(media, 32, 32).collect()}
+    sizes = {len(bytes(r.payload)) for r in out.values()}
+    assert sizes == {32 * 32 // 64}  # constant-size output, even empty input
+    assert out[1].width == 32 and out[1].height == 32
+    # deterministic
+    again = {r.doc_id: bytes(r.payload) for r in multimodal.resize_images(media, 32, 32).collect()}
+    assert all(bytes(out[k].payload) == again[k] for k in again)
+
+
+def test_sample_frames_fanout(spark):
+    df = spark.createDataFrame(
+        [(1, "x" * 1000), (2, "tiny")], "doc_id long, text string"
+    )
+    media = multimodal.attach_binary_payload(df)
+    frames = multimodal.sample_frames(media, every_n_bytes=256, max_frames=8).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3          # 1000 // 256
+    assert len(by_doc[2]) == 1          # minimum one frame
+    f1 = sorted(by_doc[1], key=lambda r: r.frame_index)
+    assert [r.frame_offset for r in f1] == [0, 256, 512]
+    assert all(len(bytes(r.frame)) <= 256 for r in frames)
