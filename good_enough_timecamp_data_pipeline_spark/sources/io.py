@@ -97,6 +97,31 @@ def read_table(
     return r.csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Land a table bucketed (hash-clustered) by a join key.
+
+    Bucketing is the persisted form of co-location: two tables bucketed
+    the same way join WITHOUT an exchange on either side — at 100 TB this
+    converts every recurring fact⋈fact or fact⋈big-dim join from a full
+    shuffle into a per-bucket local join (`tests/test_layout.py` asserts
+    the exchange-free plan). Requires the session catalog (``saveAsTable``);
+    ``sort_col`` additionally pre-sorts within buckets so sort-merge joins
+    skip the sort too.
+    """
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,
