@@ -141,11 +141,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     sh = _pin(shingle_rows(df, text_col, id_col, n))
-    # K min-hashes per doc: min over shingles of seeded xxhash64 — ONE
-    # hash-agg pass produces the whole signature (partial+final combine).
+    # K min-hashes per doc in ONE hash-agg pass (partial+final combine).
+    # Two-level hash family: the variable-length shingle string is hashed
+    # once, then the K family members hash (seed, base_long) — fixed
+    # 16-byte input, ~an order of magnitude cheaper than re-hashing the
+    # string K times, and still pairwise-independent enough for MinHash.
+    base = F.xxhash64(F.col("sh"))
     sig = sh.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), base)).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -183,7 +187,8 @@ def minhash_lsh_pairs(
         .unionByName(candidates.select(F.col("id_b").alias("doc")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), "doc", "left_semi")
+    # pinned: consumed by sizes + both sides of the intersection join
+    sh_cand = _pin(sh.join(F.broadcast(cand_ids), "doc", "left_semi"))
     sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
         candidates.join(sh_cand.alias("a"), F.col("id_a") == F.col("a.doc"))
