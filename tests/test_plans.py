@@ -73,3 +73,34 @@ def test_fact_scans_prune_columns_in_reports(spark, sf_dir):
         m = re.search(r"ReadSchema: struct<([^>]*)", scan)
         cols = m.group(1).split(",") if m and m.group(1) else []
         assert len(cols) <= 4, f"scan reads too many columns: {scan[:160]}"
+
+
+# ---------------------------------------------------------------------------
+# catalog-wide plan lint
+# ---------------------------------------------------------------------------
+
+# these intentionally cross-join a broadcast query set against the corpus
+_INTENDED_CROSS = {"s_cosine_topk", "s_ann_lsh", "s_ann_ivf"}
+# streaming queries execute on invocation (memory-sink materialization) —
+# linting their final table plan says nothing about the streaming job
+_SKIP = {"s_stream_tumbling", "s_stream_sliding", "s_stream_sessions"}
+
+
+def test_catalog_plans_are_lintable(spark, sf_dir):
+    """Every catalog query must plan without row-at-a-time Python UDFs
+    (BatchEvalPython) and without unintended cartesian products. Arrow
+    tiers (MapInPandas / ArrowEvalPython) are allowed — they are the
+    designed escape hatch."""
+    from good_enough_timecamp_data_pipeline_spark.plans import catalog
+
+    offenders: list[str] = []
+    for name, fn in catalog.queries().items():
+        if name in _SKIP:
+            continue
+        plan = plan_of(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-wise Python UDF")
+        if "CartesianProduct" in plan and name not in _INTENDED_CROSS:
+            offenders.append(f"{name}: cartesian product")
+        spark.catalog.clearCache()
+    assert not offenders, offenders
