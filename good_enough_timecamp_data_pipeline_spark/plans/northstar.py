@@ -193,8 +193,12 @@ def t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_rows = docs.select(
         "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
     ).withColumn("tok_hash", F.md5("tok"))
+    # fast engine path: parse each md5 half once, shift/mask per bit —
+    # bit-identical to the portable instr/substr SQL the oracle runs
+    v1, v2 = text.md5_half_longs("tok_hash")
+    tok_rows = tok_rows.withColumn("_v1", v1).withColumn("_v2", v2)
     aggs = [
-        F.expr(f"SUM({text.simhash_bit_sql('tok_hash', j)})").alias(f"bit_{j}")
+        F.sum(text.simhash_bit_col(F.col("_v1"), F.col("_v2"), j)).alias(f"bit_{j}")
         for j in range(64)
     ]
     return (
