@@ -73,7 +73,10 @@ def report_task_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks = tasks_df(spark, sf_dir)
     entries = entries_df(spark, sf_dir)
 
-    closure = transitive_closure(tasks)
+    # ONE recursive closure serves both the rollup and the breadcrumbs
+    # (persisted: two consumers would otherwise run the CTE twice) — the
+    # breadcrumb path is just the closure's ancestor names, root-first
+    closure = transitive_closure(tasks).persist()
     tracked = (
         entries.join(
             F.broadcast(closure),
@@ -82,7 +85,26 @@ def report_task_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ancestor_id")
         .agg(F.sum("duration").alias("cumulative_seconds"))
     )
-    dim = breadcrumbs(tasks)  # adds task_breadcrumb + task_level_1..8
+    names = tasks.select(F.col("task_id").alias("_nid"), F.col("name").alias("_nname"))
+    path = (
+        closure.join(F.broadcast(names), closure["ancestor_id"] == names["_nid"])
+        .groupBy("descendant_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct((-F.col("depth")).alias("o"), F.col("_nname").alias("n")))
+                ),
+                lambda s: s["n"],
+            ).alias("_path")
+        )
+    )
+    crumbs = path.select(
+        F.col("descendant_id"),
+        F.concat_ws(" / ", F.col("_path")).alias("task_breadcrumb"),
+    )
+    dim = tasks.join(
+        F.broadcast(crumbs), tasks["task_id"] == crumbs["descendant_id"], "left"
+    ).drop("descendant_id")
 
     left_expr = F.col("budgeted_seconds") - F.col("cumulative_seconds")
     # tracked is keyed by ancestor id (≤ task count) — broadcast it so the
@@ -148,10 +170,13 @@ def report_project_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     projects = tasks.filter(F.col("parent_id").isNull()).select(
         F.col("task_id").alias("project_id"), F.col("name").alias("project_name")
     )
-    # (project_id, descendant_id) pairs — every node under each root
-    pd_pairs = projects.join(
-        closure, projects["project_id"] == closure["ancestor_id"]
-    ).select("project_id", "project_name", "descendant_id")
+    # (project_id, descendant_id) pairs — every node under each root;
+    # persisted: both SUMs below consume it
+    pd_pairs = (
+        projects.join(closure, projects["project_id"] == closure["ancestor_id"])
+        .select("project_id", "project_name", "descendant_id")
+        .persist()
+    )
 
     tracked = (
         entries.join(
