@@ -1,0 +1,130 @@
+"""Empirical scaling probe: how the heavy operators behave as data grows.
+
+Scales the *fact* side 1×..8× while dimensions stay fixed (the 100 TB
+shape: facts grow, dims don't), then times each probe and prints the
+scaling ratio table recorded in ARCHITECTURE.md. Scaled copies get
+shifted keys; document text for the dedup probe is synthesized from
+hashes so copies are dissimilar (otherwise output pairs — not runtime —
+would grow quadratically and poison the measurement).
+
+Usage::  python tools/scale_probe.py [base_sf_dir] [factors...]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.operators import dedup, similarity
+from good_enough_timecamp_data_pipeline_spark.plans import reports
+from good_enough_timecamp_data_pipeline_spark.session import get_spark
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+FACTORS = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
+
+
+def scaled_dir(spark, factor: int) -> str:
+    out = tempfile.mkdtemp(prefix=f"scale_{factor}x_")
+    # dims: unchanged (copy refs)
+    for t in ("region", "nation", "customer", "part", "supplier", "events", "embeddings"):
+        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    # facts: union with shifted keys
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    scaled = orders
+    for k in range(1, factor):
+        scaled = scaled.unionByName(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(k * 100_000_000))
+        )
+    scaled.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    # documents: synthesize dissimilar 50-token docs per copy
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = [docs]
+    for k in range(1, factor):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(50)),
+                        lambda i: F.substring(
+                            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f"_{k}_"), i.cast("string"))),
+                            1,
+                            8,
+                        ),
+                    ),
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out_docs = parts[0]
+    for p in parts[1:]:
+        out_docs = out_docs.unionByName(p)
+    out_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # lineitem unused by the probes; symlink for completeness
+    os.symlink(f"{BASE}/lineitem.parquet", f"{out}/lineitem.parquet")
+    return out
+
+
+def probe(spark, sf_dir: str) -> dict[str, float]:
+    res = {}
+    t0 = time.time()
+    reports.report_task_budget(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    res["report_task_budget"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    t0 = time.time()
+    dedup.minhash_lsh_pairs(docs, n=5, num_hashes=64, bands=32, threshold=0.5).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    res["minhash_lsh"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    corpus = emb
+    # embeddings scale with the document factor: reuse the shifted union
+    factor = max(1, spark.read.parquet(f"{sf_dir}/documents.parquet").count() // 5000)
+    for k in range(1, factor):
+        corpus = corpus.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
+        )
+    t0 = time.time()
+    similarity.brute_force_topk(corpus, queries, k=10).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    res["cosine_topk"] = time.time() - t0
+    spark.catalog.clearCache()
+    return res
+
+
+def main() -> None:
+    spark = get_spark("scale_probe")
+    # warm
+    probe(spark, BASE)
+    rows = []
+    for f in FACTORS:
+        d = scaled_dir(spark, f) if f > 1 else BASE
+        r = probe(spark, d)
+        rows.append((f, r))
+        print(f"{f}x: " + ", ".join(f"{k}={v:.2f}s" for k, v in r.items()), flush=True)
+        if f > 1:
+            shutil.rmtree(d)
+    base = rows[0][1]
+    print("\nscaling ratios (time_f / time_1x; ideal == factor):")
+    for f, r in rows[1:]:
+        print(f"  {f}x: " + ", ".join(f"{k}={v / base[k]:.2f}" for k, v in r.items()))
+
+
+if __name__ == "__main__":
+    main()
