@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.formatting import format_duration, format_duration_signed, format_hours
-from ..operators.hierarchy import breadcrumbs, closure_sql, transitive_closure
+from ..operators.hierarchy import closure_sql, transitive_closure
 from .testdata import ENTRIES_SQL, TASKS_SQL, entries_df, tasks_df
 
 

@@ -97,6 +97,41 @@ def read_table(
     return r.csv(path)
 
 
+def write_duckdb(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    staging_dir: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S10: DuckDB destination (a dlt-claimed target of the reference).
+
+    Spark-first: land parquet (distributed write), then point DuckDB at
+    it with a zero-copy ``CREATE TABLE … AS SELECT`` over the parquet
+    glob — the driver never materializes the rows. ``staging_dir``
+    defaults to ``{db_path}.staging/{table}``.
+    """
+    import duckdb
+
+    staging = staging_dir or f"{db_path}.staging/{table}"
+    df.write.mode(mode).parquet(staging)
+    con = duckdb.connect(db_path)
+    try:
+        if mode == "overwrite":
+            con.execute(f'DROP TABLE IF EXISTS "{table}"')
+            con.execute(
+                f'CREATE TABLE "{table}" AS SELECT * FROM read_parquet(?)',
+                [f"{staging}/*.parquet"],
+            )
+        else:
+            con.execute(
+                f'INSERT INTO "{table}" SELECT * FROM read_parquet(?)',
+                [f"{staging}/*.parquet"],
+            )
+    finally:
+        con.close()
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -310,3 +310,52 @@ def test_write_bigquery_reports_missing_connector(spark):
         io.write_bigquery(df, "proj.ds.t")
     # no connector jar here: the error must say so (or name the format)
     assert "bigquery" in str(e.value).lower()
+
+
+def test_write_duckdb_roundtrip(spark, tmp_path):
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 7.0)], "id long, s string, v double"
+    )
+    db = str(tmp_path / "out.duckdb")
+    io.write_duckdb(df, db, "t1")
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*), SUM(v) FROM t1").fetchone() == (2, 9.5)
+    # append mode grows the table
+    con.close()
+    io.write_duckdb(df, db, "t1", staging_dir=str(tmp_path / "stage2"), mode="append")
+    con = duckdb.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM t1").fetchone() == (4,)
+    con.close()
+
+
+def test_parallel_fetch_distributes_and_tolerates_failure(spark):
+    from pyspark.sql import types as T
+
+    work = spark.createDataFrame(
+        [(d,) for d in ["2026-01-01", "2026-01-02", "2026-01-03", "2026-01-04"]],
+        "date string",
+    )
+    out_schema = T.StructType(
+        [T.StructField("date", T.StringType()), T.StructField("n", T.LongType())]
+    )
+
+    def fetch(batch):
+        rows = []
+        for d in batch["date"]:
+            if d == "2026-01-03":
+                raise RuntimeError("boom")  # whole batch tolerated away
+            rows.append({"date": d, "n": len(d)})
+        return rows
+
+    # one row per Arrow batch → per-batch tolerance is per-row, deterministic
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        got = ingest.parallel_fetch(work, fetch, out_schema, partitions=4)
+        dates = {r.date for r in got.collect()}
+    finally:
+        spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    # the failing date's batch contributed nothing; others all arrived
+    assert "2026-01-03" not in dates
+    assert dates == {"2026-01-01", "2026-01-02", "2026-01-04"}
