@@ -122,6 +122,8 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Run stateful sessionization over events as a multi-batch stream;
     returns the closed sessions as a batch DataFrame."""
+    import shutil
+
     src = _chunked_events_dir(spark, sf_dir, n_chunks)
     stream = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
@@ -159,6 +161,7 @@ def streaming_sessionize(
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            shutil.rmtree(src, ignore_errors=True)  # chunk staging no longer needed
     # the memory sink keeps the rows in the session; hand the table straight
     # to the caller instead of round-tripping 10^5 rows through the driver
     return spark.table(name)

@@ -65,7 +65,7 @@ def streaming_tumbling_counts(
             F.col("w.start").alias("window_start"), "event_type", "n", "value_cents"
         )
     )
-    return _run_to_completion(spark, agg, "stream_tumbling_out")
+    return _run_to_completion(spark, agg, "stream_tumbling_out", cleanup_dir=stream_dir)
 
 
 def streaming_sliding_counts(
@@ -91,10 +91,12 @@ def streaming_sliding_counts(
         .agg(F.count("*").alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    return _run_to_completion(spark, agg, "stream_sliding_out")
+    return _run_to_completion(spark, agg, "stream_sliding_out", cleanup_dir=stream_dir)
 
 
-def _run_to_completion(spark: SparkSession, agg: DataFrame, name: str) -> DataFrame:
+def _run_to_completion(
+    spark: SparkSession, agg: DataFrame, name: str, cleanup_dir: str | None = None
+) -> DataFrame:
     """Drive a finite streaming agg to completion via a memory sink.
 
     Shuffle partitions are temporarily lowered: each micro-batch pays a
@@ -118,5 +120,9 @@ def _run_to_completion(spark: SparkSession, agg: DataFrame, name: str) -> DataFr
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if cleanup_dir:
+                import shutil
+
+                shutil.rmtree(cleanup_dir, ignore_errors=True)
     # the memory sink keeps the rows in the session; no driver round-trip
     return spark.table(name)
