@@ -104,3 +104,12 @@ def test_catalog_plans_are_lintable(spark, sf_dir):
             offenders.append(f"{name}: cartesian product")
         spark.catalog.clearCache()
     assert not offenders, offenders
+
+
+def test_asof_join_single_shuffle_shape(spark, sf_dir):
+    """The as-of join must keep the union/carry-forward shape: at most one
+    hash exchange per input (for the keyed window), no join explosion."""
+    plan = plan_of(relational.x_asof_join(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
