@@ -72,6 +72,7 @@ register(
     relational.j_assembly_left_defaults,
     relational.J_ASSEMBLY_LEFT_DEFAULTS_SQL,
 )
+register("j_fuzzy_match", relational.j_fuzzy_match, relational.J_FUZZY_MATCH_SQL)
 
 # --- SURVEY §2.4 aggregations ----------------------------------------------
 register("a_groupsum_pricing", relational.a_groupsum_pricing, relational.A_GROUPSUM_PRICING_SQL)

@@ -962,3 +962,42 @@ SELECT CASE WHEN l_quantity <= 42 THEN 'hot'
 FROM lineitem
 GROUP BY 1
 """.strip()
+
+
+def j_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy join: typo'd part names resolved against the clean name dim
+    via blocked Levenshtein (operators.fuzzy). The dirty side drops each
+    name's 3rd character — every dirty name must land within distance 1 of
+    its source (and may legitimately match near-twin names too)."""
+    from ..operators.fuzzy import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    clean = part.select(F.col("p_name").alias("clean_name")).distinct()
+    dirty = clean.select(
+        F.concat(
+            F.substring("clean_name", 1, 2),
+            F.expr("substring(clean_name, 4)"),
+        ).alias("dirty_name")
+    ).distinct()
+    return fuzzy_join(dirty, clean, "dirty_name", "clean_name", max_dist=2).select(
+        "dirty_name", "clean_name", "edit_dist"
+    )
+
+
+J_FUZZY_MATCH_SQL = """
+WITH clean AS (SELECT DISTINCT p_name AS clean_name FROM part),
+dirty AS (
+    SELECT DISTINCT substr(clean_name, 1, 2) || substr(clean_name, 4) AS dirty_name
+    FROM clean
+),
+cand AS (
+    SELECT d.dirty_name, c.clean_name
+    FROM dirty d JOIN clean c
+      ON substr(d.dirty_name, 1, 1) = substr(c.clean_name, 1, 1)
+     AND ABS(length(d.dirty_name) - length(c.clean_name)) <= 2
+)
+SELECT dirty_name, clean_name,
+       CAST(levenshtein(dirty_name, clean_name) AS INTEGER) AS edit_dist
+FROM cand
+WHERE levenshtein(dirty_name, clean_name) <= 2
+""".strip()

@@ -32,3 +32,25 @@ def test_asof_exactly_once_per_probe(spark):
     assert out.count() == 50
     rows = {r.n: r.v_asof for r in out.collect()}
     assert rows[9] == 4  # ts=9 → latest right ts=8 → v=4
+
+
+def test_fuzzy_join_blocked(spark):
+    from good_enough_timecamp_data_pipeline_spark.operators.fuzzy import fuzzy_join
+
+    clean = spark.createDataFrame(
+        [("red widget",), ("blue bolt",), ("small ring",)], "name string"
+    )
+    dirty = spark.createDataFrame(
+        [("rd widget",),   # dist 1 from 'red widget', same first char
+         ("blue boltt",),  # dist 1 from 'blue bolt'
+         ("xmall ring",),  # dist 1 but FIRST CHAR differs → blocked away
+         ("nothing",)],
+        "q string",
+    )
+    got = {(r.q, r.name, r.edit_dist)
+           for r in fuzzy_join(dirty, clean, "q", "name", max_dist=2).collect()}
+    assert ("rd widget", "red widget", 1) in got
+    assert ("blue boltt", "blue bolt", 1) in got
+    # the blocking trade: first-char edits escape the block (documented)
+    assert not any(q == "xmall ring" for q, _, _ in got)
+    assert not any(q == "nothing" for q, _, _ in got)
