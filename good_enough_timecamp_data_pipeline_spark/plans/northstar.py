@@ -287,6 +287,42 @@ FROM q WHERE quality >= 0.5
 """.strip()
 
 
+def t_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) + per-split
+    language counts in one output — reproducible across engines because
+    the bucket is md5-derived, not rand()."""
+    from ..operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(
+        docs, "doc_id", {"train": 0.90, "val": 0.05, "test": 0.05}
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+    )
+
+
+T_SPLIT_SQL = """
+WITH b AS (
+    SELECT lang, n_chars,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 10000 AS bucket
+    FROM documents
+),
+assigned AS (
+    SELECT lang, n_chars,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       SUM(CAST(n_chars AS BIGINT)) AS total_chars
+FROM assigned GROUP BY split, lang
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # D — deduplication
 # ---------------------------------------------------------------------------

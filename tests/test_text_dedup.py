@@ -102,3 +102,34 @@ def test_simhash_near_dup_close(spark, docs):
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
     assert ham(sigs[1], sigs[3]) < ham(sigs[1], sigs[6])
     assert len(sigs[1]) == 64
+
+
+def test_hash_split_stability(spark):
+    """Split assignment must be per-row stable: adding rows never moves an
+    existing row to a different split (the rand() failure mode)."""
+    from good_enough_timecamp_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        hash_split,
+    )
+
+    small = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    big = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r.doc_id: r.split for r in hash_split(small, "doc_id", splits).collect()}
+    b = {r.doc_id: r.split for r in hash_split(big, "doc_id", splits).collect()}
+    assert all(b[k] == v for k, v in a.items())  # stable under inserts
+    assert set(a.values()) <= {"train", "val", "test"}
+    # sampling is a prefix of the bucket space → nested samples
+    s10 = {r.doc_id for r in deterministic_sample(big, "doc_id", 0.10).collect()}
+    s20 = {r.doc_id for r in deterministic_sample(big, "doc_id", 0.20).collect()}
+    assert s10 <= s20
+
+
+def test_hash_split_rejects_bad_weights(spark):
+    import pytest as _pytest
+
+    from good_enough_timecamp_data_pipeline_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"a": 0.5, "b": 0.2})
