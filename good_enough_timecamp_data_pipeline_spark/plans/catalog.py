@@ -103,6 +103,7 @@ register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_
 register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
 register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
 register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
+register("x_profile", relational.x_profile, relational.X_PROFILE_SQL)
 
 # --- event-time batch queries ----------------------------------------------
 register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)

@@ -1001,3 +1001,87 @@ SELECT dirty_name, clean_name,
 FROM cand
 WHERE levenshtein(dirty_name, clean_name) <= 2
 """.strip()
+
+
+def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling sweep over orders: per-column null count, distinct
+    count, and value range, computed in ONE pass (a single hash-agg over
+    constants — no per-column jobs, the profiling shape that works on a
+    100 TB table). Long/stringified mins/maxes keep the output uniform."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def col_stats(c: str, kind: str):
+        nulls = F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
+        dist = F.countDistinct(F.col(c)).alias(f"{c}__distinct")
+        if kind == "num":
+            # min/max numerically, stringify AFTER the agg (a string min
+            # would be lexicographic: '100037' < '1013')
+            mn = F.min(F.floor(F.col(c)).cast("long")).cast("string").alias(f"{c}__min")
+            mx = F.max(F.floor(F.col(c)).cast("long")).cast("string").alias(f"{c}__max")
+        else:
+            mn = F.min(F.col(c).cast("string")).alias(f"{c}__min")
+            mx = F.max(F.col(c).cast("string")).alias(f"{c}__max")
+        return [nulls, dist, mn, mx]
+
+    cols = {
+        "o_orderkey": "num",
+        "o_custkey": "num",
+        "o_totalprice": "num",
+        "o_orderstatus": "str",
+        "o_orderpriority": "str",
+    }
+    aggs = [F.count("*").alias("n_rows")]
+    for c, kind in cols.items():
+        aggs.extend(col_stats(c, kind))
+    wide = orders.agg(*aggs)
+    # unpivot to (column, metric rows) so the shape is column-count-proof
+    stack_parts = []
+    for c in cols:
+        stack_parts.append(
+            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        )
+    n = len(cols)
+    return wide.select(
+        F.col("n_rows"),
+        F.expr(
+            f"stack({n}, "
+            + ", ".join(stack_parts)
+            + ") AS (column_name, n_nulls, n_distinct, min_val, max_val)"
+        ),
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
+
+
+X_PROFILE_SQL = """
+WITH w AS (
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+           COUNT(DISTINCT o_orderkey) AS k_dist,
+           CAST(MIN(CAST(FLOOR(o_orderkey) AS BIGINT)) AS VARCHAR) AS k_min,
+           CAST(MAX(CAST(FLOOR(o_orderkey) AS BIGINT)) AS VARCHAR) AS k_max,
+           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+           COUNT(DISTINCT o_custkey) AS c_dist,
+           CAST(MIN(CAST(FLOOR(o_custkey) AS BIGINT)) AS VARCHAR) AS c_min,
+           CAST(MAX(CAST(FLOOR(o_custkey) AS BIGINT)) AS VARCHAR) AS c_max,
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+           COUNT(DISTINCT o_totalprice) AS t_dist,
+           CAST(MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS VARCHAR) AS t_min,
+           CAST(MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS VARCHAR) AS t_max,
+           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+           COUNT(DISTINCT o_orderstatus) AS s_dist,
+           MIN(CAST(o_orderstatus AS VARCHAR)) AS s_min,
+           MAX(CAST(o_orderstatus AS VARCHAR)) AS s_max,
+           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+           COUNT(DISTINCT o_orderpriority) AS p_dist,
+           MIN(CAST(o_orderpriority AS VARCHAR)) AS p_min,
+           MAX(CAST(o_orderpriority AS VARCHAR)) AS p_max
+    FROM orders
+)
+SELECT u.column_name, w.n_rows, u.n_nulls, u.n_distinct, u.min_val, u.max_val
+FROM w, LATERAL (
+    VALUES ('o_orderkey', k_nulls, k_dist, k_min, k_max),
+           ('o_custkey', c_nulls, c_dist, c_min, c_max),
+           ('o_totalprice', t_nulls, t_dist, t_min, t_max),
+           ('o_orderstatus', s_nulls, s_dist, s_min, s_max),
+           ('o_orderpriority', p_nulls, p_dist, p_min, p_max)
+) AS u(column_name, n_nulls, n_distinct, min_val, max_val)
+""".strip()
