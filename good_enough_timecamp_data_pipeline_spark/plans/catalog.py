@@ -128,6 +128,7 @@ register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
 register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
 register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
 register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
+register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS_SQL)
 
 # --- SURVEY §2.11 north-star: similarity search ----------------------------
 register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)

@@ -389,6 +389,87 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 D_MINHASH_LSH_SQL = D_NGRAM_JACCARD_SQL
 
 
+def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 3 over the
+    duplicate-injected corpus.
+
+    Banding is EXACT here, not approximate: the 64-bit signature splits
+    into 4 bands of 16 bits, and ≤ 3 differing bits cannot touch all 4
+    bands (pigeonhole), so every qualifying pair shares at least one
+    identical band — candidate generation via 4 band-equality joins has
+    zero false negatives, and the exact hamming filter removes false
+    positives. That is why the plain pairwise-SQL oracle matches exactly.
+    """
+    docs = _docs_near_dup(spark, sf_dir)
+    tok_rows = docs.select(
+        "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
+    ).withColumn("tok_hash", F.md5("tok"))
+    v1, v2 = text.md5_half_longs("tok_hash")
+    tok_rows = tok_rows.withColumn("_v1", v1).withColumn("_v2", v2)
+    aggs = [
+        F.sum(text.simhash_bit_col(F.col("_v1"), F.col("_v2"), j)).alias(f"bit_{j}")
+        for j in range(64)
+    ]
+    sigs = (
+        tok_rows.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.expr(text.simhash_bits_concat_sql(64)).alias("sig"))
+        .persist()
+    )
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.substring("sig", b * 16 + 1, 16).alias("v"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.b").alias("b"), F.col("bb.v").alias("v"))
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", text.hamming_distance_bits(F.col("sig_a"), F.col("sig_b"))
+    ).filter(F.col("hamming") <= 3).select("id_a", "id_b", "hamming")
+
+
+D_SIMHASH_PAIRS_SQL = f"""
+WITH d AS ({DOCS_NEAR_DUP_SQL}),
+t AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM d),
+h AS (SELECT doc_id, md5(tok) AS tok_hash FROM t),
+s AS (SELECT doc_id, {', '.join(text.simhash_agg_exprs('tok_hash', 64))}
+      FROM h GROUP BY doc_id),
+sigs AS (SELECT doc_id, {text.simhash_bits_concat_sql(64)} AS sig FROM s),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_filter(range(1, 65),
+                i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER)
+               AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # S — similarity search
 # ---------------------------------------------------------------------------
