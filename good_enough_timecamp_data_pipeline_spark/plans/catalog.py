@@ -123,6 +123,7 @@ register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
 register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
 register("t_corpus_prep", northstar.t_corpus_prep, northstar.T_CORPUS_PREP_SQL)
 register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
+register("t_balanced_sample", northstar.t_balanced_sample, northstar.T_BALANCED_SAMPLE_SQL)
 
 # --- SURVEY §2.11 north-star: deduplication --------------------------------
 register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)

@@ -389,6 +389,41 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 D_MINHASH_LSH_SQL = D_NGRAM_JACCARD_SQL
 
 
+def t_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training mix: at most 30 docs per language, chosen
+    deterministically by hash order (not rand(), not first-k-by-id — the
+    hash order is uniform AND reproducible across engines/runs). The
+    standard move when one language dominates a corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        hash_bucket("doc_id").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 30)
+        .select("doc_id", "lang", F.col("_rk").cast("int").alias("rk"))
+    )
+
+
+T_BALANCED_SAMPLE_SQL = """
+WITH ranked AS (
+    SELECT doc_id, lang,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                        % 10000 ASC,
+                        doc_id ASC
+           ) AS INTEGER) AS rk
+    FROM documents
+)
+SELECT doc_id, lang, rk FROM ranked WHERE rk <= 30
+""".strip()
+
+
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 3 over the
     duplicate-injected corpus.
