@@ -80,6 +80,7 @@ register("a_stats_minmax", relational.a_stats_minmax, relational.A_STATS_MINMAX_
 register("a_distinct_ids", relational.a_distinct_ids, relational.A_DISTINCT_IDS_SQL)
 register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
 register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
+register("a_percentiles", relational.a_percentiles, relational.A_PERCENTILES_SQL)
 
 # --- SURVEY §2.5 hierarchy --------------------------------------------------
 register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)

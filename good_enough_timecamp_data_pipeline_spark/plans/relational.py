@@ -1085,3 +1085,29 @@ FROM w, LATERAL (
            ('o_orderpriority', p_nulls, p_dist, p_min, p_max)
 ) AS u(column_name, n_nulls, n_distinct, min_val, max_val)
 """.strip()
+
+
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont` — bit-identical on bigint inputs with exact
+    binary fractions; verified, not assumed). The exact percentile is a
+    sort-based agg; at 100 TB the approx_percentile sketch replaces it
+    (rows-only tier) — this query pins the exact semantics."""
+    events = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return events.groupBy("event_type").agg(
+        F.percentile(cents, 0.25).alias("p25"),
+        F.percentile(cents, 0.5).alias("p50"),
+        F.percentile(cents, 0.75).alias("p75"),
+        F.percentile(cents, 0.9).alias("p90"),
+    )
+
+
+A_PERCENTILES_SQL = """
+SELECT event_type,
+       quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.25) AS p25,
+       quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.5)  AS p50,
+       quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.75) AS p75,
+       quantile_cont(CAST(FLOOR(value * 100) AS BIGINT), 0.9)  AS p90
+FROM events GROUP BY event_type
+""".strip()
