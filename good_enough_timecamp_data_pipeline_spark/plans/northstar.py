@@ -318,7 +318,7 @@ assigned AS (
     FROM b
 )
 SELECT split, lang, COUNT(*) AS n_docs,
-       SUM(CAST(n_chars AS BIGINT)) AS total_chars
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
 FROM assigned GROUP BY split, lang
 """.strip()
 

@@ -248,7 +248,7 @@ def j_assembly_left_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
 J_ASSEMBLY_LEFT_DEFAULTS_SQL = """
 WITH cust AS (
     SELECT c_nationkey, COUNT(*) AS n_customers,
-           SUM(CAST(FLOOR(c_acctbal) AS BIGINT)) AS cust_bal_long
+           CAST(SUM(CAST(FLOOR(c_acctbal) AS BIGINT)) AS BIGINT) AS cust_bal_long
     FROM customer GROUP BY c_nationkey
 ),
 supp AS (
@@ -294,9 +294,9 @@ def a_groupsum_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 A_GROUPSUM_PRICING_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_cents,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
        COUNT(*) AS count_order,
        CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
 FROM lineitem
@@ -654,8 +654,8 @@ W_RUNNING_RANK_SQL = """
 SELECT c_custkey, c_nationkey,
        CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_long,
        ROW_NUMBER() OVER w AS rn,
-       SUM(CAST(FLOOR(c_acctbal) AS BIGINT))
-           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_bal
+       CAST(SUM(CAST(FLOOR(c_acctbal) AS BIGINT))
+           OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_bal
 FROM customer
 WINDOW w AS (PARTITION BY c_nationkey
              ORDER BY CAST(FLOOR(c_acctbal) AS BIGINT) DESC, c_custkey ASC)
@@ -706,7 +706,7 @@ def x_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_ROLLUP_SQL = """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS sum_qty
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """.strip()
@@ -730,10 +730,10 @@ def x_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_PIVOT_SQL = """
 SELECT l_returnflag,
-       COALESCE(SUM(CASE WHEN l_linestatus = 'O'
-                         THEN CAST(FLOOR(l_quantity) AS BIGINT) END), 0) AS qty_open,
-       COALESCE(SUM(CASE WHEN l_linestatus = 'F'
-                         THEN CAST(FLOOR(l_quantity) AS BIGINT) END), 0) AS qty_filled
+       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                         THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS BIGINT), 0) AS qty_open,
+       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                         THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS BIGINT), 0) AS qty_filled
 FROM lineitem GROUP BY l_returnflag
 """.strip()
 
@@ -766,7 +766,7 @@ E_TUMBLING_WINDOW_SQL = """
 SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        event_type,
        COUNT(*) AS n,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY 1, 2
 """.strip()
@@ -801,7 +801,7 @@ WITH marked AS (
                 THEN 1 ELSE 0 END AS is_new
     FROM events
 )
-SELECT user_id, SUM(is_new) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM marked GROUP BY user_id
 """.strip()
 
@@ -864,7 +864,7 @@ A_COUNT_DISTINCT_SQL = """
 SELECT event_type,
        COUNT(DISTINCT user_id) AS n_users,
        COUNT(*) AS n_events,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY event_type
 """.strip()
 
@@ -885,7 +885,7 @@ def x_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 X_CUBE_SQL = """
 SELECT event_type, CAST(year(ts) AS INTEGER) AS y, COUNT(*) AS n,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events
 GROUP BY CUBE (event_type, y)
 """.strip()
@@ -916,9 +916,9 @@ SELECT event_id, user_id,
            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_cents,
        lead(CAST(FLOOR(value * 100) AS BIGINT), 1)
            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_cents,
-       SUM(CAST(FLOOR(value * 100) AS BIGINT))
+       CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT))
            OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving4_cents,
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving4_cents,
        CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
             AS INTEGER) AS seq
 FROM events
@@ -957,7 +957,7 @@ def a_salted_skew_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 A_SALTED_SKEW_SUM_SQL = """
 SELECT CASE WHEN l_quantity <= 42 THEN 'hot'
             ELSE 'k' || CAST(CAST(FLOOR(l_quantity) AS BIGINT) AS VARCHAR) END AS k,
-       SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS total_cents,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY 1
@@ -1054,23 +1054,23 @@ def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 X_PROFILE_SQL = """
 WITH w AS (
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_nulls,
            COUNT(DISTINCT o_orderkey) AS k_dist,
            CAST(MIN(CAST(FLOOR(o_orderkey) AS BIGINT)) AS VARCHAR) AS k_min,
            CAST(MAX(CAST(FLOOR(o_orderkey) AS BIGINT)) AS VARCHAR) AS k_max,
-           SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_nulls,
            COUNT(DISTINCT o_custkey) AS c_dist,
            CAST(MIN(CAST(FLOOR(o_custkey) AS BIGINT)) AS VARCHAR) AS c_min,
            CAST(MAX(CAST(FLOOR(o_custkey) AS BIGINT)) AS VARCHAR) AS c_max,
-           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_nulls,
            COUNT(DISTINCT o_totalprice) AS t_dist,
            CAST(MIN(CAST(FLOOR(o_totalprice) AS BIGINT)) AS VARCHAR) AS t_min,
            CAST(MAX(CAST(FLOOR(o_totalprice) AS BIGINT)) AS VARCHAR) AS t_max,
-           SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_nulls,
            COUNT(DISTINCT o_orderstatus) AS s_dist,
            MIN(CAST(o_orderstatus AS VARCHAR)) AS s_min,
            MAX(CAST(o_orderstatus AS VARCHAR)) AS s_max,
-           SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
            COUNT(DISTINCT o_orderpriority) AS p_dist,
            MIN(CAST(o_orderpriority AS VARCHAR)) AS p_min,
            MAX(CAST(o_orderpriority AS VARCHAR)) AS p_max

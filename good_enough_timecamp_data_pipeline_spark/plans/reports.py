@@ -136,7 +136,7 @@ WITH RECURSIVE
 _entries AS ({ENTRIES_SQL}),
 {_CRUMB_CTE},
 tracked AS (
-    SELECT th.ancestor_id, SUM(e.duration) AS cumulative_seconds
+    SELECT th.ancestor_id, CAST(SUM(e.duration) AS BIGINT) AS cumulative_seconds
     FROM _entries e
     JOIN task_hierarchy th ON e.task_id = th.descendant_id
     GROUP BY th.ancestor_id
@@ -230,12 +230,12 @@ pd AS (
     JOIN task_hierarchy th ON th.ancestor_id = p.project_id
 ),
 tracked AS (
-    SELECT pd.project_id, SUM(e.duration) AS cumulative_seconds
+    SELECT pd.project_id, CAST(SUM(e.duration) AS BIGINT) AS cumulative_seconds
     FROM _entries e JOIN pd ON e.task_id = pd.descendant_id
     GROUP BY pd.project_id
 ),
 budget AS (
-    SELECT pd.project_id, SUM(t.budgeted) AS budgeted_seconds
+    SELECT pd.project_id, CAST(SUM(t.budgeted) AS BIGINT) AS budgeted_seconds
     FROM _tasks t JOIN pd ON t.task_id = pd.descendant_id
     GROUP BY pd.project_id
 )

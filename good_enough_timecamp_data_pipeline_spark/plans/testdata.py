@@ -39,14 +39,26 @@ TABLES = (
 )
 
 
+def ensure_events_read_conf(spark: SparkSession) -> None:
+    """events.parquet carries TIMESTAMP(NANOS); Spark rejects it unless
+    spark.sql.legacy.parquet.nanosAsLong is set. Runtime-settable — call
+    before ANY read of events (batch or the streaming chunk writer), so the
+    code works under sessions we didn't build (the driver's)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong) and floor-divide to micros —
-        # matching DuckDB, which truncates ns → its native µs timestamps.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+        # Set the nanos conf HERE, not only in our own get_spark() builder:
+        # the driver verifies queries() under its own SparkSession where the
+        # conf would otherwise be unset and every events read dies with
+        # PARQUET_TYPE_ILLEGAL (round-1 ADVICE item 1).
+        ensure_events_read_conf(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # ts arrives as long nanos: floor-divide to micros — matching DuckDB,
+        # which truncates ns → its native µs timestamps.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -105,6 +105,13 @@ def grow_only_dim(
 
     ``needed_ids`` is a one-column DataFrame of ids in need; returns the
     full refreshed dimension.
+
+    The missing-id set is computed distributed (anti-join); only the
+    never-seen ids are then streamed to the driver in bounded chunks via
+    ``toLocalIterator`` — one partition in driver memory at a time, never
+    the whole dim — because ``fetch_missing`` is by contract a driver-side
+    API call that needs a concrete id list. Steady-state (few or no new
+    ids) moves ~nothing.
     """
     if _exists(spark, path):
         existing = spark.read.parquet(path)
@@ -113,11 +120,17 @@ def grow_only_dim(
         existing = None
         missing = needed_ids
 
-    ids = [str(r[0]) for r in missing.collect()]
-    if ids:
-        fetched = fetch_missing(sorted(ids))
-        # append, never rewrite history (grow-only)
-        fetched.write.mode("append").parquet(path)
+    # chunked driver fetch: each chunk is fetched + appended independently,
+    # so driver memory is O(chunk), not O(missing ids)
+    chunk_size = 10_000
+    chunk: list[str] = []
+    for row in missing.select(id_col).distinct().toLocalIterator():
+        chunk.append(str(row[0]))
+        if len(chunk) >= chunk_size:
+            fetch_missing(sorted(chunk)).write.mode("append").parquet(path)
+            chunk = []
+    if chunk:
+        fetch_missing(sorted(chunk)).write.mode("append").parquet(path)
     return spark.read.parquet(path)
 
 

@@ -31,6 +31,8 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.testdata import ensure_events_read_conf
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -100,6 +102,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> 
     import glob
     import time as _time
 
+    ensure_events_read_conf(spark)
     out = tempfile.mkdtemp(prefix="events_chunks_")
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     # one scan + one range shuffle: RangePartitioner assigns ascending ts

@@ -18,6 +18,8 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans.testdata import ensure_events_read_conf
 from pyspark.sql import types as T
 
 EVENTS_RAW_SCHEMA = T.StructType(
@@ -47,6 +49,7 @@ def streaming_tumbling_counts(
     """
     # FileStreamSource requires a directory; expose the single parquet file
     # through a temp dir of symlinks (testdata is read-only).
+    ensure_events_read_conf(spark)
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     stream = (
@@ -78,6 +81,7 @@ def streaming_sliding_counts(
     """Watermarked *sliding* window counts: each event lands in
     window/slide overlapping buckets (4 here) — the state-size trade-off
     version of the tumbling agg."""
+    ensure_events_read_conf(spark)
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
     stream = (

@@ -42,6 +42,51 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def canon(v) -> str:
+    """Canonical dtype-faithful string for one cell.
+
+    The driver's gate hashes values after sorting columns by name; an int64
+    column and a float64 column holding 'equal' numbers format differently
+    (123 vs 123.0) and hash-mismatch. So canonicalize per-VALUE-TYPE, never
+    coercing int to float: a DuckDB HUGEINT SUM fetched as float64 must FAIL
+    here the same way it fails the driver (ADVICE r01, item 3)."""
+    if v is None:
+        return "<NULL>"
+    if hasattr(v, "item"):  # numpy scalar → python first (repr(np.float64) differs)
+        try:
+            v = v.item()
+        except (ValueError, TypeError):
+            pass
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "<NULL>"
+        return repr(v)  # 123.0 stays distinct from int 123
+    # Dates: spark toPandas gives datetime.date objects, duckdb fetchdf gives
+    # datetime64[us] at midnight — the DRIVER's hash treats these as equal
+    # (r01: p_type_coercion/f_dates/f_date_explode all hash_match=true), so
+    # canonicalize midnight timestamps down to the date form.
+    import datetime as _dt
+
+    if isinstance(v, pd.Timestamp):
+        if v != v:
+            return "<NULL>"
+        if v == v.normalize():
+            return str(v.date())
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.datetime):
+        if v.time() == _dt.time(0, 0):
+            return str(v.date())
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    try:
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass  # arrays/lists: not scalar-na-checkable
+    return str(v)
+
+
 def compare(name: str, sdf_pd: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if len(sdf_pd) != len(odf):
@@ -53,26 +98,16 @@ def compare(name: str, sdf_pd: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     a, b = normalize(sdf_pd), normalize(odf)
     if len(a) == len(b):
         for c in a.columns:
-            av, bv = a[c], b[c]
-            if av.dtype.kind == "f" or bv.dtype.kind == "f":
-                import numpy as np
-
-                ok = np.allclose(
-                    av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9, equal_nan=True
+            av = a[c].map(canon)
+            bv = b[c].map(canon)
+            neq = av != bv
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"col {c}: {int(neq.sum())} diffs "
+                    f"(spark dtype={a[c].dtype}, oracle dtype={b[c].dtype}), "
+                    f"first@{i}: spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
                 )
-                exact = (av.astype(float).fillna(-1e308) == bv.astype(float).fillna(-1e308)).all()
-                if not ok:
-                    problems.append(f"col {c}: float mismatch")
-                elif not exact:
-                    problems.append(f"col {c}: float close-but-not-exact (hash would FAIL)")
-            else:
-                neq = (av.fillna("<NULL>").astype(str) != bv.fillna("<NULL>").astype(str))
-                if neq.any():
-                    i = int(neq.idxmax())
-                    problems.append(
-                        f"col {c}: {int(neq.sum())} diffs, first@{i}: "
-                        f"spark={av.iloc[i]!r} oracle={bv.iloc[i]!r}"
-                    )
     return problems
 
 
