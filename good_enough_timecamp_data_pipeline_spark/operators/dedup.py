@@ -146,10 +146,14 @@ def minhash_lsh_pairs(
     # once, then the K family members hash (seed, base_long) — fixed
     # 16-byte input, ~an order of magnitude cheaper than re-hashing the
     # string K times, and still pairwise-independent enough for MinHash.
-    base = F.xxhash64(F.col("sh"))
-    sig = sh.groupBy("doc").agg(
+    # materialize the string hash ONCE per row: as an inline expression it
+    # appears in all K agg children and codegen is not guaranteed to CSE it
+    # across aggregate functions — K regex-free but string-walking hashes
+    # per shingle row would dominate the pass
+    sh_base = sh.withColumn("_base", F.xxhash64(F.col("sh")))
+    sig = sh_base.groupBy("doc").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), base)).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("_base"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )

@@ -94,7 +94,12 @@ def transitive_closure(
     - ``recursive_cte`` (default on Spark ≥ 4): native ``WITH RECURSIVE``
       — the engine iterates a working table and *stops when the frontier
       empties*, so a 3-level tree costs 3 rounds regardless of
-      ``max_depth``, in one job.
+      ``max_depth``, in one job. The recursive member carries a BROADCAST
+      hint on the dimension side: CTE rounds don't AQE-coalesce, so the
+      default sort-merge join would pay a full spark.sql.shuffle.partitions
+      exchange of a near-empty frontier EVERY round (measured 3× the whole
+      closure cost); the hierarchy dim is dimension-sized by definition,
+      so broadcasting it makes each round shuffle-free.
     - ``unroll``: a lazy chain of ``max_depth`` broadcast self-joins —
       portable to any Spark, and the broadcast edge exchange is reused
       across rounds; costs O(max_depth) plan nodes even for shallow trees.
@@ -114,7 +119,7 @@ def transitive_closure(
             WITH RECURSIVE __closure(descendant_id, ancestor_id, depth, _visited) AS (
                 SELECT _node, _node, 0, array(_node) FROM {v}
                 UNION ALL
-                SELECT c.descendant_id, t._parent, c.depth + 1,
+                SELECT /*+ BROADCAST(t) */ c.descendant_id, t._parent, c.depth + 1,
                        array_append(c._visited, t._parent)
                 FROM __closure c JOIN {v} t ON c.ancestor_id = t._node
                 WHERE t._parent IS NOT NULL
@@ -228,7 +233,7 @@ def breadcrumbs(
             WITH RECURSIVE __walk(_id, _path, _visited, _cursor, _d) AS (
                 SELECT _node, array(_name), array(_node), _parent, 0 FROM {v}
                 UNION ALL
-                SELECT w._id,
+                SELECT /*+ BROADCAST(p) */ w._id,
                        array_prepend(w._path, p._name),
                        array_append(w._visited, p._node),
                        CASE WHEN p._parent IS NULL

@@ -256,30 +256,87 @@ def neardup_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    n_tiles: int = 4,
 ) -> DataFrame:
     """Embedding near-dup pairs within equality blocks (id_a < id_b).
 
     Blocking on a cheap equality key (label, minhash band, SRP bucket)
     turns the all-pairs O(n²) into sum of per-block squares — the standard
     scale move; callers pick the blocking column.
+
+    Two phases, so the O(b²) work is vectorized and the exact arithmetic
+    only runs on survivors:
+
+    1. **Candidate pass** (tiled GEMM): each block's vectors hash into
+       ``n_tiles`` tiles; every tile pair (t1 <= t2) is one
+       ``applyInPandas`` group that computes the normalized cross-Gram
+       matrix with one numpy matmul and keeps pairs scoring >=
+       ``threshold - 1e-6``. Parallelism = blocks × T(T+1)/2 (a single
+       hot block can't serialize the stage), and the all-pairs arithmetic
+       runs at BLAS speed instead of one interpreted fold per pair.
+    2. **Exact refine**: candidates join their vectors back and the score
+       is recomputed as the sequential fold (bit-identical to the DuckDB
+       ``list_dot_product`` oracle); the exact threshold is applied there.
+       GEMM-vs-fold float drift is ~1e-15 relative, so the 1e-6 margin
+       cannot drop a true pair.
     """
+    import pandas as pd
+
+    id_type = dict(df.dtypes)[id_col]
     v = df.select(
         F.col(id_col).alias("id"),
         F.col(block_col).alias("blk"),
         as_double(vec_col).alias("vec"),
-    ).withColumn("nrm", norm("vec"))
+    )
+    tiled = v.withColumn("tile", F.pmod(F.xxhash64(F.col("id")), F.lit(n_tiles)))
+    # each row joins every (t1<=t2) tile-pair group it belongs to: one copy
+    # per partner tile p, grouped by the unordered pair {tile, p}
+    rows = (
+        tiled.withColumn(
+            "p", F.explode(F.sequence(F.lit(0), F.lit(n_tiles - 1)))
+        )
+        .withColumn("t1", F.least("tile", "p"))
+        .withColumn("t2", F.greatest("tile", "p"))
+    )
+
+    margin = threshold - 1e-6
+
+    def gen_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        t1, t2 = pdf["t1"].iat[0], pdf["t2"].iat[0]
+        a = pdf[pdf["tile"] == t1]
+        b = pdf[pdf["tile"] == t2] if t1 != t2 else a
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ma = np.stack(a["vec"].to_numpy())
+        mb = ma if t1 == t2 else np.stack(b["vec"].to_numpy())
+        na = np.linalg.norm(ma, axis=1)
+        nb = na if t1 == t2 else np.linalg.norm(mb, axis=1)
+        s = (ma @ mb.T) / (na[:, None] * nb[None, :])
+        ia, ib = np.nonzero(s >= margin)
+        ids_a = a["id"].to_numpy()[ia]
+        ids_b = b["id"].to_numpy()[ib]
+        lo, hi = np.minimum(ids_a, ids_b), np.maximum(ids_a, ids_b)
+        out = pd.DataFrame({"id_a": lo[lo < hi], "id_b": hi[lo < hi]})
+        # same-tile groups see each unordered pair twice ((i,j) and (j,i))
+        return out.drop_duplicates()
+
+    cand = rows.groupBy("blk", "t1", "t2").applyInPandas(
+        gen_candidates, schema=f"id_a {id_type}, id_b {id_type}"
+    )
+
+    nv = v.withColumn("nrm", norm("vec"))
+    va = nv.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("_va"), F.col("nrm").alias("_na")
+    )
+    vb = nv.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("_vb"), F.col("nrm").alias("_nb")
+    )
     return (
-        v.alias("a")
-        .join(
-            v.alias("b"),
-            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn(
-            "score",
-            dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm")),
-        )
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("score", dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
         .filter(F.col("score") >= threshold)
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("score")
-        )
+        .select("id_a", "id_b", "score")
     )

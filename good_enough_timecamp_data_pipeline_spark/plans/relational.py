@@ -1005,23 +1005,19 @@ WHERE levenshtein(dirty_name, clean_name) <= 2
 
 def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-profiling sweep over orders: per-column null count, distinct
-    count, and value range, computed in ONE pass (a single hash-agg over
-    constants — no per-column jobs, the profiling shape that works on a
-    100 TB table). Long/stringified mins/maxes keep the output uniform."""
-    orders = load_table(spark, sf_dir, "orders")
+    count, and value range in one scan.
 
-    def col_stats(c: str, kind: str):
-        nulls = F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls")
-        dist = F.countDistinct(F.col(c)).alias(f"{c}__distinct")
-        if kind == "num":
-            # min/max numerically, stringify AFTER the agg (a string min
-            # would be lexicographic: '100037' < '1013')
-            mn = F.min(F.floor(F.col(c)).cast("long")).cast("string").alias(f"{c}__min")
-            mx = F.max(F.floor(F.col(c)).cast("long")).cast("string").alias(f"{c}__max")
-        else:
-            mn = F.min(F.col(c).cast("string")).alias(f"{c}__min")
-            mx = F.max(F.col(c).cast("string")).alias(f"{c}__max")
-        return [nulls, dist, mn, mx]
+    Shape: melt FIRST (stack → one (column_name, value) row per cell), then
+    a two-level hash aggregation — level 1 collapses (column, value) groups,
+    level 2 folds those into per-column stats. The naive wide form (one agg
+    with 5 countDistinct + first() FILTERs) planned as Expand×6 feeding a
+    SortAggregate chain — three full sorts of 6× the table; this form is
+    pure HashAggregate (no sorts, partial aggs map-side), which is the
+    profiling shape that holds on a 100 TB table. Distinct/min/max per
+    column stay exact: min/max commute with FLOOR (monotonic), distincts
+    count level-1 groups.
+    """
+    orders = load_table(spark, sf_dir, "orders")
 
     cols = {
         "o_orderkey": "num",
@@ -1030,24 +1026,39 @@ def x_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus": "str",
         "o_orderpriority": "str",
     }
-    aggs = [F.count("*").alias("n_rows")]
+    # melt: (column_name, num_val, str_val); exactly one of num/str is
+    # populated per row (both NULL ⇒ the cell was NULL)
+    parts = []
     for c, kind in cols.items():
-        aggs.extend(col_stats(c, kind))
-    wide = orders.agg(*aggs)
-    # unpivot to (column, metric rows) so the shape is column-count-proof
-    stack_parts = []
-    for c in cols:
-        stack_parts.append(
-            f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        )
-    n = len(cols)
-    return wide.select(
-        F.col("n_rows"),
+        if kind == "num":
+            parts.append(f"'{c}', CAST({c} AS DOUBLE), CAST(NULL AS STRING)")
+        else:
+            parts.append(f"'{c}', CAST(NULL AS DOUBLE), CAST({c} AS STRING)")
+    melted = orders.select(
         F.expr(
-            f"stack({n}, "
-            + ", ".join(stack_parts)
-            + ") AS (column_name, n_nulls, n_distinct, min_val, max_val)"
-        ),
+            f"stack({len(cols)}, "
+            + ", ".join(parts)
+            + ") AS (column_name, num_val, str_val)"
+        )
+    )
+    is_null = F.col("num_val").isNull() & F.col("str_val").isNull()
+    lvl1 = melted.groupBy("column_name", "num_val", "str_val").agg(
+        F.count("*").alias("cnt")
+    )
+    return lvl1.groupBy("column_name").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(is_null, F.col("cnt"))), F.lit(0).cast("long")
+        ).alias("n_nulls"),
+        F.count(F.when(~is_null, F.lit(1))).alias("n_distinct"),
+        F.coalesce(
+            F.floor(F.min("num_val")).cast("long").cast("string"),
+            F.min("str_val"),
+        ).alias("min_val"),
+        F.coalesce(
+            F.floor(F.max("num_val")).cast("long").cast("string"),
+            F.max("str_val"),
+        ).alias("max_val"),
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_val", "max_val")
 
 

@@ -67,6 +67,8 @@ def canon(v) -> str:
     # canonicalize midnight timestamps down to the date form.
     import datetime as _dt
 
+    if v is pd.NaT:  # NaT subclasses datetime but .time() raises
+        return "<NULL>"
     if isinstance(v, pd.Timestamp):
         if v != v:
             return "<NULL>"
