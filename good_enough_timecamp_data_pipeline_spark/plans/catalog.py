@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import northstar, relational, reports
+from . import analytics, northstar, relational, reports
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -135,6 +135,19 @@ register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS
 # --- SURVEY §2.11 north-star: similarity search ----------------------------
 register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
 register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
+
+# --- warehouse analytics + pipeline hygiene (round 2) ----------------------
+register(
+    "e_retention_cohorts", analytics.e_retention_cohorts, analytics.E_RETENTION_COHORTS_SQL
+)
+register("e_funnel_stages", analytics.e_funnel_stages, analytics.E_FUNNEL_STAGES_SQL)
+register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
+register("j_scd2_dim", analytics.j_scd2_dim, analytics.J_SCD2_DIM_SQL)
+register("t_topk_tokens", analytics.t_topk_tokens, analytics.T_TOPK_TOKENS_SQL)
+register("d_dq_violations", analytics.d_dq_violations, analytics.D_DQ_VIOLATIONS_SQL)
+register("t_scrub_pii", analytics.t_scrub_pii, analytics.T_SCRUB_PII_SQL)
+register("x_grouped_list", analytics.x_grouped_list, analytics.X_GROUPED_LIST_SQL)
+register("w_ntile_quartiles", analytics.w_ntile_quartiles, analytics.W_NTILE_QUARTILES_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("s_ann_lsh", northstar.s_ann_lsh)
