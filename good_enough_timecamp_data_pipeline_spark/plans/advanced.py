@@ -1,0 +1,487 @@
+"""Scale-pattern queries (round 2): dedup clustering, range join, gap-fill,
+outlier detection, merge/upsert, histogram, approximate sketches.
+
+These extend the reference surface (which stops at per-row cache diffs and
+flat rollups — ``/root/reference/common/api.py:362-425``,
+``SAMPLE-REPORTS.md``) with the operations a 100 TB pipeline actually runs
+after near-dup *detection*: cluster assembly (connected components), event
+neighborhood joins (range/interval), time-series repair (gap-fill + LOCF),
+statistical QC (z-score outliers), dimension maintenance (SCD1 merge), and
+distribution summaries (fixed-width histogram, HLL/KLL sketches).
+
+Exactness rules (so the driver's value-hash matches DuckDB):
+- integer math until the last step: counts/sums as BIGINT, ``FLOOR`` before
+  any double→bigint cast, integer division via ``div``/``//`` (never
+  float-floor);
+- float results come only from *identically shaped* IEEE expressions on
+  both engines (single mult/sub/div/sqrt chains — deterministic bit-equal);
+- every nondeterministic choice (latest-row pick, LOCF source row) is fully
+  tie-broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..operators import text
+from ..operators.graph import cluster_sizes, connected_components
+from .northstar import DOCS_NEAR_DUP_SQL, TOKS_SQL, _docs_near_dup
+from .testdata import load_table
+
+
+# ---------------------------------------------------------------------------
+# d_cc_clusters — dedup cluster assembly via connected components
+# ---------------------------------------------------------------------------
+
+def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over a two-fingerprint document graph.
+
+    Edges: docs sharing the md5 of tokens 1–20 (prefix fingerprint) OR of
+    tokens 11–30 (mid fingerprint). The two windows overlap, so clusters
+    CHAIN across edge types (A~B by prefix, B~C by mid) — exactly the
+    transitive-closure situation pair-level dedup cannot express and CC
+    exists for. The Spark side runs iterative min-label propagation
+    (``operators/graph.py`` — one map-side-combinable shuffle per round,
+    rounds = component diameter ≈ 2–4 for dedup graphs); the oracle is a
+    recursive CTE computing min reachable id, so the driver hash-checks
+    the *algorithm's fixpoint*, not just plumbing.
+
+    Fingerprint rows for docs shorter than the window are dropped (else
+    every short doc would share the '' fingerprint — a false mega-clique).
+    """
+    docs = _docs_near_dup(spark, sf_dir).withColumn(
+        "toks", text.tokenize(F.col("text"))
+    )
+    n = F.size("toks")
+    fp = docs.select(
+        "doc_id",
+        F.when(n >= 20, F.md5(F.concat_ws(" ", F.slice("toks", 1, 20)))).alias("pre"),
+        F.when(n >= 30, F.md5(F.concat_ws(" ", F.slice("toks", 11, 20)))).alias("mid"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def pairs(col: str) -> DataFrame:
+        a, b = fp.alias("a"), fp.alias("b")
+        return a.join(
+            b,
+            (F.col(f"a.{col}") == F.col(f"b.{col}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+
+    edges = pairs("pre").unionByName(pairs("mid")).distinct()
+    labels = connected_components(edges)
+    out = cluster_sizes(labels).select(
+        F.col("node").alias("doc"), "cluster_id", "cluster_size"
+    )
+    fp.unpersist()
+    return out
+
+
+# NOTE list_slice(toks, 11, 30) is END-INDEX inclusive (= Spark slice(toks, 11, 20)).
+D_CC_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+d AS ({DOCS_NEAR_DUP_SQL}),
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM d),
+fp AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 20
+                THEN md5(array_to_string(list_slice(toks, 1, 20), ' ')) END AS pre,
+           CASE WHEN len(toks) >= 30
+                THEN md5(array_to_string(list_slice(toks, 11, 30), ' ')) END AS mid
+    FROM t
+),
+e1 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM fp a
+       JOIN fp b ON a.pre = b.pre AND a.doc_id < b.doc_id),
+e2 AS (SELECT a.doc_id AS src, b.doc_id AS dst FROM fp a
+       JOIN fp b ON a.mid = b.mid AND a.doc_id < b.doc_id),
+edges AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2),
+und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+reach(node, lbl) AS (
+    SELECT DISTINCT src, src FROM und
+    UNION
+    SELECT u.dst, r.lbl FROM reach r JOIN und u ON u.src = r.node
+    WHERE r.lbl < u.dst
+),
+lab AS (SELECT node AS doc, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+SELECT doc, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# x_range_join — events into widened hot windows (equi + range predicate)
+# ---------------------------------------------------------------------------
+
+_W_US = 21_600_000_000  # 6 h in microseconds
+_PAD_US = 10_800_000_000  # 3 h
+
+
+def x_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: all events within ±3 h of a *hot* 6-hour window of
+    their own type (incident neighborhood scan).
+
+    Hot = window count above 1.25× the type's mean window count — kept
+    integral as ``4·cnt·n_windows > 5·total`` so the threshold is exact
+    and scale-free. The hot-window side is tiny (≤ #windows); it is
+    explicitly broadcast so the range predicate becomes a broadcast hash
+    join on event_type with the µs-range as residual — no shuffle of the
+    event fact. At big-big scale (both sides huge) the standard rewrite
+    is bucketing both sides by coarse time bucket and joining
+    bucket-to-adjacent-buckets; the hot side here is window-aggregated,
+    so broadcast is the right plan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    wnd = ev.groupBy(
+        "event_type", (F.col("us") - (F.col("us") % _W_US)).alias("w_us")
+    ).agg(F.count("*").alias("n_base"))
+    tot = wnd.groupBy("event_type").agg(
+        F.count("*").alias("nw"), F.sum("n_base").alias("total")
+    )
+    # h_type rename: hot derives from the same events scan it joins back
+    # to — distinct column names sidestep ambiguous-self-join resolution.
+    hot = (
+        wnd.join(tot, "event_type")
+        .filter(4 * F.col("n_base") * F.col("nw") > 5 * F.col("total"))
+        .select(
+            F.col("event_type").alias("h_type"),
+            "w_us",
+            "n_base",
+            (F.col("w_us") - _PAD_US).alias("lo"),
+            (F.col("w_us") + _W_US + _PAD_US).alias("hi"),
+        )
+    )
+    joined = ev.join(
+        F.broadcast(hot),
+        (F.col("event_type") == F.col("h_type"))
+        & (F.col("us") >= F.col("lo"))
+        & (F.col("us") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("h_type", "w_us", "n_base")
+        .agg(
+            F.count("*").alias("n_nearby"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("h_type").alias("event_type"),
+            F.timestamp_micros(F.col("w_us")).alias("window_start"),
+            "n_base",
+            "n_nearby",
+            "n_users",
+        )
+    )
+
+
+X_RANGE_JOIN_SQL = f"""
+WITH e AS (SELECT *, epoch_us(ts) AS us FROM events),
+wnd AS (
+    SELECT event_type, us - (us % {_W_US}) AS w_us, COUNT(*) AS n_base
+    FROM e GROUP BY 1, 2
+),
+tot AS (
+    SELECT event_type, COUNT(*) AS nw, CAST(SUM(n_base) AS BIGINT) AS total
+    FROM wnd GROUP BY 1
+),
+hot AS (
+    SELECT w.event_type, w.w_us, w.n_base,
+           w.w_us - {_PAD_US} AS lo, w.w_us + {_W_US} + {_PAD_US} AS hi
+    FROM wnd w JOIN tot t ON w.event_type = t.event_type
+    WHERE 4 * w.n_base * t.nw > 5 * t.total
+)
+SELECT h.event_type,
+       make_timestamp(h.w_us) AS window_start,
+       h.n_base,
+       COUNT(*) AS n_nearby,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM e JOIN hot h ON e.event_type = h.event_type
+                 AND e.us >= h.lo AND e.us < h.hi
+GROUP BY 1, 2, 3
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# e_gapfill — daily skeleton + zero-fill + LOCF
+# ---------------------------------------------------------------------------
+
+def e_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily activity with missing days materialized: n_events=0
+    and the day's type carried forward from the last active day (LOCF).
+
+    sequence+explode builds each user's day spine distributed (rows ∝
+    users × span — no driver loop, no calendar table collect); the LOCF
+    is one window over the per-user day order. day_type per active day is
+    MAX(event_type) — deterministic and engine-portable where an
+    arbitrary first() is not.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("n_events0"), F.max("event_type").alias("day_type"))
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    skel = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    filled = skel.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events0", F.lit(0)).alias("n_events"),
+        F.last("day_type", ignorenulls=True).over(w).alias("locf_type"),
+        F.col("n_events0").isNull().cast("int").alias("is_gap"),
+    )
+
+
+E_GAPFILL_SQL = """
+WITH daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS n_events0, MAX(event_type) AS day_type
+    FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+skel AS (
+    SELECT user_id,
+           CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM span
+),
+filled AS (
+    SELECT s.user_id, s.day, d.n_events0, d.day_type
+    FROM skel s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+)
+SELECT user_id, day,
+       COALESCE(n_events0, 0) AS n_events,
+       last_value(day_type IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_type,
+       CAST(n_events0 IS NULL AS INTEGER) AS is_gap
+FROM filled
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_zscore_outliers — exact-moment z-scores, broadcast stats join
+# ---------------------------------------------------------------------------
+
+def a_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value sits > 3 population std-devs above its type mean.
+
+    Moments are exact BIGINT sums of cents (n, Σx, Σx²) — one map-side-
+    combinable agg pass; z is then derived in ONE identically-shaped IEEE
+    chain on both engines, z = (n·x − Σx) / √(n·Σx² − Σx²), so even the
+    float compare at the 3.0 boundary agrees bit-for-bit. The 5-row stats
+    side broadcasts into the fact scan: no shuffle of events at any scale.
+    (Σx² of cents overflows BIGINT only past ~10¹⁰ rows per group; switch
+    the moments to DECIMAL(38,0) there.)
+    """
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    g = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    joined = events.join(F.broadcast(g), "event_type")
+    z = (F.col("cents").cast("double") * F.col("n") - F.col("s")) / F.sqrt(
+        F.col("n").cast("double") * F.col("ss")
+        - F.col("s").cast("double") * F.col("s")
+    )
+    return (
+        joined.withColumn("z", z)
+        .filter(F.col("z") > 3.0)
+        .select("event_id", "event_type", "cents", "z")
+    )
+
+
+A_ZSCORE_OUTLIERS_SQL = """
+WITH e AS (
+    SELECT event_id, event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+g AS (
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(SUM(cents * cents) AS BIGINT) AS ss
+    FROM e GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.cents,
+       (CAST(e.cents AS DOUBLE) * g.n - g.s)
+           / sqrt(CAST(g.n AS DOUBLE) * g.ss - CAST(g.s AS DOUBLE) * g.s) AS z
+FROM e JOIN g ON e.event_type = g.event_type
+WHERE (CAST(e.cents AS DOUBLE) * g.n - g.s)
+          / sqrt(CAST(g.n AS DOUBLE) * g.ss - CAST(g.s AS DOUBLE) * g.s) > 3.0
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# j_merge_upsert — SCD1 merge (update + insert + keep) as full-outer join
+# ---------------------------------------------------------------------------
+
+def j_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet: base customer snapshot vs an
+    update batch (each customer's latest order revalues them; ids ≡ 0
+    mod 97 also arrive as brand-new +1000000 rows to exercise INSERT).
+
+    Spark-native MERGE needs a table format (Delta/Iceberg); on files the
+    equivalent is exactly one full-outer join on the key + row-level
+    CASE — which is also what those formats execute underneath. The
+    latest-order pick is a window row_number fully tie-broken by
+    (date DESC, orderkey DESC).
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+
+    base = customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.floor("c_acctbal").cast("long").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.to_date("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.floor("o_totalprice").cast("long").alias("new_bal"),
+        )
+    )
+    inserts = latest.filter(F.col("custkey") % 97 == 0).select(
+        (F.col("custkey") + 1_000_000).alias("custkey"), "new_bal"
+    )
+    updates = latest.unionByName(inserts)
+
+    merged = base.join(updates, "custkey", "full_outer")
+    return merged.select(
+        "custkey",
+        F.coalesce("new_bal", "bal").alias("bal"),
+        F.coalesce("seg", F.lit("NEW")).alias("seg"),
+        F.when(F.col("bal").isNull(), "insert")
+        .when(F.col("new_bal").isNull(), "keep")
+        .otherwise("update")
+        .alias("op"),
+    )
+
+
+J_MERGE_UPSERT_SQL = """
+WITH base AS (
+    SELECT c_custkey AS custkey,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS bal,
+           c_mktsegment AS seg
+    FROM customer
+),
+ranked AS (
+    SELECT o_custkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                       o_orderkey DESC) AS rn
+    FROM orders
+),
+latest AS (
+    SELECT o_custkey AS custkey,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS new_bal
+    FROM ranked WHERE rn = 1
+),
+updates AS (
+    SELECT custkey, new_bal FROM latest
+    UNION ALL
+    SELECT custkey + 1000000, new_bal FROM latest WHERE custkey % 97 = 0
+)
+SELECT COALESCE(b.custkey, u.custkey) AS custkey,
+       COALESCE(u.new_bal, b.bal) AS bal,
+       COALESCE(b.seg, 'NEW') AS seg,
+       CASE WHEN b.custkey IS NULL THEN 'insert'
+            WHEN u.custkey IS NULL THEN 'keep'
+            ELSE 'update' END AS op
+FROM base b FULL OUTER JOIN updates u ON b.custkey = u.custkey
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_histogram — fixed-width histogram with empty buckets materialized
+# ---------------------------------------------------------------------------
+
+def a_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bucket equi-width histogram of order value (whole dollars).
+
+    Bucket index is pure integer math — ((x−min)·20) div (max−min+1) —
+    never a float floor, so boundary values land identically on both
+    engines. The (min, max, count) scalar row is a broadcast cross join
+    into the scan; empty buckets come from a 20-row generated spine, so
+    the result shape is fixed regardless of data. pct is a single exact
+    IEEE division.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.floor("o_totalprice").cast("long").alias("dollars")
+    )
+    stats = orders.agg(
+        F.min("dollars").alias("mn"),
+        F.max("dollars").alias("mx"),
+        F.count("*").alias("tot"),
+    )
+    binned = (
+        orders.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.expr("((dollars - mn) * 20) div (mx - mn + 1)").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n0"))
+    )
+    spine = stats.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(19).cast("long"))).alias(
+            "bucket"
+        ),
+        "tot",
+    )
+    return (
+        spine.join(binned, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n0", F.lit(0)).alias("n"),
+            (F.coalesce("n0", F.lit(0)).cast("double") / F.col("tot")).alias("pct"),
+        )
+    )
+
+
+A_HISTOGRAM_SQL = """
+WITH o AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS dollars FROM orders),
+stats AS (SELECT MIN(dollars) AS mn, MAX(dollars) AS mx, COUNT(*) AS tot FROM o),
+binned AS (
+    SELECT ((dollars - mn) * 20) // (mx - mn + 1) AS bucket, COUNT(*) AS n0
+    FROM o, stats GROUP BY 1
+),
+spine AS (SELECT unnest(generate_series(0, 19)) AS bucket, tot FROM stats)
+SELECT s.bucket,
+       COALESCE(b.n0, 0) AS n,
+       CAST(COALESCE(b.n0, 0) AS DOUBLE) / s.tot AS pct
+FROM spine s LEFT JOIN binned b ON s.bucket = b.bucket
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_approx_sketches — HLL distinct + KLL-style quantile (rows-only)
+# ---------------------------------------------------------------------------
+
+def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches next to their exact answers, per event type:
+    HLL++ distinct users (``approx_count_distinct``) and an approximate
+    median (``percentile_approx``). rows-only by design — sketch outputs
+    are implementation-defined, so there is no cross-engine oracle; the
+    test asserts relative-error bounds against the exact values instead.
+    At 100 TB these replace exact distinct/percentile shuffles with
+    fixed-size mergeable state (KB per group), the canonical
+    cardinality/quantile move."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+    )

@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import analytics, northstar, relational, reports
+from . import advanced, analytics, northstar, relational, reports
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -149,7 +149,16 @@ register("t_scrub_pii", analytics.t_scrub_pii, analytics.T_SCRUB_PII_SQL)
 register("x_grouped_list", analytics.x_grouped_list, analytics.X_GROUPED_LIST_SQL)
 register("w_ntile_quartiles", analytics.w_ntile_quartiles, analytics.W_NTILE_QUARTILES_SQL)
 
+# --- scale patterns (round 2): clustering, range join, repair, merge -------
+register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
+register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
+register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
+register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
+register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
+register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
+
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
+register("a_approx_sketches", advanced.a_approx_sketches)
 register("s_ann_lsh", northstar.s_ann_lsh)
 register("s_ann_ivf", northstar.s_ann_ivf)
 register("m_multimodal_features", northstar.m_multimodal_features)

@@ -1,0 +1,109 @@
+"""Invariant tests for the round-2 scale-pattern queries (plans/advanced.py)
+and the connected-components operator (operators/graph.py)."""
+
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.operators.graph import (
+    cluster_sizes,
+    connected_components,
+)
+from good_enough_timecamp_data_pipeline_spark.plans import advanced
+from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+
+def test_connected_components_known_graph(spark):
+    # chain 1-2-3, clique {10,11,12}, isolated pair {20,21}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    sizes = {
+        (r["node"], r["cluster_size"])
+        for r in cluster_sizes(connected_components(edges)).collect()
+    }
+    assert (3, 3) in sizes and (21, 2) in sizes
+
+
+def test_cc_clusters_match_local_union_find(spark, sf_dir):
+    out = advanced.d_cc_clusters(spark, sf_dir).collect()
+    # every cluster_id is the min doc of its cluster, sizes consistent
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["doc"])
+    for cid, docs in by_cluster.items():
+        assert cid == min(docs)
+    for r in out:
+        assert r["cluster_size"] == len(by_cluster[r["cluster_id"]])
+    # injected near-copies (doc_id % 19 == 0 → +1000000) must co-cluster
+    # with their source whenever both have fingerprints
+    doc_cluster = {r["doc"]: r["cluster_id"] for r in out}
+    paired = [d for d in doc_cluster if d >= 1_000_000 and d - 1_000_000 in doc_cluster]
+    assert paired, "expected injected near-dup pairs in the graph"
+    assert all(doc_cluster[d] == doc_cluster[d - 1_000_000] for d in paired)
+
+
+def test_range_join_nearby_superset_of_base(spark, sf_dir):
+    rows = advanced.x_range_join(spark, sf_dir).collect()
+    assert rows, "expected hot windows"
+    # the widened interval contains the window itself
+    assert all(r["n_nearby"] >= r["n_base"] for r in rows)
+    assert all(r["n_users"] <= r["n_nearby"] for r in rows)
+
+
+def test_gapfill_invariants(spark, sf_dir):
+    out = advanced.e_gapfill(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # conservation: filled counts sum to the raw event count
+    assert out.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    # gaps are exactly the zero-count days and carry a forward-filled type
+    bad = out.filter(
+        (F.col("is_gap") == 1) & (F.col("n_events") != 0)
+        | (F.col("is_gap") == 0) & (F.col("n_events") == 0)
+    )
+    assert bad.count() == 0
+    assert out.filter(F.col("locf_type").isNull()).count() == 0  # first day is active
+    # per-user span is contiguous: rows == datediff(max,min)+1
+    span = out.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        (F.datediff(F.max("day"), F.min("day")) + 1).alias("expect"),
+    )
+    assert span.filter(F.col("n") != F.col("expect")).count() == 0
+
+
+def test_zscore_outliers_all_above_threshold(spark, sf_dir):
+    rows = advanced.a_zscore_outliers(spark, sf_dir).collect()
+    assert rows, "exponential-ish value column should have >3σ rows"
+    assert all(r["z"] > 3.0 for r in rows)
+
+
+def test_merge_upsert_partitions(spark, sf_dir):
+    out = advanced.j_merge_upsert(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    by_op = {r["op"]: r["n"] for r in out.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    assert by_op.get("insert", 0) > 0 and by_op.get("update", 0) > 0
+    # every base row survives exactly once
+    assert sum(by_op.values()) - by_op.get("insert", 0) == customer.count()
+    assert out.filter((F.col("op") == "insert") & (F.col("custkey") < 1_000_000)).count() == 0
+    assert out.filter(F.col("op") == "insert").filter(F.col("seg") != "NEW").count() == 0
+
+
+def test_histogram_shape(spark, sf_dir):
+    rows = advanced.a_histogram(spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    assert len(rows) == 20
+    assert sorted(r["bucket"] for r in rows) == list(range(20))
+    assert sum(r["n"] for r in rows) == orders.count()
+    assert abs(sum(r["pct"] for r in rows) - 1.0) < 1e-9
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    rows = advanced.a_approx_sketches(spark, sf_dir).collect()
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) <= max(
+            3, 0.05 * r["exact_users"]
+        )
+        assert abs(r["approx_p50"] - r["exact_p50"]) <= max(0.5, 0.05 * r["exact_p50"])

@@ -113,3 +113,24 @@ def test_asof_join_single_shuffle_shape(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_range_join_broadcasts_hot_side(spark, sf_dir):
+    """The widened hot-window side is window-aggregated (tiny); the event
+    fact must join it broadcast with the µs range as residual — never a
+    shuffle of the fact for the join itself."""
+    from good_enough_timecamp_data_pipeline_spark.plans import advanced
+
+    plan = plan_of(advanced.x_range_join(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zscore_stats_broadcast(spark, sf_dir):
+    """Per-type moment stats are 5 rows; the fact scan must not shuffle to
+    meet them."""
+    from good_enough_timecamp_data_pipeline_spark.plans import advanced
+
+    plan = plan_of(advanced.a_zscore_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
