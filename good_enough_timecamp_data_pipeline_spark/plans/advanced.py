@@ -470,18 +470,159 @@ FROM spine s LEFT JOIN binned b ON s.bucket = b.bucket
 # ---------------------------------------------------------------------------
 
 def a_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate sketches next to their exact answers, per event type:
-    HLL++ distinct users (``approx_count_distinct``) and an approximate
-    median (``percentile_approx``). rows-only by design — sketch outputs
-    are implementation-defined, so there is no cross-engine oracle; the
-    test asserts relative-error bounds against the exact values instead.
-    At 100 TB these replace exact distinct/percentile shuffles with
+    """Approximate sketches per event type: HLL++ distinct users
+    (``approx_count_distinct``) and an approximate median
+    (``percentile_approx``). rows-only by design — sketch outputs are
+    implementation-defined, so there is no cross-engine oracle; the test
+    computes the exact answers separately and asserts relative-error
+    bounds. (Separately on purpose: mixing ``countDistinct`` with other
+    aggregates forces an Expand plan that re-processes every row per
+    aggregate family — measured 3.3 s vs 0.4 s for the clean sketch-only
+    agg.) At 100 TB these replace exact distinct/percentile shuffles with
     fixed-size mergeable state (KB per group), the canonical
     cardinality/quantile move."""
     events = load_table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-        F.expr("percentile(value, 0.5)").alias("exact_p50"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t_tfidf — corpus TF-IDF with ratio idf (engine-exact), top-3 terms per doc
+# ---------------------------------------------------------------------------
+
+def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF.
+
+    idf is the *ratio* form (N+1)/(df+1), not ln((N+1)/(df+1)): JVM
+    ``Math.log`` and libm ``log`` disagree in the last ulp on ~6% of
+    inputs (measured — only sqrt is IEEE-mandated exact), and ranking by
+    ln(x) ≡ ranking by x anyway since ln is monotone, so the ratio keeps
+    the result hash-identical across engines without changing the top-k.
+
+    Shape: explode → (doc, tok) count agg → per-token doc frequency agg →
+    broadcast the token-df dim back onto term rows → per-doc top-k window.
+    Two shuffles (doc,tok and tok) + one window on doc — each key-partial
+    aggregated; the N scalar rides a 1-row broadcast cross join.
+    """
+    from ..operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * ((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "df", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+T_TFIDF_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+           CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) AS tfidf
+    FROM tf JOIN dfreq ON tf.tok = dfreq.tok, n
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS rk
+    FROM scored
+)
+SELECT doc_id, tok, tf, df, tfidf, rk FROM ranked WHERE rk <= 3
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# c_snapshot_diff — CDC between two dimension snapshots
+# ---------------------------------------------------------------------------
+
+def c_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture diff of two customer snapshots: emits only the
+    insert/update/delete rows, never the unchanged bulk.
+
+    The "new" snapshot is derived deterministically (key % 41 deleted,
+    % 13 revalued +100, % 29 cloned as +2000000 inserts) so both engines
+    rebuild identical inputs. One full-outer join on the key, row-level
+    CASE, change filter — the standard snapshot-CDC shape when there is
+    no log to tail; at scale both sides arrive bucketed by the key so
+    the join is exchange-free (sources/io.py::write_bucketed).
+    """
+    old = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.floor("c_acctbal").cast("long").alias("old_bal"),
+    )
+    kept = old.filter(F.col("custkey") % 41 != 0).select(
+        "custkey",
+        (
+            F.col("old_bal")
+            + F.when(F.col("custkey") % 13 == 0, 100).otherwise(0)
+        ).alias("new_bal"),
+    )
+    inserts = old.filter(F.col("custkey") % 29 == 0).select(
+        (F.col("custkey") + 2_000_000).alias("custkey"),
+        F.col("old_bal").alias("new_bal"),
+    )
+    new = kept.unionByName(inserts)
+
+    diff = old.join(new, "custkey", "full_outer")
+    return (
+        diff.withColumn(
+            "op",
+            F.when(F.col("old_bal").isNull(), "insert")
+            .when(F.col("new_bal").isNull(), "delete")
+            .when(F.col("old_bal") != F.col("new_bal"), "update"),
+        )
+        .filter(F.col("op").isNotNull())
+        .select("custkey", "op", "old_bal", "new_bal")
+    )
+
+
+C_SNAPSHOT_DIFF_SQL = """
+WITH old AS (
+    SELECT c_custkey AS custkey,
+           CAST(FLOOR(c_acctbal) AS BIGINT) AS old_bal
+    FROM customer
+),
+kept AS (
+    SELECT custkey,
+           old_bal + CASE WHEN custkey % 13 = 0 THEN 100 ELSE 0 END AS new_bal
+    FROM old WHERE custkey % 41 <> 0
+),
+ins AS (
+    SELECT custkey + 2000000 AS custkey, old_bal AS new_bal
+    FROM old WHERE custkey % 29 = 0
+),
+new AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+diff AS (
+    SELECT COALESCE(o.custkey, n.custkey) AS custkey,
+           o.old_bal, n.new_bal,
+           CASE WHEN o.custkey IS NULL THEN 'insert'
+                WHEN n.custkey IS NULL THEN 'delete'
+                WHEN o.old_bal <> n.new_bal THEN 'update' END AS op
+    FROM old o FULL OUTER JOIN new n ON o.custkey = n.custkey
+)
+SELECT custkey, op, old_bal, new_bal FROM diff WHERE op IS NOT NULL
+""".strip()

@@ -156,6 +156,8 @@ register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
 register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
 register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
 register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
+register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
+register("c_snapshot_diff", advanced.c_snapshot_diff, advanced.C_SNAPSHOT_DIFF_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)
@@ -165,3 +167,4 @@ register("m_multimodal_features", northstar.m_multimodal_features)
 register("s_stream_tumbling", northstar.s_stream_tumbling)
 register("s_stream_sliding", northstar.s_stream_sliding)
 register("s_stream_sessions", northstar.s_stream_sessions)
+register("s_stream_dedup", northstar.s_stream_dedup)

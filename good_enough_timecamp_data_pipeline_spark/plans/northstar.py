@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
 from ..streaming.stateful import streaming_sessionize
-from ..streaming.windows import streaming_sliding_counts, streaming_tumbling_counts
+from ..streaming.windows import (
+    streaming_dedup,
+    streaming_sliding_counts,
+    streaming_tumbling_counts,
+)
 from .testdata import load_table
 
 # ---------------------------------------------------------------------------
@@ -591,6 +595,20 @@ def s_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: applyInPandasWithState sessionization,
-    state handed across micro-batches (events streamed in 4 time-ordered
-    chunks). Emits sessions closed by a later event."""
-    return streaming_sessionize(spark, sf_dir)
+    state handed across micro-batches. Emits sessions closed by a later
+    event. 3 time-ordered chunks = 2 cross-batch state handoffs — the
+    minimum that still proves repeated state carry-over; each extra
+    micro-batch costs a fixed ~1.5 s of per-batch pandas-group dispatch
+    over 15k users at local scale (closed-session output is chunk-count
+    invariant, so this is pure overhead)."""
+    return streaming_sessionize(spark, sf_dir, n_chunks=3)
+
+
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup: the event stream is fed TWICE
+    (duplicate micro-batch — worst-case at-least-once redelivery);
+    dropDuplicatesWithinWatermark keeps exactly one copy per event_id with
+    state bounded by the watermark. Per-type counts equal the single-copy
+    batch counts iff every cross-batch duplicate was caught (asserted in
+    tests/test_multimodal_streaming.py)."""
+    return streaming_dedup(spark, sf_dir)

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from . import schemas
 
-FORMATS = {"parquet", "jsonl", "csv"}
+FORMATS = {"parquet", "jsonl", "csv", "orc"}
 
 
 def dedup_by_pk(df: DataFrame, pk: str | None) -> DataFrame:
@@ -65,6 +65,8 @@ def write_table(
         writer = writer.option("compression", compression)
     if fmt == "parquet":
         writer.parquet(path)
+    elif fmt == "orc":
+        writer.orc(path)
     elif fmt == "jsonl":
         writer.json(path)  # spark json sink IS line-delimited
     else:
@@ -86,6 +88,8 @@ def read_table(
         schema = schemas.TABLE_SCHEMAS.get(table)
     if fmt == "parquet":
         return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "jsonl":
         r = spark.read
         return (r.schema(schema) if schema else r).json(path)
@@ -201,3 +205,62 @@ def write_bigquery(
                 "spark-bigquery-with-dependencies_2.13:<version>"
             ) from e
         raise
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Rewrite a table directory into ~target-sized files; returns the new
+    file count.
+
+    The small-files problem is the silent killer of long-lived 100 TB
+    tables: every incremental append lands a few KB-to-MB files, and a
+    year later each scan pays one task + one open per shard. Compaction =
+    measure on-disk bytes, ``coalesce`` (narrow — no shuffle: merging
+    files needs no data movement, only fewer output tasks) to
+    ``ceil(bytes / target)``, rewrite to a staging dir, atomically swap.
+    The staging-then-rename keeps readers consistent on a local/HDFS-like
+    FS; object stores swap via the table-format layer (Delta/Iceberg
+    rewrite actions) instead.
+    """
+    import math
+    import shutil
+
+    if "://" in path:
+        raise ValueError("compact_table handles local paths; use table-format "
+                         "rewrite actions (OPTIMIZE) on object stores")
+    n_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, files in os.walk(path)
+        for f in files
+        if not f.startswith(("_", "."))
+    )
+    n_files = max(1, math.ceil(n_bytes / target_file_bytes))
+    df = read_table_path(spark, path, fmt)
+    staging = path.rstrip("/") + ".__compact__"
+    writer = df.coalesce(n_files).write.mode("overwrite")
+    if fmt == "parquet":
+        writer.parquet(staging)
+    elif fmt == "orc":
+        writer.orc(staging)
+    elif fmt == "jsonl":
+        writer.json(staging)
+    else:
+        writer.option("header", True).csv(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_files
+
+
+def read_table_path(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-dispatched read of a bare table directory (no registry)."""
+    if fmt == "parquet":
+        return spark.read.parquet(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
+    if fmt == "jsonl":
+        return spark.read.json(path)
+    return spark.read.option("header", True).option("inferSchema", True).csv(path)

@@ -130,3 +130,40 @@ def _run_to_completion(
                 shutil.rmtree(cleanup_dir, ignore_errors=True)
     # the memory sink keeps the rows in the session; no driver round-trip
     return spark.table(name)
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming deduplication across micro-batches.
+
+    The events file is exposed to the stream TWICE (two symlinks, mtimes
+    spaced so they arrive as separate micro-batches) — the second batch is
+    a full duplicate feed, the worst case of at-least-once upstream
+    delivery. ``dropDuplicatesWithinWatermark`` on event_id keeps one copy
+    per key while the watermark bounds the dedup state (the batch analog
+    of the reference's 7-day immutable-past horizon: old keys age out of
+    state instead of living forever). Output = per-type counts of the
+    deduped stream; correct iff every cross-batch duplicate was caught.
+    """
+    import time as _time
+
+    ensure_events_read_conf(spark)
+    stream_dir = tempfile.mkdtemp(prefix="events_dedup_")
+    src = f"{sf_dir}/events.parquet"
+    base = _time.time() - 3600
+    for i, name in enumerate(("a.parquet", "b.parquet")):
+        link = f"{stream_dir}/{name}"
+        os.symlink(src, link)
+        os.utime(link, (base + i * 10, base + i * 10), follow_symlinks=False)
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return _run_to_completion(spark, deduped, "stream_dedup_out", cleanup_dir=stream_dir)

@@ -101,9 +101,50 @@ def test_histogram_shape(spark, sf_dir):
 
 
 def test_approx_sketches_error_bounds(spark, sf_dir):
-    rows = advanced.a_approx_sketches(spark, sf_dir).collect()
-    for r in rows:
-        assert abs(r["approx_users"] - r["exact_users"]) <= max(
-            3, 0.05 * r["exact_users"]
+    approx = {r["event_type"]: r for r in advanced.a_approx_sketches(spark, sf_dir).collect()}
+    exact = {
+        r["event_type"]: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
         )
-        assert abs(r["approx_p50"] - r["exact_p50"]) <= max(0.5, 0.05 * r["exact_p50"])
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k, r in approx.items():
+        e = exact[k]
+        assert abs(r["approx_users"] - e["exact_users"]) <= max(
+            3, 0.05 * e["exact_users"]
+        )
+        assert abs(r["approx_p50"] - e["exact_p50"]) <= max(0.5, 0.05 * e["exact_p50"])
+
+
+def test_tfidf_topk_shape(spark, sf_dir):
+    out = advanced.t_tfidf(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = out.groupBy("doc_id").agg(
+        F.count("*").alias("k"), F.min("rk").alias("mn"), F.max("rk").alias("mx")
+    )
+    assert per_doc.filter(F.col("k") > 3).count() == 0
+    assert per_doc.filter((F.col("mn") != 1)).count() == 0
+    assert per_doc.count() == docs.count()
+    # rare terms outrank common ones: within a doc, rk order == tfidf desc
+    bad = (
+        out.alias("a")
+        .join(out.alias("b"), (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.rk") < F.col("b.rk")))
+        .filter(F.col("a.tfidf") < F.col("b.tfidf"))
+    )
+    assert bad.count() == 0
+
+
+def test_snapshot_diff_ops(spark, sf_dir):
+    out = advanced.c_snapshot_diff(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    n_del = cust.filter(F.col("k") % 41 == 0).count()
+    n_ins = cust.filter(F.col("k") % 29 == 0).count()
+    n_upd = cust.filter((F.col("k") % 13 == 0) & (F.col("k") % 41 != 0)).count()
+    by_op = {r["op"]: r["n"] for r in out.groupBy("op").agg(F.count("*").alias("n")).collect()}
+    assert by_op == {"delete": n_del, "insert": n_ins, "update": n_upd}
+    assert out.filter((F.col("op") == "update") & (F.col("new_bal") - F.col("old_bal") != 100)).count() == 0

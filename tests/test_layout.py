@@ -71,3 +71,32 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_compact_table_merges_small_files(spark, sf_dir, tmp_path):
+    """Many tiny appends → one compaction pass → few right-sized files,
+    same rows."""
+    import glob
+
+    from good_enough_timecamp_data_pipeline_spark.sources import io
+
+    path = str(tmp_path / "frag")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(24).write.mode("overwrite").parquet(path)
+    assert len(glob.glob(f"{path}/part-*")) == 24
+    before = orders.count()
+
+    n_files = io.compact_table(spark, path, target_file_bytes=64 * 1024 * 1024)
+    got = glob.glob(f"{path}/part-*")
+    assert len(got) == n_files < 24
+    assert spark.read.parquet(path).count() == before
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from good_enough_timecamp_data_pipeline_spark.sources import io
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    io.write_table(nation, str(tmp_path), "nation", fmt="orc")
+    back = io.read_table(spark, str(tmp_path), "nation", fmt="orc")
+    assert back.count() == nation.count()
+    assert set(back.columns) == set(nation.columns)

@@ -105,3 +105,26 @@ def test_sample_frames_fanout(spark):
     f1 = sorted(by_doc[1], key=lambda r: r.frame_index)
     assert [r.frame_offset for r in f1] == [0, 256, 512]
     assert all(len(bytes(r.frame)) <= 256 for r in frames)
+
+
+def test_streaming_dedup_removes_duplicate_batch(spark, sf_dir):
+    """The stream feeds the events file twice; per-type counts must equal
+    the single-copy batch counts — every cross-batch duplicate caught."""
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.streaming.windows import streaming_dedup
+
+    got = {
+        r["event_type"]: r["n_unique"]
+        for r in streaming_dedup(spark, sf_dir).collect()
+    }
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
