@@ -626,3 +626,133 @@ diff AS (
 )
 SELECT custkey, op, old_bal, new_bal FROM diff WHERE op IS NOT NULL
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# t_winnow — MOSS-style winnowing document fingerprints
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4  # window of consecutive shingle hashes; min per window selected
+
+
+def t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken): hash every
+    5-token shingle, slide a w=4 window over the hash sequence, keep each
+    window's minimum — the distinct selected hashes are the document's
+    fingerprint set (guaranteed to share hashes with any document sharing
+    a long-enough substring).
+
+    Expressed entirely as window functions over the exploded shingle
+    sequence — one shuffle on doc_id, no interpreted lambda folds (a
+    per-character fold was the naive alternative: ~13M interpreted evals
+    per pass at sf0.1). Output is one row per doc: fingerprint count +
+    BIGINT checksum, so the result stays doc-sized however long the text.
+    Shingle hash = md5-prefix bigint — the engine-portable 32-bit hash
+    this repo uses wherever DuckDB must agree bit-for-bit.
+    """
+    from ..operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", tokenize(F.col("text"))
+    )
+    n = F.size("toks")
+    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i, 5)))
+        ).alias("pos", "shingle"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    w_cnt = Window.partitionBy("doc_id")
+    w_win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    selected = (
+        sh.withColumn("n_sh", F.count("*").over(w_cnt))
+        .withColumn("wmin", F.min("h").over(w_win))
+        .filter(F.col("pos") <= F.col("n_sh") - _WINNOW_W)  # full windows only
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return selected.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.sum("wmin").alias("fp_checksum"),
+    )
+
+
+T_WINNOW_SQL = rf"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+shl AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+                          i -> array_to_string(list_slice(toks, i, i + 4), ' '))
+               AS shingles
+    FROM t
+),
+sh AS (
+    SELECT doc_id,
+           generate_subscripts(shingles, 1) - 1 AS pos,
+           CAST(('0x' || substr(md5(unnest(shingles)), 1, 8)) AS BIGINT) AS h
+    FROM shl
+),
+win AS (
+    SELECT doc_id, pos, h,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_sh,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS wmin
+    FROM sh
+),
+selected AS (
+    SELECT DISTINCT doc_id, wmin FROM win WHERE pos <= n_sh - {_WINNOW_W}
+)
+SELECT doc_id, COUNT(*) AS n_fp, CAST(SUM(wmin) AS BIGINT) AS fp_checksum
+FROM selected GROUP BY doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_bpe_tokens — regex (BPE-ish) tokenization stats vs whitespace tokens
+# ---------------------------------------------------------------------------
+
+def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Pre-tokenizer stats with the GPT-style regex split ``\w+|[^\w\s]``
+    (words and punctuation as separate pieces — the standard BPE
+    pre-tokenization pass) next to plain whitespace token counts: the
+    piece/word ratio is the "fertility" number a training-data pipeline
+    watches per source. Pure projection — map-only at any scale."""
+    from ..operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    words = tokenize(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike("^\\w+$"))).alias("n_word_pieces"),
+        F.size(F.filter(pieces, lambda p: ~p.rlike("^\\w+$"))).alias("n_punct_pieces"),
+    )
+
+
+T_BPE_TOKENS_SQL = rf"""
+WITH t AS (
+    SELECT doc_id, {TOKS_SQL} AS toks,
+           regexp_extract_all(text, '\w+|[^\w\s]') AS pieces
+    FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(pieces) AS n_pieces,
+       len(list_filter(pieces, p -> regexp_matches(p, '^\w+$'))) AS n_word_pieces,
+       len(list_filter(pieces, p -> NOT regexp_matches(p, '^\w+$'))) AS n_punct_pieces
+FROM t
+""".strip()

