@@ -23,7 +23,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from good_enough_timecamp_data_pipeline_spark.operators import dedup, similarity
-from good_enough_timecamp_data_pipeline_spark.plans import reports
+from good_enough_timecamp_data_pipeline_spark.operators.graph import connected_components
+from good_enough_timecamp_data_pipeline_spark.plans import advanced, reports
 from good_enough_timecamp_data_pipeline_spark.session import get_spark
 
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -33,8 +34,17 @@ FACTORS = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
 def scaled_dir(spark, factor: int) -> str:
     out = tempfile.mkdtemp(prefix=f"scale_{factor}x_")
     # dims: unchanged (copy refs)
-    for t in ("region", "nation", "customer", "part", "supplier", "events", "embeddings"):
+    for t in ("region", "nation", "customer", "part", "supplier", "embeddings"):
         os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+    # events: scaled fact (same timestamps/types, shifted ids — window
+    # counts grow with the factor, the hot-window dimension does not)
+    events = spark.read.parquet(f"{BASE}/events.parquet")
+    ev_scaled = events
+    for k in range(1, factor):
+        ev_scaled = ev_scaled.unionByName(
+            events.withColumn("event_id", F.col("event_id") + F.lit(k * 100_000_000))
+        )
+    ev_scaled.write.mode("overwrite").parquet(f"{out}/events.parquet")
     # facts: union with shifted keys
     orders = spark.read.parquet(f"{BASE}/orders.parquet")
     scaled = orders
@@ -104,6 +114,25 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
         "overwrite"
     ).save()
     res["cosine_topk"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # range join: fact grows, hot-window dim fixed — ideal is linear scan
+    t0 = time.time()
+    advanced.x_range_join(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    res["range_join"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # connected components: decade-star edges from the scaled orders fact
+    # (components of <=10 nodes, diameter 2 — the dedup-graph shape);
+    # edge count scales with the factor, rounds stay constant
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = orders.select(
+        F.col("o_orderkey").alias("src"),
+        (F.col("o_orderkey") - (F.col("o_orderkey") % 10)).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    t0 = time.time()
+    connected_components(edges).write.format("noop").mode("overwrite").save()
+    res["cc_components"] = time.time() - t0
     spark.catalog.clearCache()
     return res
 
