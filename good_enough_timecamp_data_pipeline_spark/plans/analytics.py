@@ -444,3 +444,72 @@ SELECT c_custkey, c_nationkey,
                                     c_custkey ASC) AS INTEGER) AS quartile
 FROM customer
 """.strip()
+
+
+def w_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT_RANK and CUME_DIST of customer balances within market
+    segment — the distribution-position window family (§2.6) the earlier
+    rank/ntile queries don't cover.
+
+    Both are peer-group functions: ties share a value, so no tie-break is
+    needed for determinism. ``percent_rank = (rank-1)/(n-1)`` and
+    ``cume_dist = peers_leq/n`` are single BIGINT→DOUBLE divisions —
+    IEEE-identical on both engines. One shuffle on the partition key.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    bal = F.floor("c_acctbal").cast("long")
+    w = Window.partitionBy("c_mktsegment").orderBy("bal_long")
+    return cust.select("c_custkey", "c_mktsegment", bal.alias("bal_long")).select(
+        "c_custkey",
+        "c_mktsegment",
+        "bal_long",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
+W_RANK_DISTRIBUTION_SQL = """
+SELECT c_custkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal) AS BIGINT) AS bal_long,
+       PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                            ORDER BY CAST(FLOOR(c_acctbal) AS BIGINT)) AS pct_rank,
+       CUME_DIST() OVER (PARTITION BY c_mktsegment
+                         ORDER BY CAST(FLOOR(c_acctbal) AS BIGINT)) AS cume_dist
+FROM customer
+""".strip()
+
+
+def x_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL explode WITH ORDINALITY: part names unnested to one row per
+    word with its 0-based position (§2.8 array surface — the positional
+    variant ``f_date_explode`` doesn't exercise).
+
+    Map-only (explode fuses into the scan stage, no shuffle); position
+    comes from ``posexplode`` on the Spark side and ``WITH ORDINALITY``
+    (1-based, re-based to 0) on DuckDB.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            "p_partkey",
+            F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+        )
+        .select("p_partkey", F.col("pos").cast("bigint").alias("pos"), "word")
+    )
+
+
+X_POSEXPLODE_SQL = """
+WITH t AS (
+    SELECT p_partkey, string_split(p_name, ' ') AS words
+    FROM part WHERE p_partkey % 10 = 0
+),
+e AS (
+    SELECT p_partkey,
+           unnest(list_transform(range(1, len(words) + 1),
+                  i -> struct_pack(pos := CAST(i - 1 AS BIGINT),
+                                   word := words[i]))) AS s
+    FROM t
+)
+SELECT p_partkey, s.pos AS pos, s.word AS word FROM e
+""".strip()

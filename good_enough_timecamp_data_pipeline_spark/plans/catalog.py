@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, analytics, northstar, relational, reports
+from . import advanced, analytics, northstar, relational, reports, training
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -160,6 +160,17 @@ register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
 register("t_winnow", advanced.t_winnow, advanced.T_WINNOW_SQL)
 register("t_bpe_tokens", advanced.t_bpe_tokens, advanced.T_BPE_TOKENS_SQL)
 register("c_snapshot_diff", advanced.c_snapshot_diff, advanced.C_SNAPSHOT_DIFF_SQL)
+
+# --- training-data curation (round 2, batch 2) -----------------------------
+register("t_decontam", training.t_decontam, training.T_DECONTAM_SQL)
+register("t_seq_pack", training.t_seq_pack, training.T_SEQ_PACK_SQL)
+register("t_mixture_weights", training.t_mixture_weights, training.T_MIXTURE_WEIGHTS_SQL)
+register("t_repetition", training.t_repetition, training.T_REPETITION_SQL)
+register("t_shard_assign", training.t_shard_assign, training.T_SHARD_ASSIGN_SQL)
+register(
+    "w_rank_distribution", analytics.w_rank_distribution, analytics.W_RANK_DISTRIBUTION_SQL
+)
+register("x_posexplode", analytics.x_posexplode, analytics.X_POSEXPLODE_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)
