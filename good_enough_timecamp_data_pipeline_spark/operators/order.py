@@ -1,0 +1,88 @@
+"""Distributed global ordering: cumulative sums and row numbers over a
+total order WITHOUT a single-partition window.
+
+``Window.orderBy(key)`` with no partition spec is the classic Spark scale
+trap: the physical WindowExec moves EVERY row to one partition (Spark even
+warns), so any query built on it caps out at one core / one executor's
+memory — fine at sf0.01, fatal at 100 TB. The reference engine never needs
+a global order (its reports end at ORDER BY on aggregated output); our
+packing/sharding operators do, so they get the scalable construction:
+
+1. **bucket** every row by a *monotone* function of the sort key — equal
+   prefixes of an md5 key, or fixed arithmetic ranges of a numeric key.
+   Monotone ⇒ bucket order == key order, so buckets are a fixed-boundary
+   range partitioning (no sampling pass, no RangePartitioner
+   nondeterminism);
+2. **within-bucket** window (partitioned — parallel, each ≈ 1/N of data);
+3. **bucket offsets**: per-bucket totals (a map-side-combinable groupBy of
+   ≤ N rows) prefix-summed with a window *over the tiny totals table*,
+   broadcast-joined back.
+
+Two scans of the input (totals + main pass) instead of a persist — at
+scale, a rescan of a columnar source is cheaper and safer than caching the
+whole fact. Ties across bucket boundaries cannot happen when the key is
+unique (callers pass md5(id) or a primary key); document uniqueness at the
+call site.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_prefix_bucket(key: Column, hex_digits: int = 2) -> Column:
+    """Monotone bucket for an md5 (lowercase-hex) sort key: the first
+    ``hex_digits`` hex chars as an int. md5 is uniform ⇒ 16^d near-equal
+    buckets; 2 digits = 256 buckets, plenty below one executor's share
+    even at 100 TB (widen to 3–4 digits past ~10^12 rows)."""
+    return F.conv(F.substring(key, 1, hex_digits), 16, 10).cast("int")
+
+
+def long_range_bucket(df: DataFrame, key: Column, n_buckets: int = 256) -> Column:
+    """Monotone bucket for a numeric key: fixed arithmetic ranges between
+    the observed min/max (one exact, deterministic pre-aggregation —
+    hash-agg, not a window). Near-equal buckets when the key is roughly
+    uniform/dense (ids); skewed keys still give CORRECT order, just
+    uneven buckets."""
+    row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    span = max(int(hi) - int(lo) + 1, 1)
+    width = max(span // n_buckets + (1 if span % n_buckets else 0), 1)
+    return ((key - F.lit(int(lo))) / F.lit(width)).cast("int")
+
+
+def global_cumsum(
+    df: DataFrame,
+    key: Column,
+    val: Column,
+    bucket: Column,
+    out: str = "cum",
+) -> DataFrame:
+    """Running SUM(val) over the total order of ``key`` (inclusive frame),
+    distributed via ``bucket`` (must be monotone in ``key``; see module
+    docstring). Adds column ``out``; keeps all input columns."""
+    d = df.withColumn("__b", bucket).withColumn("__v", val)
+    w_in = Window.partitionBy("__b").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = d.groupBy("__b").agg(F.sum("__v").alias("__t"))
+    # prefix-sum over the totals table: ≤ n_buckets rows, so the
+    # unpartitioned window here is a deliberate, bounded exception.
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__b", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__off")
+    )
+    return (
+        d.join(F.broadcast(offs), "__b")
+        .withColumn(out, (F.sum("__v").over(w_in) + F.col("__off")).cast("long"))
+        .drop("__b", "__v", "__off")
+    )
+
+
+def global_row_number(
+    df: DataFrame, key: Column, bucket: Column, out: str = "rn"
+) -> DataFrame:
+    """1-based ROW_NUMBER() over the total order of ``key`` (unique keys),
+    distributed via ``bucket``."""
+    return global_cumsum(df, key, F.lit(1).cast("long"), bucket, out=out)

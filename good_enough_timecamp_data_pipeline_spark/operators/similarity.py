@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .order import global_row_number, long_range_bucket
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
@@ -195,13 +197,18 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cvec")
     ).withColumn("_cnorm", norm("_cvec"))
 
-    # 1. deterministic "training": every n-th vector by id order
-    w_all = Window.orderBy(F.col("neighbor_id"))
-    stride = F.greatest(
-        (F.count("*").over(Window.partitionBy()) / n_lists).cast("long"), F.lit(1)
-    )
+    # 1. deterministic "training": every n-th vector by id order.
+    # Corpus count comes from a hash-agg (not a count-window) and the id
+    # rank from the distributed two-level row_number (operators/order.py)
+    # bucketed by fixed id ranges — no single-partition WindowExec over
+    # the corpus, so training scales with the corpus like assign/probe do.
+    n_corpus = c.groupBy().count().collect()[0][0]
+    stride = F.lit(max(n_corpus // n_lists, 1))
     centroids = (
-        c.withColumn("_rk", F.row_number().over(w_all) - 1)
+        global_row_number(
+            c, F.col("neighbor_id"), long_range_bucket(c, F.col("neighbor_id")), out="_rk1"
+        )
+        .withColumn("_rk", F.col("_rk1") - 1)
         .withColumn("_stride", stride)
         .filter((F.col("_rk") % F.col("_stride") == 0))
         .withColumn("_list", (F.col("_rk") / F.col("_stride")).cast("long"))

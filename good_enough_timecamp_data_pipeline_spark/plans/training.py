@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from ..operators import text
 from ..operators.dedup import shingle_rows
+from ..operators.order import global_cumsum, global_row_number, md5_prefix_bucket
 from .northstar import TOKS_SQL, _shingles_sql
 from .testdata import load_table
 
@@ -104,18 +105,22 @@ def t_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     to end in a reproducible shuffled order (md5 of doc_id — uniform, so
     bins are load-balanced regardless of input order or partitioning) and
     assign each doc to the bin its FIRST token lands in. Per bin: how many
-    docs start there and their total tokens. The only wide op is the global
-    sort — Spark range-partitions it, which is exactly how a 100 TB pack
-    run would lay out shards.
+    docs start there and their total tokens. The global running token sum
+    is the scalable two-level construction (``operators/order.py``):
+    md5-prefix range buckets + per-bucket windows + broadcast offsets —
+    never a single-partition global window.
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", text.token_count(F.col("text")).alias("n_tok")
     )
     key = F.md5(F.col("doc_id").cast("string"))
-    w = Window.orderBy(key).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    packed = docs.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
-        "bin_id", F.expr(f"(cum - n_tok) div {_PACK_BUDGET}")
-    )
+    packed = global_cumsum(
+        docs.withColumn("__k", key),
+        F.col("__k"),
+        F.col("n_tok"),
+        md5_prefix_bucket(F.col("__k")),
+        out="cum",
+    ).withColumn("bin_id", F.expr(f"(cum - n_tok) div {_PACK_BUDGET}"))
     return packed.groupBy("bin_id").agg(
         F.count("*").alias("n_docs"), F.sum("n_tok").alias("bin_tokens")
     )
@@ -269,14 +274,18 @@ def t_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the writer layout for training shards — the order is
     content-independent and uniform, so shards are size-balanced and the
     assignment is identical on ANY cluster/partitioning (md5 is the only
-    source of order). One global sort, same cost class as the pack step.
+    source of order). Row numbering uses the distributed two-level
+    construction (``operators/order.py``), not a one-partition window.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    rn = F.row_number().over(Window.orderBy(F.md5(F.col("doc_id").cast("string"))))
-    return docs.select(
-        "doc_id",
-        ((rn - 1).cast("bigint")).alias("__rn"),
-    ).select(
+    key = F.md5(F.col("doc_id").cast("string"))
+    numbered = global_row_number(
+        docs.withColumn("__k", key),
+        F.col("__k"),
+        md5_prefix_bucket(F.col("__k")),
+        out="rn",
+    ).withColumn("__rn", (F.col("rn") - 1).cast("bigint"))
+    return numbered.select(
         "doc_id",
         F.expr(f"__rn div {_SHARD_SIZE}").alias("shard"),
         (F.col("__rn") % _SHARD_SIZE).alias("pos"),
