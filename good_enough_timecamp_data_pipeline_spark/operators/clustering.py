@@ -6,27 +6,28 @@ this *learns* the centroids — the standard preprocessing step for IVF
 index builds, diversity-aware sampling, and cluster-balanced training
 mixes.
 
-Physical design — everything stays in whole-stage codegen:
+Physical design — the textbook distributed Lloyd layout:
 
-- The corpus is exploded ONCE into (vec_id, dim, x) cells and persisted;
-  every iteration reuses that cache (the explode does not depend on the
-  centroids). Cells are the join-friendly layout: k·d centroid cells
-  broadcast against them turns the distance computation into a plain
-  sum-of-squares grid aggregation.
-- Per iteration, ONE Spark action: cells ⋈ centroid-cells → per
-  (vec, cluster) squared-L2 agg → per-vec arg-min (min over (dist,
-  cluster) structs — fully tie-broken) → re-join to cells → (cluster,
-  dim) grid agg of (Σx, n, Σsq_dist). The collected k·d grid yields the
-  new means AND the inertia (Σ sq_dist appears once per dim → divide by
-  d) — convergence costs no extra job.
-- Centroid state (k·d doubles) lives on the driver, as in every engine's
-  k-means; it returns to the executors as a broadcast literal table.
+- Centroid state (k·d doubles) lives on the driver and ships to executors
+  as a Spark broadcast each round, as in every engine's k-means.
+- Per iteration, ONE narrow action: an Arrow-batched ``mapInPandas`` pass
+  computes, per input partition, the numpy-vectorized nearest-centroid
+  assignment and the per-cluster partial sums (Σx per dim, count,
+  Σ sq_dist). Each partition emits k tiny rows; the driver reduces
+  (#partitions × k) rows into new means + inertia. No shuffle at all —
+  the reduction over partials is the collect of a few KB.
+- The assignment DataFrame returned to callers is the same numpy map
+  against the final centroids — embarrassingly parallel at any scale.
 
-Two designs measured and rejected at sf0.1 (2000×64): per-row
-zip_with/aggregate HOF folds against literal centroid arrays run
-interpreted and get re-evaluated per projection reference (CollapseProject
-duplicates them) — 33 s; a DataFrame-centroid crossJoin variant scheduled
-~4 actions per iteration — 11.7 s. This layout: ~1 s per iteration.
+This is the documented exception to the "built-ins first" rule
+(SURVEY §2.9): the distance kernel is dense linear algebra over every
+(vector, centroid) pair. Three pure-DataFrame designs were measured —
+per-row HOF folds (interpreted, re-evaluated per reference: 33 s at
+sf0.1), a centroid crossJoin (~4 actions/iter: 11.7 s), and an exploded
+(vec_id, dim, x) cell join grid (~2 s/iter, the previous shipped form).
+The Arrow/numpy kernel does the same flops vectorized in C with zero
+shuffle, and is the layout every large-scale implementation (MLlib
+included) uses.
 
 Floating-point means are order-sensitive, so the operator is rows-only
 (no DuckDB oracle); tests assert the Lloyd invariants instead: inertia
@@ -35,26 +36,21 @@ monotonically non-increasing, every vector on its nearest centroid.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
-def _centroid_cells(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
-    rows = [(j, d, x) for j, c in enumerate(centroids) for d, x in enumerate(c)]
-    return spark.createDataFrame(rows, "cluster int, dim int, c double")
-
-
-def _best_per_vec(expl: DataFrame, cells: DataFrame) -> DataFrame:
-    """(vec_id, b{sq, cluster}) — nearest centroid per vector."""
-    sq = (
-        expl.join(F.broadcast(cells), "dim")
-        .groupBy("vec_id", "cluster")
-        .agg(
-            F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("sq")
-        )
-    )
-    return sq.groupBy("vec_id").agg(F.min(F.struct("sq", "cluster")).alias("b"))
+def _nearest(X: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(assignment, sq_dist) per row; argmin takes the LOWEST cluster id on
+    exact ties — same tie-break as a min over (dist, cluster) structs."""
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    return a, d2[np.arange(len(X)), a]
 
 
 def kmeans(
@@ -72,46 +68,78 @@ def kmeans(
     weighted-sampling prologue over the same machinery.
     """
     spark = vecs.sparkSession
+    id_type = dict(vecs.dtypes)[id_col]
     data = vecs.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    expl = data.select("vec_id", F.posexplode("v").alias("dim", "x")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    centroids: list[list[float]] = [
-        list(r["v"]) for r in data.orderBy("vec_id").limit(k).collect()
-    ]
-    d = len(centroids[0])
+    centroids = np.array(
+        [list(r["v"]) for r in data.orderBy("vec_id").limit(k).collect()]
+    )
 
     inertia_history: list[float] = []
     for _ in range(max_iter):
-        cells = _centroid_cells(spark, centroids)
-        best = _best_per_vec(expl, cells)
-        grid = (
-            expl.join(best, "vec_id")
-            .groupBy(F.col("b.cluster").alias("cluster"), "dim")
-            .agg(
-                F.sum("x").alias("sx"),
-                F.count("*").alias("n"),
-                F.sum("b.sq").alias("sd"),
+        bc = spark.sparkContext.broadcast(centroids)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            C = bc.value
+            S = np.zeros_like(C)
+            cnt = np.zeros(len(C), dtype=np.int64)
+            sd = np.zeros(len(C))
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy())
+                a, sq = _nearest(X, C)
+                for j in range(len(C)):
+                    m = a == j
+                    if m.any():
+                        S[j] += X[m].sum(axis=0)
+                        cnt[j] += int(m.sum())
+                        sd[j] += float(sq[m].sum())
+            yield pd.DataFrame(
+                {
+                    "cluster": np.arange(len(C), dtype=np.int32),
+                    "sx": [S[j].tolist() for j in range(len(C))],
+                    "n": cnt,
+                    "sd": sd,
+                }
             )
-            .collect()
-        )
-        inertia = sum(r["sd"] for r in grid) / d
+
+        grid = data.mapInPandas(
+            partials, "cluster int, sx array<double>, n bigint, sd double"
+        ).collect()  # (#partitions × k) tiny rows
+
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(k, dtype=np.int64)
+        inertia = 0.0
+        for r in grid:
+            sums[r["cluster"]] += np.asarray(r["sx"])
+            counts[r["cluster"]] += r["n"]
+            inertia += r["sd"]
         if inertia_history and inertia >= inertia_history[-1]:
             inertia_history.append(inertia)
             break  # converged (or fp-noise oscillation) — stop moving
         inertia_history.append(inertia)
-        new_centroids = [list(c) for c in centroids]  # empty clusters keep theirs
-        for r in grid:
-            new_centroids[r["cluster"]][r["dim"]] = r["sx"] / r["n"]
-        centroids = new_centroids
+        moved = counts > 0  # empty clusters keep their centroid
+        centroids = centroids.copy()
+        centroids[moved] = sums[moved] / counts[moved, None]
 
-    assign = _best_per_vec(expl, _centroid_cells(spark, centroids)).select(
-        "vec_id",
-        F.col("b.cluster").alias("cluster"),
-        F.col("b.sq").alias("sq_dist"),
+    bc_final = spark.sparkContext.broadcast(centroids)
+
+    def assign_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc_final.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy())
+            a, sq = _nearest(X, C)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": a.astype(np.int32), "sq_dist": sq}
+            )
+
+    assign = data.mapInPandas(
+        assign_fn, f"vec_id {id_type}, cluster int, sq_dist double"
     )
     return assign, inertia_history

@@ -642,11 +642,13 @@ def t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint set (guaranteed to share hashes with any document sharing
     a long-enough substring).
 
-    Expressed entirely as window functions over the exploded shingle
-    sequence — one shuffle on doc_id, no interpreted lambda folds (a
-    per-character fold was the naive alternative: ~13M interpreted evals
-    per pass at sf0.1). Output is one row per doc: fingerprint count +
-    BIGINT checksum, so the result stays doc-sized however long the text.
+    Expressed entirely as window functions over the exploded TOKEN
+    sequence — one shuffle on doc_id shared by every window in the query.
+    Shingles are assembled with ``lead()`` (whole-stage-codegen'd) rather
+    than a higher-order ``transform`` over slice/concat (interpreted, and
+    re-evaluated per shingle index — the HOF version measured ~2× this
+    stage). Output is one row per doc: fingerprint count + BIGINT
+    checksum, so the result stays doc-sized however long the text.
     Shingle hash = md5-prefix bigint — the engine-portable 32-bit hash
     this repo uses wherever DuckDB must agree bit-for-bit.
     """
@@ -655,19 +657,28 @@ def t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").withColumn(
         "toks", tokenize(F.col("text"))
     )
-    n = F.size("toks")
-    idx = F.when(n >= 5, F.sequence(F.lit(1), n - 4)).otherwise(
-        F.array().cast("array<int>")
+    tok_rows = docs.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    w_seq = Window.partitionBy("doc_id").orderBy("pos")
+    shingle = F.concat_ws(
+        " ",
+        F.col("tok"),
+        *[F.lead("tok", i).over(w_seq) for i in range(1, 5)],
     )
-    sh = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice("toks", i, 5)))
-        ).alias("pos", "shingle"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("long").alias("h"),
+    sh = (
+        # shingle + guard computed in ONE projection (before any filter:
+        # a lead() evaluated after the filter would see the reduced rowset)
+        tok_rows.select(
+            "doc_id",
+            "pos",
+            shingle.alias("__sh"),
+            F.lead("tok", 4).over(w_seq).alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull())  # full 5-token shingles only
+        .select(
+            "doc_id",
+            "pos",
+            F.conv(F.substring(F.md5("__sh"), 1, 8), 16, 10).cast("long").alias("h"),
+        )
     )
     w_cnt = Window.partitionBy("doc_id")
     w_win = (
@@ -728,18 +739,25 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (words and punctuation as separate pieces — the standard BPE
     pre-tokenization pass) next to plain whitespace token counts: the
     piece/word ratio is the "fertility" number a training-data pipeline
-    watches per source. Pure projection — map-only at any scale."""
+    watches per source. Pure projection — map-only at any scale.
+
+    Piece classification never inspects pieces one-by-one: the alternation
+    guarantees every piece is either a ``\w+`` run or a single punct char,
+    so word pieces = a second vectorized ``regexp_extract_all`` on the raw
+    text and punct = total − words (a per-piece ``rlike`` filter would be
+    an interpreted HOF lambda — measured ~5× this query's cost)."""
     from ..operators.text import tokenize
 
     docs = load_table(spark, sf_dir, "documents")
     pieces = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+    n_word_pieces = F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)"))
     words = tokenize(F.col("text"))
     return docs.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.size(pieces).alias("n_pieces"),
-        F.size(F.filter(pieces, lambda p: p.rlike("^\\w+$"))).alias("n_word_pieces"),
-        F.size(F.filter(pieces, lambda p: ~p.rlike("^\\w+$"))).alias("n_punct_pieces"),
+        n_word_pieces.alias("n_word_pieces"),
+        (F.size(pieces) - n_word_pieces).alias("n_punct_pieces"),
     )
 
 
