@@ -774,3 +774,96 @@ SELECT doc_id,
        len(list_filter(pieces, p -> NOT regexp_matches(p, '^\w+$'))) AS n_punct_pieces
 FROM t
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# a_grouping_sets — explicit GROUPING SETS (the third of the cube family)
+# ---------------------------------------------------------------------------
+
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) over orders —
+    the hand-picked-combination member of the rollup/cube family
+    (`x_rollup`/`x_cube` cover the other two). GROUPING() markers
+    disambiguate rolled-up NULLs. One Expand + hash-agg, exactly the
+    physical plan cube/rollup use — partials combine map-side."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    return (
+        orders.withColumn("cents", cents)
+        .groupingSets(
+            [
+                [F.col("o_orderstatus"), F.col("o_orderpriority")],
+                [F.col("o_orderstatus")],
+                [],
+            ],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_prio"),
+        )
+    )
+
+
+A_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_partial_agg_merge — incremental aggregate maintenance (merge law)
+# ---------------------------------------------------------------------------
+
+_MERGE_SPLIT = "1995-01-01"
+
+
+def a_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a pre-aggregated per-customer
+    state (orders before 1995) merged with a delta batch (1995+) via a
+    full-outer join of partials — the pattern that updates a 100 TB
+    rollup from a day's delta WITHOUT rescanning history.
+
+    The oracle computes the aggregate directly over ALL orders, so the
+    driver's hash check verifies the algebraic merge law (count and sum
+    are commutative monoids) rather than mirroring the implementation —
+    the strongest kind of twin this gate can express.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    split = F.lit(_MERGE_SPLIT).cast("date")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.withColumn("cents", cents).groupBy("o_custkey").agg(
+            F.count("*").alias("n"), F.sum("cents").alias("s")
+        )
+
+    state = partial(orders.filter(F.col("o_orderdate") < split))
+    delta = partial(orders.filter(F.col("o_orderdate") >= split))
+    s, d = state.alias("s"), delta.alias("d")
+    return s.join(d, F.col("s.o_custkey") == F.col("d.o_custkey"), "full_outer").select(
+        F.coalesce(F.col("s.o_custkey"), F.col("d.o_custkey")).alias("o_custkey"),
+        (
+            F.coalesce(F.col("s.n"), F.lit(0)) + F.coalesce(F.col("d.n"), F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("s.s"), F.lit(0)) + F.coalesce(F.col("d.s"), F.lit(0))
+        ).alias("total_cents"),
+    )
+
+
+A_PARTIAL_AGG_MERGE_SQL = """
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_custkey
+""".strip()

@@ -171,6 +171,11 @@ register(
     "w_rank_distribution", analytics.w_rank_distribution, analytics.W_RANK_DISTRIBUTION_SQL
 )
 register("x_posexplode", analytics.x_posexplode, analytics.X_POSEXPLODE_SQL)
+register("a_grouping_sets", advanced.a_grouping_sets, advanced.A_GROUPING_SETS_SQL)
+register(
+    "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL
+)
+register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)
@@ -181,4 +186,5 @@ register("s_stream_tumbling", northstar.s_stream_tumbling)
 register("s_stream_sliding", northstar.s_stream_sliding)
 register("s_stream_sessions", northstar.s_stream_sessions)
 register("s_stream_dedup", northstar.s_stream_dedup)
+register("s_stream_join", northstar.s_stream_join)
 register("s_kmeans", northstar.s_kmeans)

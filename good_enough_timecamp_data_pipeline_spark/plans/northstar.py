@@ -628,3 +628,13 @@ def s_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vectors"),
         (F.sum("sq_dist") / F.count("*")).alias("mean_sq_dist"),
     )
+
+
+def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks to preceding views
+    within 1 h, same user) — the two-stream state surface the other
+    streaming gates don't touch. rows-only; asserted equal to the batch
+    interval join in tests/test_multimodal_streaming.py."""
+    from ..streaming.windows import streaming_stream_join
+
+    return streaming_stream_join(spark, sf_dir)

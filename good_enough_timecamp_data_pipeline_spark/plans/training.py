@@ -301,3 +301,65 @@ WITH o AS (
 )
 SELECT doc_id, rn // {_SHARD_SIZE} AS shard, rn % {_SHARD_SIZE} AS pos FROM o
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# s_quantize_int8 — per-vector int8 scalar quantization of embeddings
+# ---------------------------------------------------------------------------
+
+def s_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (per-vector
+    min/max scaling to codes 0..255) with reconstruction-error stats —
+    the compression step an embedding store runs before ANN serving
+    (4× smaller than float32, distance error bounded by span/255).
+
+    Implemented codegen-only: array_min/max before a ``posexplode``, the
+    quantize/dequantize arithmetic per exploded cell, one hash-agg back
+    to vec_id (int-sum checksum + double max — both order-independent,
+    so bit-exact vs DuckDB; an array-HOF formulation would run
+    interpreted AND re-evaluate per reference). Scale: explode is a
+    map-side row multiply (×dim) feeding a combinable agg — no state
+    beyond the shuffle on vec_id.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cells = emb.select(
+        "vec_id",
+        F.array_min("v").alias("lo"),
+        F.array_max("v").alias("hi"),
+        F.posexplode("v").alias("dim", "x"),
+    )
+    span = F.col("hi") - F.col("lo")
+    code = F.when(
+        span > 0,
+        F.least(F.floor(((F.col("x") - F.col("lo")) / span) * 255), F.lit(255)),
+    ).otherwise(F.lit(0)).cast("int")
+    with_code = cells.withColumn("code", code).withColumn(
+        "err",
+        F.abs(
+            F.col("x")
+            - (F.col("lo") + (F.col("code").cast("double") * span) / F.lit(255.0))
+        ),
+    )
+    return with_code.groupBy("vec_id").agg(
+        F.sum("code").cast("bigint").alias("code_sum"),
+        F.max("err").alias("max_err"),
+    )
+
+
+S_QUANTIZE_INT8_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+m AS (SELECT vec_id, list_min(v) AS lo, list_max(v) AS hi, unnest(v) AS x FROM e),
+c AS (
+    SELECT vec_id, x, lo, hi, hi - lo AS span,
+           CASE WHEN hi - lo > 0
+                THEN CAST(least(floor(((x - lo) / (hi - lo)) * 255), 255) AS INTEGER)
+                ELSE 0 END AS code
+    FROM m
+)
+SELECT vec_id,
+       CAST(SUM(code) AS BIGINT) AS code_sum,
+       MAX(abs(x - (lo + (CAST(code AS DOUBLE) * span) / 255.0))) AS max_err
+FROM c GROUP BY vec_id
+""".strip()

@@ -167,3 +167,78 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_unique"))
     )
     return _run_to_completion(spark, deduped, "stream_dedup_out", cleanup_dir=stream_dir)
+
+
+def streaming_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: clicks joined to the view
+    (same user) they follow within ``horizon``.
+
+    The canonical two-stream state pattern: BOTH sides are watermarked and
+    the join condition bounds click_ts to [view_ts, view_ts + horizon], so
+    Spark can size and expire the per-side join state — without the time
+    bound a stream-stream inner join would buffer both streams forever.
+    Output mode is append (the only mode stream-stream joins support);
+    the joined pairs are aggregated per user *in batch* after completion,
+    keeping the streaming graph exactly the join under test.
+
+    At scale: state is partitioned by user_id (the equi-key); the interval
+    predicate is evaluated inside each state partition, and watermark
+    expiry bounds memory to ``watermark + horizon`` of traffic per side.
+    """
+    ensure_events_read_conf(spark)
+    stream_dir = tempfile.mkdtemp(prefix="events_ssjoin_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+
+    def side(kind: str, ts_name: str) -> DataFrame:
+        return (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .parquet(stream_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("user_id").alias(f"{kind}_user"),
+                F.col("ts").alias(ts_name),
+            )
+            .withWatermark(ts_name, watermark)
+        )
+
+    views = side("view", "view_ts")
+    clicks = side("click", "click_ts")
+    joined = views.join(
+        clicks,
+        (F.col("view_user") == F.col("click_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(F.col("view_user").alias("user_id"), "view_ts", "click_ts")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("stream_join_out")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            import shutil
+
+            shutil.rmtree(stream_dir, ignore_errors=True)
+    return (
+        spark.table("stream_join_out")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -189,3 +189,37 @@ def test_bpe_pieces_at_least_words(spark, sf_dir):
     assert out.filter(
         F.col("n_word_pieces") + F.col("n_punct_pieces") != F.col("n_pieces")
     ).count() == 0
+
+
+def test_grouping_sets_totals_consistent(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans.advanced import a_grouping_sets
+
+    rows = a_grouping_sets(spark, sf_dir).collect()
+    grand = [r for r in rows if r["g_status"] == 1 and r["g_prio"] == 1]
+    per_status = [r for r in rows if r["g_status"] == 0 and r["g_prio"] == 1]
+    leaf = [r for r in rows if r["g_status"] == 0 and r["g_prio"] == 0]
+    assert len(grand) == 1
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in per_status)
+    assert grand[0]["total_cents"] == sum(r["total_cents"] for r in leaf)
+
+
+def test_partial_agg_merge_equals_direct(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans.advanced import (
+        a_partial_agg_merge,
+    )
+
+    merged = {
+        r["o_custkey"]: (r["n_orders"], r["total_cents"])
+        for r in a_partial_agg_merge(spark, sf_dir).collect()
+    }
+    direct = {
+        r["o_custkey"]: (r["n"], r["s"])
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("s"),
+        )
+        .collect()
+    }
+    assert merged == direct

@@ -128,3 +128,33 @@ def test_streaming_dedup_removes_duplicate_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
+    """The watermarked stream-stream join emits exactly the pairs the
+    equivalent batch interval join produces (no late data at rest, so
+    watermarking must not drop anything)."""
+    from good_enough_timecamp_data_pipeline_spark.plans.northstar import s_stream_join
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    got = {r["user_id"]: r["n_pairs"] for r in s_stream_join(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    batch = (
+        views.join(
+            clicks,
+            (F.col("vu") == F.col("cu"))
+            & (F.col("cts") >= F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy(F.col("vu").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    expect = {r["user_id"]: r["n_pairs"] for r in batch.collect()}
+    assert got == expect

@@ -102,3 +102,19 @@ def test_posexplode_positions(spark, sf_dir):
     first = out.filter(F.col("pos") == 0).count()
     keys = out.select("p_partkey").distinct().count()
     assert first == keys  # every exploded part has a word at position 0
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """Reconstruction error of int8 min/max quantization is bounded by
+    one code step (span/255) per vector."""
+    out = training.s_quantize_int8(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.array_min(F.col("embedding").cast("array<double>")).alias("lo"),
+        F.array_max(F.col("embedding").cast("array<double>")).alias("hi"),
+    )
+    joined = out.join(emb, "vec_id").withColumn(
+        "bound", (F.col("hi") - F.col("lo")) / 255.0 * (1 + 1e-9)
+    )
+    assert joined.filter(F.col("max_err") > F.col("bound")).count() == 0
+    assert out.filter(F.col("code_sum") < 0).count() == 0
