@@ -176,6 +176,7 @@ register(
     "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL
 )
 register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
+register("t_chunking", training.t_chunking, training.T_CHUNKING_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)

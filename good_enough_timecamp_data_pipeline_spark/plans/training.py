@@ -363,3 +363,64 @@ SELECT vec_id,
        MAX(abs(x - (lo + (CAST(code AS DOUBLE) * span) / 255.0))) AS max_err
 FROM c GROUP BY vec_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# t_chunking — overlapping fixed-size chunks with offsets (RAG prep)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 100  # tokens per chunk
+_STRIDE = 80  # 20-token overlap between consecutive chunks
+
+
+def t_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every doc into 100-token chunks on an 80-token stride
+    (20-token overlap) with 1-based start offsets — the chunking pass a
+    RAG / embedding pipeline runs before vectorization.
+
+    Chunk starts come from ``sequence(1, n, stride)`` so chunk_idx is a
+    closed form ``(start-1) div stride`` (no per-doc ordinality needed);
+    the trailing chunk is the natural truncation. Map-only: the explode
+    multiplies rows by ~n/stride with no shuffle; chunk identity is the
+    md5 of the joined tokens, chunk length a min() — nothing re-tokenizes
+    the chunk text.
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "toks", text.tokenize(F.col("text"))
+    )
+    n = F.size("toks")
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(_STRIDE))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return (
+        docs.select("doc_id", "toks", n.alias("n"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.expr(f"cast((s - 1) div {_STRIDE} as bigint)").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("chunk_start"),
+            F.least(F.lit(_CHUNK), F.col("n") - F.col("s") + 1)
+            .cast("bigint")
+            .alias("n_chunk_toks"),
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("s"), _CHUNK))).alias(
+                "chunk_md5"
+            ),
+        )
+    )
+
+
+T_CHUNKING_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+c AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(CASE WHEN len(toks) > 0
+                       THEN range(1, len(toks) + 1, {_STRIDE})
+                       ELSE [] END) AS s
+    FROM t
+)
+SELECT doc_id,
+       CAST((s - 1) // {_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(least({_CHUNK}, n - s + 1) AS BIGINT) AS n_chunk_toks,
+       md5(array_to_string(list_slice(toks, s, s + {_CHUNK} - 1), ' ')) AS chunk_md5
+FROM c
+""".strip()

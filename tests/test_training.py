@@ -118,3 +118,29 @@ def test_quantize_error_bound(spark, sf_dir):
     )
     assert joined.filter(F.col("max_err") > F.col("bound")).count() == 0
     assert out.filter(F.col("code_sum") < 0).count() == 0
+
+
+def test_chunking_covers_all_tokens_with_overlap(spark, sf_dir):
+    chunks = training.t_chunking(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(text.tokenize(F.col("text"))).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    for doc_id, n in docs.items():
+        if n == 0:
+            assert doc_id not in by_doc
+            continue
+        cs = sorted(by_doc[doc_id], key=lambda c: c["chunk_idx"])
+        # starts form the stride grid; last chunk reaches the end
+        assert [c["chunk_start"] for c in cs] == [
+            1 + i * training._STRIDE for i in range(len(cs))
+        ]
+        last = cs[-1]
+        assert last["chunk_start"] + last["n_chunk_toks"] - 1 == n
+        for c in cs:
+            assert 1 <= c["n_chunk_toks"] <= training._CHUNK
