@@ -638,3 +638,13 @@ def s_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import streaming_stream_join
 
     return streaming_stream_join(spark, sf_dir)
+
+
+def s_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent upsert sink under duplicate redelivery
+    (grow-only anti-join merge into parquet) — the streaming→batch-sink
+    bridge every production pipeline ends in. rows-only; equality with
+    the deduplicated batch answer asserted in tests."""
+    from ..streaming.windows import streaming_foreachbatch_upsert
+
+    return streaming_foreachbatch_upsert(spark, sf_dir)

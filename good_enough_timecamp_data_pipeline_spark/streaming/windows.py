@@ -242,3 +242,75 @@ def streaming_stream_join(
         .groupBy("user_id")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` sink: stream events (fed TWICE — duplicate
+    micro-batch redelivery) into an idempotent parquet upsert keyed by
+    event_id, then report per-type counts of the target table.
+
+    foreachBatch is how Structured Streaming writes to engines that have
+    no streaming sink (JDBC, MERGE-capable tables, multi-table fan-out):
+    each micro-batch arrives as a plain DataFrame and the body runs any
+    batch op. The body here is the grow-only upsert (anti-join against
+    the current target, append only never-seen keys) — re-delivered rows
+    vanish, so the result equals the deduped batch answer however many
+    times the source re-feeds (asserted in tests). State lives in the
+    TARGET table, not the stream: restarts and redeliveries are safe
+    without streaming-side dedup state.
+
+    At scale the anti-join probe is a join keyed on the target's primary
+    key — with the target bucketed by that key (io.write_bucketed) it is
+    exchange-free on the target side; the appended files are the only
+    writes.
+    """
+    import shutil
+
+    ensure_events_read_conf(spark)
+    stream_dir = tempfile.mkdtemp(prefix="events_febatch_")
+    target_dir = tempfile.mkdtemp(prefix="febatch_target_") + "/t"
+    src = f"{sf_dir}/events.parquet"
+    base = __import__("time").time() - 3600
+    for i, name in enumerate(("a.parquet", "b.parquet")):
+        link = f"{stream_dir}/{name}"
+        os.symlink(src, link)
+        os.utime(link, (base + i * 10, base + i * 10), follow_symlinks=False)
+
+    stream = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        b = batch.dropDuplicates(["event_id"])  # in-batch dedup first
+        sess = batch.sparkSession
+        try:
+            existing = sess.read.parquet(target_dir).select("event_id")
+            b = b.join(existing, "event_id", "left_anti")
+        except Exception:
+            pass  # first batch: target doesn't exist yet
+        b.write.mode("append").parquet(target_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            shutil.rmtree(stream_dir, ignore_errors=True)
+    return (
+        spark.read.parquet(target_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

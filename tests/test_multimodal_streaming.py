@@ -158,3 +158,21 @@ def test_stream_stream_join_matches_batch_interval_join(spark, sf_dir):
     )
     expect = {r["user_id"]: r["n_pairs"] for r in batch.collect()}
     assert got == expect
+
+
+def test_foreachbatch_upsert_idempotent_under_redelivery(spark, sf_dir):
+    """The duplicate second micro-batch must add NOTHING: target counts
+    equal the single-copy batch per-type counts."""
+    from good_enough_timecamp_data_pipeline_spark.plans.northstar import s_stream_upsert
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    got = {r["event_type"]: r["n"] for r in s_stream_upsert(spark, sf_dir).collect()}
+    expect = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
