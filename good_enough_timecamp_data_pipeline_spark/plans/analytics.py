@@ -513,3 +513,43 @@ e AS (
 )
 SELECT p_partkey, s.pos AS pos, s.word AS word FROM e
 """.strip()
+
+
+def f_month_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders bucketed into the reference's 6-calendar-month fetch batches
+    (``ENTRY_BATCH_MONTHS = 6``, reference dlt_fetch_timecamp.py:37,
+    174-191): batch key = whole calendar months since the epoch origin,
+    integer-divided by 6.
+
+    Month distance is the pure integer form ``(year·12 + month)`` delta —
+    identical on every engine, unlike fractional ``months_between``
+    (Spark's 31-day-fraction rule has no DuckDB twin). Map-only + one
+    combinable agg."""
+    orders = load_table(spark, sf_dir, "orders")
+    origin_months = 1992 * 12 + 1
+    months = F.year("o_orderdate") * 12 + F.month("o_orderdate") - origin_months
+    return (
+        orders.withColumn("m", months.cast("long"))
+        .withColumn("batch_id", F.expr("m div 6"))
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+F_MONTH_BATCHES_SQL = """
+WITH m AS (
+    SELECT o_orderdate,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                - (1992 * 12 + 1) AS BIGINT) AS m
+    FROM orders
+)
+SELECT m // 6 AS batch_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM m GROUP BY m // 6
+""".strip()

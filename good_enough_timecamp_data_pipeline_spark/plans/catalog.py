@@ -171,6 +171,7 @@ register(
     "w_rank_distribution", analytics.w_rank_distribution, analytics.W_RANK_DISTRIBUTION_SQL
 )
 register("x_posexplode", analytics.x_posexplode, analytics.X_POSEXPLODE_SQL)
+register("f_month_batches", analytics.f_month_batches, analytics.F_MONTH_BATCHES_SQL)
 register("a_grouping_sets", advanced.a_grouping_sets, advanced.A_GROUPING_SETS_SQL)
 register(
     "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL

@@ -144,3 +144,13 @@ def test_chunking_covers_all_tokens_with_overlap(spark, sf_dir):
         assert last["chunk_start"] + last["n_chunk_toks"] - 1 == n
         for c in cs:
             assert 1 <= c["n_chunk_toks"] <= training._CHUNK
+
+
+def test_month_batches_six_month_spans(spark, sf_dir):
+    rows = analytics.f_month_batches(spark, sf_dir).collect()
+    assert sum(r["n_orders"] for r in rows) == load_table(spark, sf_dir, "orders").count()
+    for r in rows:
+        # every batch spans at most 6 calendar months
+        f, l = r["first_order"], r["last_order"]
+        months = (l.year - f.year) * 12 + (l.month - f.month)
+        assert 0 <= months < 6
