@@ -39,7 +39,58 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.report_project_budget(spark, sf_dir)
 
 
+# Registration order is deliberate: the driver's correctness gate checks the
+# FIRST 50 entries of queries().  Rounds 1-2 confirmed the original first 50
+# (CORRECTNESS_r01/r02); round 3 rotates the 32 oracle-backed queries the
+# driver has never checked into the front, followed by queries new this
+# round, so every oracle query accumulates a driver-confirmed row across
+# rounds.  Already-confirmed queries follow, rows-only entries last.
+
+# --- rotation front: oracle queries not yet driver-confirmed (r2 adds) ------
+register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
+register(
+    "e_retention_cohorts", analytics.e_retention_cohorts, analytics.E_RETENTION_COHORTS_SQL
+)
+register("e_funnel_stages", analytics.e_funnel_stages, analytics.E_FUNNEL_STAGES_SQL)
+register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
+register("j_scd2_dim", analytics.j_scd2_dim, analytics.J_SCD2_DIM_SQL)
+register("t_topk_tokens", analytics.t_topk_tokens, analytics.T_TOPK_TOKENS_SQL)
+register("d_dq_violations", analytics.d_dq_violations, analytics.D_DQ_VIOLATIONS_SQL)
+register("t_scrub_pii", analytics.t_scrub_pii, analytics.T_SCRUB_PII_SQL)
+register("x_grouped_list", analytics.x_grouped_list, analytics.X_GROUPED_LIST_SQL)
+register("w_ntile_quartiles", analytics.w_ntile_quartiles, analytics.W_NTILE_QUARTILES_SQL)
+register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
+register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
+register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
+register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
+register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
+register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
+register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
+register("t_winnow", advanced.t_winnow, advanced.T_WINNOW_SQL)
+register("t_bpe_tokens", advanced.t_bpe_tokens, advanced.T_BPE_TOKENS_SQL)
+register("c_snapshot_diff", advanced.c_snapshot_diff, advanced.C_SNAPSHOT_DIFF_SQL)
+register("t_decontam", training.t_decontam, training.T_DECONTAM_SQL)
+register("t_seq_pack", training.t_seq_pack, training.T_SEQ_PACK_SQL)
+register("t_mixture_weights", training.t_mixture_weights, training.T_MIXTURE_WEIGHTS_SQL)
+register("t_repetition", training.t_repetition, training.T_REPETITION_SQL)
+register("t_shard_assign", training.t_shard_assign, training.T_SHARD_ASSIGN_SQL)
+register(
+    "w_rank_distribution", analytics.w_rank_distribution, analytics.W_RANK_DISTRIBUTION_SQL
+)
+register("x_posexplode", analytics.x_posexplode, analytics.X_POSEXPLODE_SQL)
+register("f_month_batches", analytics.f_month_batches, analytics.F_MONTH_BATCHES_SQL)
+register("a_grouping_sets", advanced.a_grouping_sets, advanced.A_GROUPING_SETS_SQL)
+register(
+    "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL
+)
+register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
+register("t_chunking", training.t_chunking, training.T_CHUNKING_SQL)
+
+# --- rotation front: new this round (driver has never seen these) -----------
+# (round-3 additions registered here, inside the first-50 window)
+
 # --- SURVEY §2.5 + §7 M1: flagship recursive-rollup reports ----------------
+# (driver-confirmed r01+r02)
 register(
     "report_task_budget", reports.report_task_budget, reports.oracle_task_budget_sql()
 )
@@ -134,50 +185,6 @@ register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS
 
 # --- SURVEY §2.11 north-star: similarity search ----------------------------
 register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
-register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
-
-# --- warehouse analytics + pipeline hygiene (round 2) ----------------------
-register(
-    "e_retention_cohorts", analytics.e_retention_cohorts, analytics.E_RETENTION_COHORTS_SQL
-)
-register("e_funnel_stages", analytics.e_funnel_stages, analytics.E_FUNNEL_STAGES_SQL)
-register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
-register("j_scd2_dim", analytics.j_scd2_dim, analytics.J_SCD2_DIM_SQL)
-register("t_topk_tokens", analytics.t_topk_tokens, analytics.T_TOPK_TOKENS_SQL)
-register("d_dq_violations", analytics.d_dq_violations, analytics.D_DQ_VIOLATIONS_SQL)
-register("t_scrub_pii", analytics.t_scrub_pii, analytics.T_SCRUB_PII_SQL)
-register("x_grouped_list", analytics.x_grouped_list, analytics.X_GROUPED_LIST_SQL)
-register("w_ntile_quartiles", analytics.w_ntile_quartiles, analytics.W_NTILE_QUARTILES_SQL)
-
-# --- scale patterns (round 2): clustering, range join, repair, merge -------
-register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
-register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
-register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
-register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
-register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
-register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
-register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
-register("t_winnow", advanced.t_winnow, advanced.T_WINNOW_SQL)
-register("t_bpe_tokens", advanced.t_bpe_tokens, advanced.T_BPE_TOKENS_SQL)
-register("c_snapshot_diff", advanced.c_snapshot_diff, advanced.C_SNAPSHOT_DIFF_SQL)
-
-# --- training-data curation (round 2, batch 2) -----------------------------
-register("t_decontam", training.t_decontam, training.T_DECONTAM_SQL)
-register("t_seq_pack", training.t_seq_pack, training.T_SEQ_PACK_SQL)
-register("t_mixture_weights", training.t_mixture_weights, training.T_MIXTURE_WEIGHTS_SQL)
-register("t_repetition", training.t_repetition, training.T_REPETITION_SQL)
-register("t_shard_assign", training.t_shard_assign, training.T_SHARD_ASSIGN_SQL)
-register(
-    "w_rank_distribution", analytics.w_rank_distribution, analytics.W_RANK_DISTRIBUTION_SQL
-)
-register("x_posexplode", analytics.x_posexplode, analytics.X_POSEXPLODE_SQL)
-register("f_month_batches", analytics.f_month_batches, analytics.F_MONTH_BATCHES_SQL)
-register("a_grouping_sets", advanced.a_grouping_sets, advanced.A_GROUPING_SETS_SQL)
-register(
-    "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL
-)
-register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
-register("t_chunking", training.t_chunking, training.T_CHUNKING_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)
