@@ -30,10 +30,13 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention triangle over events.
 
     cohort_day = the user's first-seen date; one row per (cohort_day,
-    day_offset) with the distinct users active at that offset. Two
-    shuffles: min-ts per user (map-side combinable), then the distinct
-    count on the (cohort, offset) pair. The first-seen dim is user-sized —
-    broadcast into the activity join.
+    day_offset) with the distinct users active at that offset. Shuffles:
+    min-ts per user (map-side combinable), the user_id equi-join, then the
+    distinct count on the (cohort, offset) pair. The first-seen side is
+    USER-cardinality — it grows with the corpus, so it is deliberately NOT
+    broadcast (billions of users at 100 TB would OOM every executor);
+    both sides shuffle on user_id and AQE may still pick a broadcast at
+    small scale from runtime stats.
     """
     events = load_table(spark, sf_dir, "events")
     first_seen = events.groupBy("user_id").agg(
@@ -41,7 +44,7 @@ def e_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         events.select("user_id", F.to_date("ts").alias("activity_day"))
-        .join(F.broadcast(first_seen), "user_id")
+        .join(first_seen, "user_id")
         .groupBy(
             "cohort_day",
             F.datediff("activity_day", "cohort_day").alias("day_offset"),

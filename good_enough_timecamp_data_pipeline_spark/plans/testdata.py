@@ -40,24 +40,44 @@ TABLES = (
 
 
 def ensure_events_read_conf(spark: SparkSession) -> None:
-    """events.parquet carries TIMESTAMP(NANOS); Spark rejects it unless
-    spark.sql.legacy.parquet.nanosAsLong is set. Runtime-settable — call
-    before ANY read of events (batch or the streaming chunk writer), so the
-    code works under sessions we didn't build (the driver's)."""
+    """Some vintages of events.parquet carry TIMESTAMP(NANOS); Spark rejects
+    those unless spark.sql.legacy.parquet.nanosAsLong is set (a no-op for
+    files that already carry µs timestamps). Runtime-settable — call before
+    ANY read of events (batch or the streaming chunk writer), so the code
+    works under sessions we didn't build (the driver's)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Bring ``events.ts`` to one canonical type (TIMESTAMP, UTC session)
+    regardless of how the file shipped.
+
+    Testdata has drifted across rounds: TIMESTAMP(NANOS) — which the
+    nanosAsLong conf surfaces as a long — and plain ``timestamp[us]``
+    (TIMESTAMP_NTZ to Spark). Branch on the *resolved* dtype instead of
+    assuming a vintage:
+
+    - long nanos → floor-divide to µs (DuckDB also truncates ns → its
+      native µs timestamps, keeping the oracle bit-identical);
+    - TIMESTAMP_NTZ → value-preserving cast to TIMESTAMP under the UTC
+      session (what every downstream plan and the DuckDB oracle assume).
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Set the nanos conf HERE, not only in our own get_spark() builder:
         # the driver verifies queries() under its own SparkSession where the
-        # conf would otherwise be unset and every events read dies with
-        # PARQUET_TYPE_ILLEGAL (round-1 ADVICE item 1).
+        # conf would otherwise be unset and a nanos-vintage events read dies
+        # with PARQUET_TYPE_ILLEGAL (round-1 ADVICE item 1).
         ensure_events_read_conf(spark)
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # ts arrives as long nanos: floor-divide to micros — matching DuckDB,
-        # which truncates ns → its native µs timestamps.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -32,11 +32,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.testdata import ensure_events_read_conf
+from ..plans.testdata import ensure_events_read_conf, normalize_events_ts
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from .windows import EVENTS_RAW_SCHEMA
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matches e_sessionize
 
@@ -104,7 +103,9 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> 
 
     ensure_events_read_conf(spark)
     out = tempfile.mkdtemp(prefix="events_chunks_")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # normalize ts at chunk-write time so the chunks carry ONE canonical
+    # type (timestamp) no matter which testdata vintage the source file is
+    events = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     # one scan + one range shuffle: RangePartitioner assigns ascending ts
     # ranges to ascending partition ids, so part-file NAME order is already
     # time order — only the mtimes need explicit spacing afterwards.
@@ -129,12 +130,14 @@ def streaming_sessionize(
 
     src = _chunked_events_dir(spark, sf_dir, n_chunks)
     stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        # schema from a batch read of the chunks we just wrote (they carry
+        # the normalized timestamp ts — see _chunked_events_dir)
+        spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .select(
             F.col("user_id"),
-            (F.col("ts") / 1000).cast("long").alias("ts_us"),  # nanos → micros
+            F.unix_micros(F.col("ts")).alias("ts_us"),
         )
     )
     sessions = stream.groupBy("user_id").applyInPandasWithState(

@@ -19,19 +19,18 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.testdata import ensure_events_read_conf
+from ..plans.testdata import ensure_events_read_conf, normalize_events_ts
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (nanosAsLong read)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Stream-source schema derived from a batch read of the SAME file —
+    never hardcoded. FileStreamSource requires an explicit schema, and a
+    pinned one silently desyncs when testdata drifts (round 3: ``ts``
+    moved from long-nanos to timestamp[us] and every hardcoded-schema
+    stream broke). A parquet footer read costs one metadata op."""
+    ensure_events_read_conf(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def streaming_tumbling_counts(
@@ -52,10 +51,8 @@ def streaming_tumbling_counts(
     ensure_events_read_conf(spark)
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(spark, sf_dir)).parquet(stream_dir)
     )
     agg = (
         stream.withWatermark("ts", watermark)
@@ -84,10 +81,8 @@ def streaming_sliding_counts(
     ensure_events_read_conf(spark)
     stream_dir = tempfile.mkdtemp(prefix="events_stream_")
     os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(spark, sf_dir)).parquet(stream_dir)
     )
     agg = (
         stream.withWatermark("ts", watermark)
@@ -154,11 +149,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         link = f"{stream_dir}/{name}"
         os.symlink(src, link)
         os.utime(link, (base + i * 10, base + i * 10), follow_symlinks=False)
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     deduped = (
         stream.withWatermark("ts", "1 hour")
@@ -196,9 +190,11 @@ def streaming_stream_join(
 
     def side(kind: str, ts_name: str) -> DataFrame:
         return (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
-            .parquet(stream_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            normalize_events_ts(
+                spark.readStream.schema(events_stream_schema(spark, sf_dir)).parquet(
+                    stream_dir
+                )
+            )
             .filter(F.col("event_type") == kind)
             .select(
                 F.col("user_id").alias(f"{kind}_user"),
@@ -276,11 +272,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         os.symlink(src, link)
         os.utime(link, (base + i * 10, base + i * 10), follow_symlinks=False)
 
-    stream = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
