@@ -1,9 +1,26 @@
 """Benchmark harness — driver contract.
 
 Runs every catalog query at ``$SPARK_GRAFT_SF_DIR`` (default
-``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line: ``{"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}``.
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints TWO
+JSON lines:
+
+1. a full detail line ``{"metric": "per_query_runtime", "unit": "sec",
+   "queries": {name: sec}, "errors": {name: msg}}`` with every catalog
+   entry (the 93-entry map overflowed the driver's tail buffer in r2, so
+   it is not the parsed line);
+2. the final, driver-parsed line ``{"metric": "catalog_total_runtime",
+   "value": total_sec, "unit": "sec", "queries": {headline: sec},
+   "n_ok": ..., "n_err": ..., "sf": ...}`` kept compact — the two
+   flagship reports plus the five slowest queries of this run.
+
+The full map is also written to ``bench_detail.json`` next to this file as
+a durable side-channel (ADVICE r3: the parsed line alone drops 86 of 93
+timings).
+
+Failures are ISOLATED: one broken query records an error entry and the
+rest still run (round 3 lost ALL numbers to a single events-schema crash).
+A non-zero exit happens only if the harness itself breaks, never because a
+query does.
 
 Each query is materialized through the ``noop`` sink so the full plan
 (including formatting columns) executes without collect() driver transfer.
@@ -32,22 +49,42 @@ def main() -> None:
 
     spark = get_spark("bench")
     # warm-up: JVM + codegen + parquet footer reads
-    catalog.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        catalog.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    except Exception as e:  # even a broken flagship must not kill the bench
+        print(f"warm-up failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in catalog.queries().items():
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # operators pin reused intermediates (shingles, LSH buckets);
-        # drop them so later queries aren't timed under cache pressure
-        spark.catalog.clearCache()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+        finally:
+            # operators pin reused intermediates (shingles, LSH buckets);
+            # drop them so later queries aren't timed under cache pressure
+            spark.catalog.clearCache()
 
-    # The 93-entry per-query map overflowed the driver's tail buffer in r2
-    # (BENCH_r02.json parsed:null), so print the detail map on its OWN line
-    # first and keep the final line — the one the driver parses — compact.
-    print(json.dumps({"metric": "per_query_runtime", "unit": "sec", "queries": timings}))
+    detail = {
+        "metric": "per_query_runtime",
+        "unit": "sec",
+        "queries": timings,
+        "errors": errors,
+    }
+    print(json.dumps(detail))
     sys.stdout.flush()
+    try:  # durable side-channel for per-query regression tracking
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
+            "w",
+        ) as f:
+            json.dump({**detail, "sf": sf}, f, indent=1)
+    except OSError as e:
+        print(f"bench_detail.json write failed: {e}", file=sys.stderr)
+
     # Final (parsed) line stays small: headline queries only — the two
     # flagship reports plus the five slowest of this run.
     headline = {
@@ -64,6 +101,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": headline,
+                "n_ok": len(timings),
+                "n_err": len(errors),
                 "sf": sf,
             }
         )

@@ -74,9 +74,15 @@ def kmeans(
         F.col(vec_col).cast("array<double>").alias("v"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    centroids = np.array(
-        [list(r["v"]) for r in data.orderBy("vec_id").limit(k).collect()]
-    )
+    init = [list(r["v"]) for r in data.orderBy("vec_id").limit(k).collect()]
+    if not init:
+        data.unpersist()
+        raise ValueError("kmeans: input has no vectors")
+    # fewer vectors than requested clusters: every vector is its own
+    # centroid (k silently clamps — the later np.zeros(k) state arrays
+    # must match the true centroid count or assignment indexes past them)
+    k = min(k, len(init))
+    centroids = np.array(init)
 
     inertia_history: list[float] = []
     for _ in range(max_iter):

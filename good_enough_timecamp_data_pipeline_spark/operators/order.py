@@ -40,13 +40,27 @@ def md5_prefix_bucket(key: Column, hex_digits: int = 2) -> Column:
 
 
 def long_range_bucket(df: DataFrame, key: Column, n_buckets: int = 256) -> Column:
-    """Monotone bucket for a numeric key: fixed arithmetic ranges between
+    """Monotone bucket for a NUMERIC key: fixed arithmetic ranges between
     the observed min/max (one exact, deterministic pre-aggregation —
     hash-agg, not a window). Near-equal buckets when the key is roughly
     uniform/dense (ids); skewed keys still give CORRECT order, just
-    uneven buckets."""
+    uneven buckets.
+
+    Empty input returns a constant bucket (nothing to order). Non-numeric
+    keys fail fast here — arithmetic on a string key would otherwise
+    surface as an opaque ANSI cast error deep in the caller's plan; use
+    ``md5_prefix_bucket`` over ``F.md5(key)`` for arbitrary key types.
+    """
     row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
     lo, hi = row["lo"], row["hi"]
+    if lo is None:  # empty (or all-null-key) input
+        return F.lit(0).cast("int")
+    if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+        raise TypeError(
+            f"long_range_bucket needs a numeric key, got {type(lo).__name__}; "
+            "for string/other keys sort by F.md5(key) and bucket with "
+            "md5_prefix_bucket"
+        )
     span = max(int(hi) - int(lo) + 1, 1)
     width = max(span // n_buckets + (1 if span % n_buckets else 0), 1)
     return ((key - F.lit(int(lo))) / F.lit(width)).cast("int")

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .order import global_row_number, long_range_bucket
+from .order import global_row_number, md5_prefix_bucket
 
 
 def _c(col: Column | str) -> Column:
@@ -197,16 +197,20 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cvec")
     ).withColumn("_cnorm", norm("_cvec"))
 
-    # 1. deterministic "training": every n-th vector by id order.
-    # Corpus count comes from a hash-agg (not a count-window) and the id
-    # rank from the distributed two-level row_number (operators/order.py)
-    # bucketed by fixed id ranges — no single-partition WindowExec over
-    # the corpus, so training scales with the corpus like assign/probe do.
+    # 1. deterministic "training": every n-th vector by md5(id) order —
+    # an id-type-agnostic, uniformly-shuffled total order, so the stride
+    # sample is effectively a seeded uniform sample (better list balance
+    # than raw-id order when ids correlate with insert time, and string
+    # ids work unchanged). Corpus count comes from a hash-agg (not a
+    # count-window) and the rank from the distributed two-level row_number
+    # (operators/order.py) bucketed by md5 prefix — no single-partition
+    # WindowExec over the corpus, so training scales like assign/probe do.
     n_corpus = c.groupBy().count().collect()[0][0]
     stride = F.lit(max(n_corpus // n_lists, 1))
+    c_keyed = c.withColumn("_ok", F.md5(F.col("neighbor_id").cast("string")))
     centroids = (
         global_row_number(
-            c, F.col("neighbor_id"), long_range_bucket(c, F.col("neighbor_id")), out="_rk1"
+            c_keyed, F.col("_ok"), md5_prefix_bucket(F.col("_ok")), out="_rk1"
         )
         .withColumn("_rk", F.col("_rk1") - 1)
         .withColumn("_stride", stride)

@@ -101,6 +101,66 @@ def read_table(
     return r.csv(path)
 
 
+def to_s3a_path(path: str) -> str:
+    """Normalize an ``s3://`` URL (the reference's CLI form,
+    ``docs/fetch-project-data-to-s3.md:17``) to Spark's ``s3a://`` scheme —
+    the maintained Hadoop S3 connector; ``s3://``/``s3n://`` are legacy."""
+    for legacy in ("s3://", "s3n://"):
+        if path.startswith(legacy):
+            return "s3a://" + path[len(legacy):]
+    return path
+
+
+def configure_s3a(
+    spark: SparkSession,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    region: str | None = None,
+    endpoint: str | None = None,
+    path_style_access: bool = False,
+) -> None:
+    """S9: object-store sink is CONFIGURATION, not a separate writer — the
+    same division of labor as the reference, which swaps ``bucket_url`` +
+    env credentials and keeps the pipeline unchanged
+    (``docs/fetch-project-data-to-s3.md:6-17``).
+
+    Credentials fall back to the standard ``AWS_ACCESS_KEY_ID`` /
+    ``AWS_SECRET_ACCESS_KEY`` / ``AWS_DEFAULT_REGION`` env vars (what the
+    reference's ``DESTINATION__FILESYSTEM__CREDENTIALS__*`` map onto);
+    with none present the s3a default provider chain (instance profile,
+    env, etc.) applies. ``endpoint`` + ``path_style_access`` cover
+    S3-compatible stores (MinIO, Ceph). After this, every writer in this
+    module takes an ``s3a://bucket/prefix`` path as-is.
+
+    Requires hadoop-aws on the classpath (``--packages
+    org.apache.hadoop:hadoop-aws:<hadoop version>``) — not bundled in
+    this sandbox, so tests assert conf routing and the precise
+    missing-connector failure, not a live write.
+    """
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    access_key = access_key or os.environ.get("AWS_ACCESS_KEY_ID")
+    secret_key = secret_key or os.environ.get("AWS_SECRET_ACCESS_KEY")
+    region = region or os.environ.get("AWS_DEFAULT_REGION")
+    if access_key and secret_key:
+        hconf.set("fs.s3a.access.key", access_key)
+        hconf.set("fs.s3a.secret.key", secret_key)
+    if region:
+        hconf.set("fs.s3a.endpoint.region", region)
+    if endpoint:
+        hconf.set("fs.s3a.endpoint", endpoint)
+    if path_style_access:
+        hconf.set("fs.s3a.path.style.access", "true")
+    # committers: never rename-commit on an object store — magic committer
+    # writes task output straight to the final location with an atomic
+    # multipart completion (rename on S3 is a copy, and the v1 committer's
+    # directory rename is O(data) + non-atomic)
+    hconf.set("fs.s3a.committer.name", "magic")
+    hconf.set(
+        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a",
+        "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
+    )
+
+
 def write_duckdb(
     df: DataFrame,
     db_path: str,
@@ -250,8 +310,21 @@ def compact_table(
         writer.json(staging)
     else:
         writer.option("header", True).csv(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    # old-aside swap: the table path is never absent — readers between the
+    # two renames see either the old files or the new ones, and a crash
+    # leaves the old data recoverable under .__old__ instead of gone
+    # (rmtree-then-rename had a no-table window AND destroyed the original
+    # before the replacement was in place).
+    old = path.rstrip("/") + ".__old__"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        os.rename(old, path)  # roll back: original table returns
+        raise
+    shutil.rmtree(old)
     return n_files
 
 

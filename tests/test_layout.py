@@ -100,3 +100,76 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
     back = io.read_table(spark, str(tmp_path), "nation", fmt="orc")
     assert back.count() == nation.count()
     assert set(back.columns) == set(nation.columns)
+
+
+def test_compact_table_leaves_no_staging_or_backup(spark, sf_dir, tmp_path):
+    """The old-aside swap must clean up both transient dirs on success."""
+    import glob
+    import os
+
+    from good_enough_timecamp_data_pipeline_spark.sources import io
+
+    path = str(tmp_path / "swap")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.repartition(6).write.mode("overwrite").parquet(path)
+    io.compact_table(spark, path)
+    assert spark.read.parquet(path).count() == nation.count()
+    assert not os.path.exists(path + ".__compact__")
+    assert not os.path.exists(path + ".__old__")
+    assert glob.glob(f"{path}/part-*")
+
+
+def test_write_duckdb_roundtrip(spark, sf_dir, tmp_path):
+    """S10: the one reference-claimed warehouse sink runnable in this
+    sandbox (duckdb powers the oracle) — overwrite then append."""
+    import duckdb
+
+    from good_enough_timecamp_data_pipeline_spark.sources import io
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    db = str(tmp_path / "wh.duckdb")
+    io.write_duckdb(nation, db, "nation", staging_dir=str(tmp_path / "stg1"))
+    io.write_duckdb(
+        nation.limit(3), db, "nation", staging_dir=str(tmp_path / "stg2"), mode="append"
+    )
+    con = duckdb.connect(db)
+    try:
+        n = con.execute('SELECT COUNT(*) FROM "nation"').fetchone()[0]
+        cols = {d[0] for d in con.execute('SELECT * FROM "nation" LIMIT 0').description}
+    finally:
+        con.close()
+    assert n == nation.count() + 3
+    assert cols == set(nation.columns)
+
+
+def test_s3a_conf_routing(spark):
+    """S9: config-path coverage without a live bucket — creds/endpoint land
+    in the hadoop conf, s3:// URLs normalize to s3a://, and an actual s3a
+    access dies on the ABSENT CONNECTOR (proving the path dispatches into
+    the hadoop FS layer, the last hop this sandbox can check)."""
+    import pytest
+
+    from good_enough_timecamp_data_pipeline_spark.sources import io
+
+    assert io.to_s3a_path("s3://bkt/pfx/t") == "s3a://bkt/pfx/t"
+    assert io.to_s3a_path("s3n://bkt/x") == "s3a://bkt/x"
+    assert io.to_s3a_path("/local/path") == "/local/path"
+
+    io.configure_s3a(
+        spark,
+        access_key="AKTEST",
+        secret_key="sekrit",
+        region="eu-central-1",
+        endpoint="http://minio.local:9000",
+        path_style_access=True,
+    )
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.access.key") == "AKTEST"
+    assert hconf.get("fs.s3a.secret.key") == "sekrit"
+    assert hconf.get("fs.s3a.endpoint.region") == "eu-central-1"
+    assert hconf.get("fs.s3a.endpoint") == "http://minio.local:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.committer.name") == "magic"
+
+    with pytest.raises(Exception, match="S3AFileSystem|No FileSystem for scheme"):
+        spark.read.parquet(io.to_s3a_path("s3://no-such-bucket/t")).count()

@@ -66,3 +66,17 @@ def test_fact_side_window_is_bucket_partitioned(spark):
             "windowspecdefinition(", 1
         )[1].split(")", 1)[0]:
             raise AssertionError(f"unpartitioned fact window: {line}")
+
+
+def test_long_range_bucket_empty_input(spark):
+    df = spark.range(0).withColumn("k", F.col("id"))
+    b = long_range_bucket(df, F.col("k"))
+    assert global_row_number(df, F.col("k"), b).count() == 0
+
+
+def test_long_range_bucket_non_numeric_key_fails_fast(spark):
+    import pytest
+
+    df = spark.range(5).withColumn("k", F.md5(F.col("id").cast("string")))
+    with pytest.raises(TypeError, match="numeric key"):
+        long_range_bucket(df, F.col("k"))
