@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, analytics, northstar, relational, reports, training
+from . import advanced, analytics, extensions, northstar, relational, reports, training
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -40,29 +40,81 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registration order is deliberate: the driver's correctness gate checks the
-# FIRST 50 entries of queries().  Rounds 1-2 confirmed the original first 50
-# (CORRECTNESS_r01/r02); round 3 rotates the 32 oracle-backed queries the
-# driver has never checked into the front, followed by queries new this
-# round, so every oracle query accumulates a driver-confirmed row across
-# rounds.  Already-confirmed queries follow, rows-only entries last.
+# FIRST 50 entries of queries(). Window history: r1+r2 confirmed the original
+# ordering, r3 confirmed 43/50 of the rotated front (7 events queries failed
+# on the testdata ts-type drift, fixed this round). The r4 window re-checks,
+# in priority order: (a) the 7 r3 failures, (b) queries whose IMPLEMENTATION
+# changed this round (confirmations only attest the code as of the checked
+# round — ADVICE r3), (c) the 10 queries new this round, then (d) the 32
+# oracle queries not re-checked since r1/r2. Everything r3 confirmed
+# unchanged follows after slot 50; rows-only entries last.
 
-# --- rotation front: oracle queries not yet driver-confirmed (r2 adds) ------
-register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
+# --- (a) r3 failures, all events-readers, fixed by normalize_events_ts -----
 register(
     "e_retention_cohorts", analytics.e_retention_cohorts, analytics.E_RETENTION_COHORTS_SQL
 )
 register("e_funnel_stages", analytics.e_funnel_stages, analytics.E_FUNNEL_STAGES_SQL)
-register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
 register("j_scd2_dim", analytics.j_scd2_dim, analytics.J_SCD2_DIM_SQL)
+register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
+register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
+register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
+register("a_percentiles", relational.a_percentiles, relational.A_PERCENTILES_SQL)
+
+# --- (b) implementation changed this round (graph.py localCheckpoint) ------
+register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
+
+# --- (c) new this round: plans/extensions.py -------------------------------
+for _name, (_fn, _sql) in extensions.EXTENSION_QUERIES.items():
+    register(_name, _fn, _sql)
+
+# --- (d) oracle queries not re-checked since r1/r2 -------------------------
+# events-readers first (their load path changed via normalize_events_ts):
+register("f_json_props", relational.f_json_props, relational.F_JSON_PROPS_SQL)
+register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
+register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)
+register("x_asof_join", relational.x_asof_join, relational.X_ASOF_JOIN_SQL)
+register("a_count_distinct", relational.a_count_distinct, relational.A_COUNT_DISTINCT_SQL)
+register("x_cube", relational.x_cube, relational.X_CUBE_SQL)
+register("w_frames", relational.w_frames, relational.W_FRAMES_SQL)
+register(
+    "h_breadcrumb_levels",
+    relational.h_breadcrumb_levels,
+    relational.H_BREADCRUMB_LEVELS_SQL,
+)
+register("f_formatting_wide", relational.f_formatting_wide, relational.F_FORMATTING_WIDE_SQL)
+register("f_string_ids", relational.f_string_ids, relational.F_STRING_IDS_SQL)
+register("f_dates", relational.f_dates, relational.F_DATES_SQL)
+register("f_date_explode", relational.f_date_explode, relational.F_DATE_EXPLODE_SQL)
+register("o_sort_topk", relational.o_sort_topk, relational.O_SORT_TOPK_SQL)
+register("o_set_ops", relational.o_set_ops, relational.O_SET_OPS_SQL)
+register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_SQL)
+register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
+register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
+register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
+register("x_profile", relational.x_profile, relational.X_PROFILE_SQL)
+register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
+register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)
+register("t_langid", northstar.t_langid, northstar.T_LANGID_SQL)
+register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
+register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
+register("t_corpus_prep", northstar.t_corpus_prep, northstar.T_CORPUS_PREP_SQL)
+register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
+register("t_balanced_sample", northstar.t_balanced_sample, northstar.T_BALANCED_SAMPLE_SQL)
+register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
+register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
+register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
+register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS_SQL)
+register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
+# ---------------------------- end of first-50 window -----------------------
+
+# --- confirmed r3 (43/50 minus the failures re-listed above), unchanged ----
+register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
+register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
 register("t_topk_tokens", analytics.t_topk_tokens, analytics.T_TOPK_TOKENS_SQL)
 register("d_dq_violations", analytics.d_dq_violations, analytics.D_DQ_VIOLATIONS_SQL)
 register("t_scrub_pii", analytics.t_scrub_pii, analytics.T_SCRUB_PII_SQL)
 register("x_grouped_list", analytics.x_grouped_list, analytics.X_GROUPED_LIST_SQL)
 register("w_ntile_quartiles", analytics.w_ntile_quartiles, analytics.W_NTILE_QUARTILES_SQL)
-register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
-register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
-register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
-register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
 register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
 register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
 register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
@@ -85,12 +137,6 @@ register(
 )
 register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
 register("t_chunking", training.t_chunking, training.T_CHUNKING_SQL)
-
-# --- rotation front: new this round (driver has never seen these) -----------
-# (round-3 additions registered here, inside the first-50 window)
-
-# --- SURVEY §2.5 + §7 M1: flagship recursive-rollup reports ----------------
-# (driver-confirmed r01+r02)
 register(
     "report_task_budget", reports.report_task_budget, reports.oracle_task_budget_sql()
 )
@@ -99,8 +145,6 @@ register(
     reports.report_project_budget,
     reports.oracle_project_budget_sql(),
 )
-
-# --- SURVEY §2.2 projections / filters -------------------------------------
 register("p_filter_pushdown", relational.p_filter_pushdown, relational.P_FILTER_PUSHDOWN_SQL)
 register(
     "p_null_canonicalization",
@@ -108,8 +152,6 @@ register(
     relational.P_NULL_CANONICALIZATION_SQL,
 )
 register("p_type_coercion", relational.p_type_coercion, relational.P_TYPE_COERCION_SQL)
-
-# --- SURVEY §2.3 joins ------------------------------------------------------
 register("j_broadcast_lookup", relational.j_broadcast_lookup, relational.J_BROADCAST_LOOKUP_SQL)
 register(
     "j_first_group_enrich",
@@ -124,67 +166,12 @@ register(
     relational.J_ASSEMBLY_LEFT_DEFAULTS_SQL,
 )
 register("j_fuzzy_match", relational.j_fuzzy_match, relational.J_FUZZY_MATCH_SQL)
-
-# --- SURVEY §2.4 aggregations ----------------------------------------------
 register("a_groupsum_pricing", relational.a_groupsum_pricing, relational.A_GROUPSUM_PRICING_SQL)
 register("a_stats_minmax", relational.a_stats_minmax, relational.A_STATS_MINMAX_SQL)
 register("a_distinct_ids", relational.a_distinct_ids, relational.A_DISTINCT_IDS_SQL)
 register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
 register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
-register("a_percentiles", relational.a_percentiles, relational.A_PERCENTILES_SQL)
-
-# --- SURVEY §2.5 hierarchy --------------------------------------------------
 register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)
-register(
-    "h_breadcrumb_levels",
-    relational.h_breadcrumb_levels,
-    relational.H_BREADCRUMB_LEVELS_SQL,
-)
-
-# --- SURVEY §2.8 scalar functions -------------------------------------------
-register("f_formatting_wide", relational.f_formatting_wide, relational.F_FORMATTING_WIDE_SQL)
-register("f_string_ids", relational.f_string_ids, relational.F_STRING_IDS_SQL)
-register("f_dates", relational.f_dates, relational.F_DATES_SQL)
-register("f_date_explode", relational.f_date_explode, relational.F_DATE_EXPLODE_SQL)
-register("f_json_props", relational.f_json_props, relational.F_JSON_PROPS_SQL)
-
-# --- SURVEY §2.6/2.7 windows, sorts, sets ----------------------------------
-register("o_sort_topk", relational.o_sort_topk, relational.O_SORT_TOPK_SQL)
-register("o_set_ops", relational.o_set_ops, relational.O_SET_OPS_SQL)
-register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_SQL)
-register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
-register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
-register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
-register("x_profile", relational.x_profile, relational.X_PROFILE_SQL)
-
-# --- event-time batch queries ----------------------------------------------
-register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
-register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)
-
-# --- temporal/analytic extensions ------------------------------------------
-register("x_asof_join", relational.x_asof_join, relational.X_ASOF_JOIN_SQL)
-register("a_count_distinct", relational.a_count_distinct, relational.A_COUNT_DISTINCT_SQL)
-register("x_cube", relational.x_cube, relational.X_CUBE_SQL)
-register("w_frames", relational.w_frames, relational.W_FRAMES_SQL)
-
-# --- SURVEY §2.11 north-star: text analysis --------------------------------
-register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
-register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)
-register("t_langid", northstar.t_langid, northstar.T_LANGID_SQL)
-register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
-register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
-register("t_corpus_prep", northstar.t_corpus_prep, northstar.T_CORPUS_PREP_SQL)
-register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
-register("t_balanced_sample", northstar.t_balanced_sample, northstar.T_BALANCED_SAMPLE_SQL)
-
-# --- SURVEY §2.11 north-star: deduplication --------------------------------
-register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
-register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
-register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
-register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS_SQL)
-
-# --- SURVEY §2.11 north-star: similarity search ----------------------------
-register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)

@@ -1,0 +1,422 @@
+"""Round-4 operator-coverage extensions (SURVEY §2.4/§2.6/§2.11).
+
+Ten further oracle-twinned queries widening the relational + LLM-pipeline
+surface beyond the round-3 catalog. Nothing here introduces a Python UDF:
+every operator stays in Catalyst expressions / built-in aggregates /
+windows, so whole-stage codegen covers the hot paths.
+
+Scale notes live on each query; the shared principles:
+
+- sliding windows in BATCH explode each row into window/slide buckets
+  (bounded fan-out, then one hash agg) — never a self-join on time range;
+- exact rolling-distinct (WAU) is the same trick: a user-day contributes
+  to exactly 7 report days, so explode 7× + re-aggregate beats a range
+  join that would rescan 7 days of rows per day;
+- "mode" is computed deterministically (count + row_number with a total
+  tie-break order), because both Spark's and DuckDB's native ``mode()``
+  break ties arbitrarily — an oracle comparison on arbitrary choice is a
+  coin flip, and so is a production rerun;
+- array math over embeddings (norms) stays in ``F.aggregate`` — JVM-side
+  expression folding, no Arrow transfer for a scalar-per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .testdata import load_table
+
+
+# ---------------------------------------------------------------------------
+# e_sliding_window — batch sliding-window counts (1 h window / 15 min slide)
+# ---------------------------------------------------------------------------
+
+def e_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ``streaming_sliding_counts``: each event lands in
+    window/slide = 4 overlapping hourly buckets. ``F.window`` with a slide
+    does the bounded 4× fan-out then one hash agg — the scan stays one
+    pass however long the window is, vs a time-range self-join that
+    rescans an hour of rows per slide."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+E_SLIDING_WINDOW_SQL = """
+SELECT time_bucket(INTERVAL 15 MINUTES, ts) - i * INTERVAL 15 MINUTES AS window_start,
+       event_type,
+       COUNT(*) AS n
+FROM events
+CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) g
+GROUP BY 1, 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# e_dau_wau — exact rolling 7-day distinct users, no range join
+# ---------------------------------------------------------------------------
+
+def e_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + exact WAU per active day.
+
+    Distinct-over-a-sliding-range has no native window form (COUNT
+    (DISTINCT) OVER RANGE is unsupported in Spark, and approx sketches
+    change the answer). The scale-correct exact plan: reduce to distinct
+    (day, user) pairs first (events-cardinality → user·day-cardinality,
+    the big cut), then each pair contributes to exactly 7 report days —
+    explode those 7 and hash-aggregate. Shuffles: the distinct, then one
+    agg per output; fan-out is a constant 7, independent of event volume.
+    """
+    du = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
+            "user_id",
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+E_DAU_WAU_SQL = """
+WITH du AS (
+    SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS dau FROM du GROUP BY day
+),
+wau AS (
+    SELECT day, COUNT(DISTINCT user_id) AS wau
+    FROM (
+        SELECT du.day + CAST(i AS INTEGER) AS day, du.user_id
+        FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i) g
+    )
+    GROUP BY day
+)
+SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau
+FROM dau JOIN wau USING (day)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# o_latest_per_key — current state from an event log
+# ---------------------------------------------------------------------------
+
+def o_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user (the log→current-state compaction every CDC
+    consumer runs). One shuffle on the key; ties on ts broken by event_id
+    so replays are deterministic. At scale this is the same plan as
+    dedup-by-pk: row_number over (key, order) — AQE handles skewed users."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.floor(F.col("value") * 100).cast("long").alias("last_value_cents"),
+        )
+    )
+
+
+O_LATEST_PER_KEY_SQL = """
+SELECT user_id,
+       ts AS last_ts,
+       event_type AS last_type,
+       CAST(FLOOR(value * 100) AS BIGINT) AS last_value_cents
+FROM (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+WHERE rn = 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# x_unpivot — wide → long reshape
+# ---------------------------------------------------------------------------
+
+def x_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.unpivot`` (melt): 3 measure columns → (metric, val)
+    rows. Narrow, no shuffle — the reshape is a per-row generator, and
+    the 3× row fan-out happens inside the scan stage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+X_UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_mode — deterministic per-group mode
+# ---------------------------------------------------------------------------
+
+def a_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal ship month per return flag, tie-broken by smallest month.
+
+    Built from count + row_number instead of native ``mode()``: both
+    Spark's and DuckDB's mode break ties arbitrarily, which makes reruns
+    (and oracle comparison) nondeterministic. Two hash aggs + a window
+    over the tiny (flag, month) count table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = (
+        li.select("l_returnflag", F.month("l_shipdate").alias("ship_month"))
+        .groupBy("l_returnflag", "ship_month")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("ship_month")
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("l_returnflag", F.col("ship_month").alias("modal_month"), "cnt")
+    )
+
+
+A_MODE_SQL = """
+SELECT l_returnflag, ship_month AS modal_month, cnt
+FROM (
+    SELECT l_returnflag, ship_month, cnt,
+           ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                              ORDER BY cnt DESC, ship_month ASC) AS rn
+    FROM (
+        SELECT l_returnflag, MONTH(l_shipdate) AS ship_month, COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2
+    )
+)
+WHERE rn = 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_corr_stats — correlation / covariance / stddev per group
+# ---------------------------------------------------------------------------
+
+def a_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate stats per return flag — single map-side-combinable agg
+    (corr/covar/stddev all fold to sum/sum-sq/cross-sum partials).
+    Rounded to 4 decimals: distributed summation order differs from the
+    oracle's sequential fold in the last ulps, and the comparison is on
+    exact strings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 4).alias("stddev_discount"),
+    )
+
+
+A_CORR_STATS_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(STDDEV_SAMP(l_discount), 4) AS stddev_discount
+FROM lineitem
+GROUP BY l_returnflag
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_conditional_agg — FILTER-clause aggregates
+# ---------------------------------------------------------------------------
+
+def a_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates in one pass (count_if / filtered sums) —
+    the idiom that replaces N self-joins with N predicates folded into a
+    single scan + hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_total"),
+        F.expr("count_if(l_quantity > 40)").alias("n_bulk"),
+        F.sum(F.when(F.col("l_linestatus") == "F", cents)).alias("cents_finished"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_discounted"),
+    )
+
+
+A_CONDITIONAL_AGG_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n_total,
+       COUNT(*) FILTER (WHERE l_quantity > 40) AS n_bulk,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+            FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS cents_finished,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+FROM lineitem
+GROUP BY l_returnflag
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_bigram_lm — bigram language-model statistics over documents
+# ---------------------------------------------------------------------------
+
+def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with conditional probability P(w2 | w1).
+
+    Tokenize → zip each token array with its own tail (``slice`` +
+    ``arrays_zip`` — expression-level, no posexplode self-join) → explode
+    → one hash agg. The conditional-probability window runs over the
+    AGGREGATED bigram table partitioned by w1 (vocabulary-sized, not
+    corpus-sized). All of it whole-stage codegen; no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    d = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = d.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    counted = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("w1")
+    return (
+        counted.withColumn(
+            "cond_p", F.round(F.col("cnt") / F.sum("cnt").over(w), 6)
+        )
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(50)
+    )
+
+
+T_BIGRAM_LM_SQL = """
+WITH t AS (
+    SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 2, len(toks))) AS w2
+    FROM t WHERE len(toks) >= 2
+),
+counted AS (
+    SELECT w1, w2, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2
+)
+SELECT w1, w2, cnt,
+       ROUND(cnt / SUM(cnt) OVER (PARTITION BY w1), 6) AS cond_p
+FROM counted
+ORDER BY cnt DESC, w1, w2
+LIMIT 50
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# s_embedding_stats — array math over the embedding column
+# ---------------------------------------------------------------------------
+
+def s_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm statistics. The norm is ``F.aggregate`` over the
+    array — JVM expression evaluation, one scalar per row, no Arrow/UDF
+    transfer; min/max of identical per-row doubles match the oracle
+    bit-for-bit, avg is rounded (summation-order ulps)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("_norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("_norm"), 4).alias("avg_norm"),
+            F.round(F.min("_norm"), 4).alias("min_norm"),
+            F.round(F.max("_norm"), 4).alias("max_norm"),
+        )
+    )
+
+
+S_EMBEDDING_STATS_SQL = """
+SELECT label,
+       COUNT(*) AS n,
+       ROUND(AVG(nrm), 4) AS avg_norm,
+       ROUND(MIN(nrm), 4) AS min_norm,
+       ROUND(MAX(nrm), 4) AS max_norm
+FROM (
+    SELECT label,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                        x -> x * x))) AS nrm
+    FROM embeddings
+)
+GROUP BY label
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# f_regex_extract — regexp_extract_all over documents
+# ---------------------------------------------------------------------------
+
+def f_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document long-word extraction via ``regexp_extract_all`` —
+    the scalar-function tier's list-returning regex (F-family companion
+    to the split/json functions). Pure projection: no shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    hits = F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{8,}"), 0)
+    return docs.select(
+        "doc_id",
+        F.size(hits).alias("n_long"),
+        F.size(F.array_distinct(hits)).alias("n_long_distinct"),
+    )
+
+
+F_REGEX_EXTRACT_SQL = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]{8,}', 0)) AS n_long,
+       len(list_distinct(regexp_extract_all(lower(text), '[a-z]{8,}', 0)))
+           AS n_long_distinct
+FROM documents
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# registration helper (catalog.py imports QUERIES from here)
+# ---------------------------------------------------------------------------
+
+EXTENSION_QUERIES = {
+    "e_sliding_window": (e_sliding_window, E_SLIDING_WINDOW_SQL),
+    "e_dau_wau": (e_dau_wau, E_DAU_WAU_SQL),
+    "o_latest_per_key": (o_latest_per_key, O_LATEST_PER_KEY_SQL),
+    "x_unpivot": (x_unpivot, X_UNPIVOT_SQL),
+    "a_mode": (a_mode, A_MODE_SQL),
+    "a_corr_stats": (a_corr_stats, A_CORR_STATS_SQL),
+    "a_conditional_agg": (a_conditional_agg, A_CONDITIONAL_AGG_SQL),
+    "t_bigram_lm": (t_bigram_lm, T_BIGRAM_LM_SQL),
+    "s_embedding_stats": (s_embedding_stats, S_EMBEDDING_STATS_SQL),
+    "f_regex_extract": (f_regex_extract, F_REGEX_EXTRACT_SQL),
+}
