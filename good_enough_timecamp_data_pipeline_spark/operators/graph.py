@@ -80,7 +80,7 @@ def connected_components(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("cluster_id", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum: int | None = None  # first round always runs; saves one job
     converged = False
@@ -89,14 +89,17 @@ def connected_components(
         nbr = und.join(labels, und["u"] == labels["node"]).select(
             F.col("v").alias("node"), "cluster_id"
         )
-        # eager localCheckpoint: materializes AND truncates lineage, so the
-        # plan Catalyst sees each round is one join+agg over a checkpoint
-        # scan, never the full iteration history (see module docstring)
+        # lazy localCheckpoint: the convergence agg below is the round's one
+        # job — it materializes the checkpoint as a side effect, and every
+        # later reference scans checkpoint blocks, so the plan Catalyst sees
+        # each round is one join+agg over a checkpoint scan, never the full
+        # iteration history (see module docstring). eager=True would pay a
+        # second materialization job per round for nothing.
         labels = (
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
         if new_sum == prev_sum:
