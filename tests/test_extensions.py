@@ -59,3 +59,15 @@ def test_embedding_stats_norm_bounds(spark, sf_dir):
     for r in rows:
         assert r["min_norm"] <= r["avg_norm"] <= r["max_norm"]
         assert r["min_norm"] > 0  # no zero vectors in testdata
+
+
+def test_lm_perplexity_scores_all_tokenizable_docs(spark, sf_dir):
+    """Every doc with ≥2 tokens gets a positive finite score; add-one
+    smoothing keeps probabilities < 1 so -ln p > 0."""
+    import math
+
+    rows = extensions.t_lm_perplexity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bigrams"] >= 1
+        assert r["avg_neg_logp"] > 0 and math.isfinite(r["avg_neg_logp"])
