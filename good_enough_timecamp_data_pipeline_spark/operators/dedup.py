@@ -123,6 +123,44 @@ def shingle_pairs_jaccard(
     )
 
 
+def minhash_band_buckets(
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(doc, band, bucket) LSH rows from exploded shingle rows (doc, sh).
+
+    K min-hashes per doc in ONE hash-agg pass (partial+final combine).
+    Two-level hash family: the variable-length shingle string is hashed
+    once, then the K family members hash (seed, base_long) — fixed
+    16-byte input, ~an order of magnitude cheaper than re-hashing the
+    string K times, and still pairwise-independent enough for MinHash.
+    The string hash is materialized ONCE per row: as an inline expression
+    it appears in all K agg children and codegen is not guaranteed to CSE
+    it across aggregate functions. Band buckets come from a single
+    projection+explode over the signature — never B separate scans.
+
+    This is the persistable INDEX of the corpus: in production it is
+    written once (partitioned/bucketed by (band, bucket)) and each new
+    batch probes it — see `incremental_lsh_pairs`.
+    """
+    rows_per_band = num_hashes // bands
+    sh_base = sh.withColumn("_base", F.xxhash64(F.col("sh")))
+    sig = sh_base.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("_base"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+        )
+    return sig.select(F.col("doc"), F.explode(F.array(*band_structs)).alias("bb")).select(
+        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -139,37 +177,8 @@ def minhash_lsh_pairs(
     methods agree (which is what the oracle asserts); the difference is
     cost: candidates come from B bucket-joins, never an all-pairs product.
     """
-    rows_per_band = num_hashes // bands
     sh = _pin(shingle_rows(df, text_col, id_col, n))
-    # K min-hashes per doc in ONE hash-agg pass (partial+final combine).
-    # Two-level hash family: the variable-length shingle string is hashed
-    # once, then the K family members hash (seed, base_long) — fixed
-    # 16-byte input, ~an order of magnitude cheaper than re-hashing the
-    # string K times, and still pairwise-independent enough for MinHash.
-    # materialize the string hash ONCE per row: as an inline expression it
-    # appears in all K agg children and codegen is not guaranteed to CSE it
-    # across aggregate functions — K regex-free but string-walking hashes
-    # per shingle row would dominate the pass
-    sh_base = sh.withColumn("_base", F.xxhash64(F.col("sh")))
-    sig = sh_base.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("_base"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    # band buckets in a single projection+explode over the signature —
-    # never B separate scans of sig.
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
-        )
-    buckets = _pin(
-        sig.select(F.col("doc"), F.explode(F.array(*band_structs)).alias("bb")).select(
-            "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-    )
+    buckets = _pin(minhash_band_buckets(sh, num_hashes, bands))
 
     candidates = _pin(
         buckets.alias("x")
@@ -213,4 +222,75 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup detection: probe a NEW batch against an
+    existing corpus index. Returns (id_new, dup_of, n_inter, n_new,
+    n_idx, jaccard) for cross-set pairs with exact Jaccard ≥ threshold.
+
+    The shape every continuously-growing 100 TB corpus needs: the corpus'
+    (doc, band, bucket) rows (`minhash_band_buckets`) are a persisted
+    artifact built ONCE; each arriving batch computes signatures only for
+    itself and bucket-joins the index — per-batch cost is O(batch), never
+    O(corpus), and with the index parquet bucketed by (band, bucket) the
+    probe join is exchange-free on the corpus side. Here both sides are
+    derived in-query (the sandbox has no persisted index), but the plan
+    boundary is the same: nothing recomputes corpus signatures per pair.
+
+    Exact verification restricts both shingle sets to candidate docs
+    before the intersection join, like `minhash_lsh_pairs`.
+    """
+    sh_new = _pin(shingle_rows(new_df, text_col, id_col, n))
+    sh_idx = _pin(shingle_rows(index_df, text_col, id_col, n))
+    b_new = minhash_band_buckets(sh_new, num_hashes, bands)
+    b_idx = minhash_band_buckets(sh_idx, num_hashes, bands)
+
+    candidates = _pin(
+        b_new.alias("x")
+        .join(
+            b_idx.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket")),
+        )
+        .select(F.col("x.doc").alias("id_new"), F.col("y.doc").alias("dup_of"))
+        .distinct()
+    )
+
+    cand_new = candidates.select(F.col("id_new").alias("doc")).distinct()
+    cand_idx = candidates.select(F.col("dup_of").alias("doc")).distinct()
+    shc_new = _pin(sh_new.join(F.broadcast(cand_new), "doc", "left_semi"))
+    shc_idx = _pin(sh_idx.join(F.broadcast(cand_idx), "doc", "left_semi"))
+    sz_new = shc_new.groupBy("doc").agg(F.count("*").alias("n_new"))
+    sz_idx = shc_idx.groupBy("doc").agg(F.count("*").alias("n_idx"))
+
+    inter = (
+        candidates.join(shc_new.alias("a"), F.col("id_new") == F.col("a.doc"))
+        .join(
+            shc_idx.alias("b"),
+            (F.col("dup_of") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("id_new", "dup_of")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sz_new.withColumnRenamed("doc", "id_new"), "id_new")
+        .join(sz_idx.withColumnRenamed("doc", "dup_of"), "dup_of")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_new") + F.col("n_idx") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "dup_of", "n_inter", "n_new", "n_idx", "jaccard")
     )

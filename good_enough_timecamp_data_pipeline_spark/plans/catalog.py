@@ -176,6 +176,9 @@ register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAI
 # --- added after the r4 window froze; rotate into the front next round -----
 for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
     register(_name, _fn, _sql)
+register(
+    "d_incremental_dedup", northstar.d_incremental_dedup, northstar.D_INCREMENTAL_DEDUP_SQL
+)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)

@@ -428,6 +428,73 @@ SELECT doc_id, lang, rk FROM ranked WHERE rk <= 30
 """.strip()
 
 
+def _docs_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic 'arriving batch' for incremental dedup: the usual injected
+    near-dups (every 19th doc + a 5-token suffix) PLUS genuinely novel docs
+    (every 17th doc with its token order reversed — word-5-gram shingles of
+    reversed text share nothing with the original, so these must NOT match
+    the index)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 19 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz vv ww yy")).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.reverse(F.split(F.trim(F.col("text")), r"\s+")), " "
+        ).alias("text"),
+    )
+    return dups.unionByName(novel)
+
+
+DOCS_NEW_BATCH_SQL = r"""
+SELECT doc_id + 1000000 AS doc_id, text || ' qq zz vv ww yy' AS text
+FROM documents WHERE doc_id % 19 = 0
+UNION ALL
+SELECT doc_id + 2000000,
+       array_to_string(list_reverse(list_filter(
+           string_split_regex(trim(text), '\s+'), x -> x <> '')), ' ')
+FROM documents WHERE doc_id % 17 = 0
+""".strip()
+
+
+def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a new batch probed against the corpus index
+    (`operators.dedup.incremental_lsh_pairs`). Per-batch cost O(batch),
+    never O(corpus) — the corpus' band buckets are the write-once index.
+    Oracle = exact cross-set Jaccard (32×2 banding misses a θ=0.5 pair
+    w.p. ~1e-4, same argument as `d_minhash_lsh`)."""
+    index = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup.incremental_lsh_pairs(
+        _docs_new_batch(spark, sf_dir), index, n=5, num_hashes=64, bands=32,
+        threshold=0.5,
+    )
+
+
+D_INCREMENTAL_DEDUP_SQL = f"""
+WITH newb AS ({DOCS_NEW_BATCH_SQL}),
+tn AS (SELECT doc_id, {TOKS_SQL} AS toks FROM newb),
+ti AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+shn AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM tn),
+shi AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM ti),
+szn AS (SELECT doc_id, COUNT(*) AS n_new FROM shn GROUP BY doc_id),
+szi AS (SELECT doc_id, COUNT(*) AS n_idx FROM shi GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_new, b.doc_id AS dup_of, COUNT(*) AS n_inter
+    FROM shn a JOIN shi b ON a.sh = b.sh
+    GROUP BY 1, 2
+)
+SELECT id_new, dup_of, n_inter,
+       szn.n_new AS n_new, szi.n_idx AS n_idx,
+       CAST(n_inter AS DOUBLE) / (szn.n_new + szi.n_idx - n_inter) AS jaccard
+FROM inter
+JOIN szn ON szn.doc_id = id_new
+JOIN szi ON szi.doc_id = dup_of
+WHERE CAST(n_inter AS DOUBLE) / (szn.n_new + szi.n_idx - n_inter) >= 0.5
+""".strip()
+
+
 def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ 3 over the
     duplicate-injected corpus.

@@ -133,3 +133,30 @@ def test_hash_split_rejects_bad_weights(spark):
     df = spark.createDataFrame([(1,)], "doc_id long")
     with _pytest.raises(ValueError):
         hash_split(df, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_incremental_dedup_finds_injected_dups_only(spark, sf_dir):
+    """Every injected near-dup (id+1000000) must match exactly its source
+    doc; reversed-token novel docs (id+2000000) must match nothing."""
+    from good_enough_timecamp_data_pipeline_spark.plans import northstar
+
+    rows = northstar.d_incremental_dedup(spark, sf_dir).collect()
+    assert rows, "injected dups must be detected"
+    found = {(r["id_new"], r["dup_of"]) for r in rows}
+    for r in rows:
+        # reversed-token novel docs must never match the index; injected
+        # dups may ALSO match natural near-dups of their source, so only
+        # the source pairing is asserted exhaustively below
+        assert r["id_new"] < 2000000, f"novel doc matched: {r}"
+        assert r["jaccard"] >= 0.5
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    injected = {
+        int(r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id % 19 = 0")
+        .select("doc_id")
+        .collect()
+    }
+    missing = {(i + 1000000, i) for i in injected} - found
+    assert not missing, f"injected dups not detected: {missing}"
