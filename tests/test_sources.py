@@ -359,3 +359,38 @@ def test_parallel_fetch_distributes_and_tolerates_failure(spark):
     # the failing date's batch contributed nothing; others all arrived
     assert "2026-01-03" not in dates
     assert dates == {"2026-01-01", "2026-01-02", "2026-01-04"}
+
+
+def test_cli_offline_demo_end_to_end(spark, tmp_path, capsys):
+    """The CLI surface (reference parity: --from/--to/--datasets/--format/
+    --output) runs the whole offline-demo pipeline and lands files."""
+    import os
+
+    from good_enough_timecamp_data_pipeline_spark import cli
+
+    out = str(tmp_path / "cli_out")
+    rc = cli.main([
+        "--from", "2025-01-01", "--to", "2026-02-01",
+        "--datasets", "tasks,entries",
+        "--format", "jsonl",
+        "--output", out,
+        "--offline-demo",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "tasks:" in printed and "entries:" in printed
+    assert os.path.isdir(os.path.join(out, "tasks"))
+    back = io.read_table(spark, out, "entries", fmt="jsonl")
+    assert back.count() > 0
+
+
+def test_cli_rejects_unknown_dataset_and_missing_key(tmp_path, monkeypatch):
+    import pytest as _pytest
+
+    from good_enough_timecamp_data_pipeline_spark import cli
+
+    with _pytest.raises(ValueError, match="Invalid datasets"):
+        cli.parse_datasets("tasks,nonsense")
+    monkeypatch.delenv("TIMECAMP_API_KEY", raising=False)
+    rc = cli.main(["--output", str(tmp_path), "--datasets", "tasks"])
+    assert rc == 2  # no API key and not offline-demo
