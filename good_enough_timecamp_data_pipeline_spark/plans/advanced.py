@@ -51,6 +51,20 @@ def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprint rows for docs shorter than the window are dropped (else
     every short doc would share the '' fingerprint — a false mega-clique).
     """
+    labels, fp = _fingerprint_labels(spark, sf_dir)
+    out = cluster_sizes(labels).select(
+        F.col("node").alias("doc"), "cluster_id", "cluster_size"
+    )
+    fp.unpersist()
+    return out
+
+
+def _fingerprint_labels(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(labels, pinned-fingerprints) over the two-fingerprint doc graph —
+    shared by `d_cc_clusters` and `d_dedup_survivors`. Caller unpersists
+    the returned fp after its final action."""
     docs = _docs_near_dup(spark, sf_dir).withColumn(
         "toks", text.tokenize(F.col("text"))
     )
@@ -70,17 +84,46 @@ def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
 
     edges = pairs("pre").unionByName(pairs("mid")).distinct()
-    labels = connected_components(edges)
-    out = cluster_sizes(labels).select(
-        F.col("node").alias("doc"), "cluster_id", "cluster_size"
+    return connected_components(edges), fp
+
+
+def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the decision step every dedup pipeline ends
+    with: per cluster keep ONE document (longest token count, ties to the
+    smallest id), mark the rest for deletion. Docs outside any cluster
+    survive as their own singleton.
+
+    Scale shape: the CC labels are node-sized (a sliver of the corpus);
+    the corpus left-joins them on doc_id, and the survivor choice is a
+    first_value window partitioned by cluster — cluster-sized groups, no
+    global order anywhere. The keep/delete column is what a downstream
+    `filter(keep = 1)` consumes, so the full corpus is scanned exactly
+    once end-to-end."""
+    labels, fp = _fingerprint_labels(spark, sf_dir)
+    all_docs = _docs_near_dup(spark, sf_dir).select(
+        "doc_id", F.size(text.tokenize(F.col("text"))).cast("long").alias("n_toks")
     )
+    labeled = (
+        all_docs.join(labels, all_docs["doc_id"] == labels["node"], "left")
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "n_toks",
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_toks"), F.asc("doc"))
+    out = labeled.select(
+        "doc",
+        "cluster_id",
+        "n_toks",
+        F.first_value("doc").over(w).alias("survivor"),
+    ).withColumn("keep", (F.col("doc") == F.col("survivor")).cast("int"))
     fp.unpersist()
     return out
 
 
 # NOTE list_slice(toks, 11, 30) is END-INDEX inclusive (= Spark slice(toks, 11, 20)).
-D_CC_CLUSTERS_SQL = f"""
-WITH RECURSIVE
+_CC_CORE_SQL = f"""
 d AS ({DOCS_NEAR_DUP_SQL}),
 t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM d),
 fp AS (
@@ -104,9 +147,31 @@ reach(node, lbl) AS (
     WHERE r.lbl < u.dst
 ),
 lab AS (SELECT node AS doc, MIN(lbl) AS cluster_id FROM reach GROUP BY node)
+""".strip()
+
+D_CC_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+{_CC_CORE_SQL}
 SELECT doc, cluster_id,
        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
 FROM lab
+""".strip()
+
+D_DEDUP_SURVIVORS_SQL = f"""
+WITH RECURSIVE
+{_CC_CORE_SQL},
+alln AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM t),
+labeled AS (
+    SELECT a.doc_id AS doc,
+           COALESCE(l.cluster_id, a.doc_id) AS cluster_id,
+           a.n_toks
+    FROM alln a LEFT JOIN lab l ON l.doc = a.doc_id
+)
+SELECT doc, cluster_id, n_toks,
+       FIRST_VALUE(doc) OVER w AS survivor,
+       CAST(doc = FIRST_VALUE(doc) OVER w AS INTEGER) AS keep
+FROM labeled
+WINDOW w AS (PARTITION BY cluster_id ORDER BY n_toks DESC, doc ASC)
 """.strip()
 
 

@@ -179,6 +179,7 @@ for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
 register(
     "d_incremental_dedup", northstar.d_incremental_dedup, northstar.D_INCREMENTAL_DEDUP_SQL
 )
+register("d_dedup_survivors", advanced.d_dedup_survivors, advanced.D_DEDUP_SURVIVORS_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)

@@ -275,3 +275,20 @@ def test_kmeans_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="no vectors"):
         kmeans(empty, k=4)
+
+
+def test_dedup_survivors_policy(spark, sf_dir):
+    """Exactly one survivor per cluster; survivor has the cluster's max
+    token count; non-clustered docs keep themselves."""
+    out = advanced.d_dedup_survivors(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        keepers = [r for r in rows if r["keep"] == 1]
+        assert len(keepers) == 1, f"cluster {cid}: {len(keepers)} keepers"
+        k = keepers[0]
+        assert k["doc"] == k["survivor"]
+        mx = max(r["n_toks"] for r in rows)
+        assert k["n_toks"] == mx
+        assert all(r["survivor"] == k["doc"] for r in rows)
