@@ -71,3 +71,40 @@ def test_lm_perplexity_scores_all_tokenizable_docs(spark, sf_dir):
     for r in rows:
         assert r["n_bigrams"] >= 1
         assert r["avg_neg_logp"] > 0 and math.isfinite(r["avg_neg_logp"])
+
+
+def test_load_table_handles_nanos_vintage(spark, sf_dir, tmp_path):
+    """Both testdata vintages must load to the same canonical ts:
+    a TIMESTAMP(NANOS) file (synthesized with pyarrow — the pre-round-3
+    driver format) and the current timestamp[us] file yield identical
+    values through load_table."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    cur = load_table(spark, sf_dir, "events").orderBy("event_id").limit(50)
+    rows = cur.collect()
+
+    # rewrite the same rows as nanosecond timestamps (parquet TIMESTAMP(NANOS))
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+            "ts": pa.array([r["ts"] for r in rows], pa.timestamp("ns")),
+            "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+            "value": pa.array([r["value"] for r in rows], pa.float64()),
+            "props": pa.array([r["props"] for r in rows], pa.string()),
+        }
+    )
+    vintage_dir = tmp_path / "nanos_vintage"
+    vintage_dir.mkdir()
+    pq.write_table(tbl, str(vintage_dir / "events.parquet"), version="2.6",
+                   coerce_timestamps=None)
+
+    back = load_table(spark, str(vintage_dir), "events").orderBy("event_id")
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    got = back.collect()
+    assert [(r["event_id"], r["ts"]) for r in got] == [
+        (r["event_id"], r["ts"]) for r in rows
+    ]

@@ -173,3 +173,25 @@ def test_s3a_conf_routing(spark):
 
     with pytest.raises(Exception, match="S3AFileSystem|No FileSystem for scheme"):
         spark.read.parquet(io.to_s3a_path("s3://no-such-bucket/t")).count()
+
+
+def test_schema_evolution_mergeschema_read(spark, sf_dir, tmp_path):
+    """Long-lived tables evolve: files written before a column existed must
+    read alongside newer files. mergeSchema unions the footers; old files
+    surface NULL for the added column. (Default reads take ONE footer —
+    cheap but silently drops late columns, which is why the engine's
+    readers pin explicit schemas; this test documents the evolution path.)"""
+    path = str(tmp_path / "evolving")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nation.select("n_nationkey", "n_name").write.mode("append").parquet(path)
+    from pyspark.sql import functions as F
+
+    nation.select(
+        "n_nationkey", "n_name", F.lit("emea").alias("region_code")
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(merged.columns) == {"n_nationkey", "n_name", "region_code"}
+    n = nation.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("region_code").isNull()).count() == n
