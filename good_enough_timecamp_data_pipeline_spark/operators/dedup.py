@@ -225,15 +225,33 @@ def minhash_lsh_pairs(
     )
 
 
-def incremental_lsh_pairs(
-    new_df: DataFrame,
+def build_lsh_index(
     index_df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
     num_hashes: int = 64,
     bands: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingles, band_buckets) of a corpus — the two persistable tables
+    of an incremental-dedup index. In production both land as parquet
+    (buckets bucketed by (band, bucket); shingles by doc) and are built
+    ONCE, then every arriving batch probes them via
+    `incremental_lsh_pairs(..., index=...)`."""
+    sh_idx = shingle_rows(index_df, text_col, id_col, n)
+    return sh_idx, minhash_band_buckets(sh_idx, num_hashes, bands)
+
+
+def incremental_lsh_pairs(
+    new_df: DataFrame,
+    index_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
     threshold: float = 0.5,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: probe a NEW batch against an
     existing corpus index. Returns (id_new, dup_of, n_inter, n_new,
@@ -244,17 +262,26 @@ def incremental_lsh_pairs(
     artifact built ONCE; each arriving batch computes signatures only for
     itself and bucket-joins the index — per-batch cost is O(batch), never
     O(corpus), and with the index parquet bucketed by (band, bucket) the
-    probe join is exchange-free on the corpus side. Here both sides are
-    derived in-query (the sandbox has no persisted index), but the plan
-    boundary is the same: nothing recomputes corpus signatures per pair.
+    probe join is exchange-free on the corpus side. Pass ``index`` (the
+    `build_lsh_index` pair, typically re-read from parquet) to probe a
+    prebuilt index; ``index_df`` derives it in-query instead (both-sides
+    build — what the sandbox catalog query does, since no index persists
+    between driver runs). MUST match n/num_hashes/bands used at build.
 
     Exact verification restricts both shingle sets to candidate docs
     before the intersection join, like `minhash_lsh_pairs`.
     """
+    if (index is None) == (index_df is None):
+        raise ValueError("pass exactly one of index_df or index")
     sh_new = _pin(shingle_rows(new_df, text_col, id_col, n))
-    sh_idx = _pin(shingle_rows(index_df, text_col, id_col, n))
+    if index is not None:
+        sh_idx, b_idx = index
+        sh_idx = _pin(sh_idx)
+    else:
+        # pin shingles FIRST so the signature agg reads the pinned set
+        sh_idx = _pin(shingle_rows(index_df, text_col, id_col, n))
+        b_idx = minhash_band_buckets(sh_idx, num_hashes, bands)
     b_new = minhash_band_buckets(sh_new, num_hashes, bands)
-    b_idx = minhash_band_buckets(sh_idx, num_hashes, bands)
 
     candidates = _pin(
         b_new.alias("x")

@@ -160,3 +160,46 @@ def test_incremental_dedup_finds_injected_dups_only(spark, sf_dir):
     }
     missing = {(i + 1000000, i) for i in injected} - found
     assert not missing, f"injected dups not detected: {missing}"
+
+
+def test_incremental_dedup_prebuilt_index_matches_inquery(spark, sf_dir, tmp_path):
+    """Probing a parquet-persisted index must produce exactly the pairs of
+    the in-query build (same hash params) — the production path is the
+    prebuilt one."""
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup
+    from good_enough_timecamp_data_pipeline_spark.plans import northstar
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    index_df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_df = northstar._docs_new_batch(spark, sf_dir)
+
+    sh, bk = dedup.build_lsh_index(index_df, n=5, num_hashes=64, bands=32)
+    sh.write.mode("overwrite").parquet(str(tmp_path / "sh"))
+    bk.write.mode("overwrite").parquet(str(tmp_path / "bk"))
+    prebuilt = (
+        spark.read.parquet(str(tmp_path / "sh")),
+        spark.read.parquet(str(tmp_path / "bk")),
+    )
+    got = {
+        (r["id_new"], r["dup_of"], r["n_inter"])
+        for r in dedup.incremental_lsh_pairs(
+            new_df, index=prebuilt, n=5, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    want = {
+        (r["id_new"], r["dup_of"], r["n_inter"])
+        for r in dedup.incremental_lsh_pairs(
+            new_df, index_df, n=5, num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_incremental_dedup_rejects_ambiguous_index(spark):
+    import pytest as _pytest
+
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup
+
+    df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="exactly one"):
+        dedup.incremental_lsh_pairs(df)
