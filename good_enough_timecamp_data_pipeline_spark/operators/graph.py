@@ -125,9 +125,14 @@ def connected_components(
 
 
 def cluster_sizes(labels: DataFrame) -> DataFrame:
-    """(node, cluster_id, cluster_size) — one extra keyed agg + broadcast
-    join back (cluster count ≤ node count, and dedup clusters are tiny)."""
+    """(node, cluster_id, cluster_size) — one extra keyed agg joined back.
+
+    No broadcast hint: cluster COUNT is O(nodes) when most docs are
+    singletons, which is the common case for a lightly-duplicated corpus —
+    hinting would OOM exactly there. The join keys both sides on
+    cluster_id (the agg just shuffled on it, so the partitioning is
+    reused); AQE still picks a broadcast when the size table is small."""
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return labels.join(F.broadcast(sizes), "cluster_id").select(
+    return labels.join(sizes, "cluster_id").select(
         "node", "cluster_id", "cluster_size"
     )

@@ -582,7 +582,11 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfreq), "tok")
+        # dfreq is VOCABULARY-sized — unbounded at web scale (typos,
+        # numbers keep minting tokens), so no broadcast hint; tf already
+        # shuffles on tok to build dfreq and the equi-join reuses that
+        # partitioning. AQE broadcasts it at small scale anyway.
+        tf.join(dfreq, "tok")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",

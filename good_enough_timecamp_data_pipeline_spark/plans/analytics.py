@@ -296,8 +296,11 @@ def d_dq_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v_status_domain"),
     )
     fk = (
+        # the FK target is customer-cardinality — it grows with the corpus,
+        # so no broadcast hint (AQE may still choose one at small scale);
+        # the anti-join shuffles both sides on the key
         orders.join(
-            F.broadcast(customer.select(F.col("c_custkey").alias("o_custkey"))),
+            customer.select(F.col("c_custkey").alias("o_custkey")),
             "o_custkey",
             "left_anti",
         )

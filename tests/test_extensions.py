@@ -108,3 +108,20 @@ def test_load_table_handles_nanos_vintage(spark, sf_dir, tmp_path):
     assert [(r["event_id"], r["ts"]) for r in got] == [
         (r["event_id"], r["ts"]) for r in rows
     ]
+
+
+def test_unbounded_sides_carry_no_broadcast_hint(spark, sf_dir):
+    """Corpus-growing sides (customer FK target, token vocabulary,
+    cluster-size table, first-seen users) must never carry an explicit
+    broadcast hint — AQE may choose one at small scale, but the plan
+    cannot force it at any scale."""
+    from good_enough_timecamp_data_pipeline_spark.plans import advanced, analytics
+
+    analyzed = (
+        analytics.d_dq_violations(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    )
+    assert "ResolvedHint" not in analyzed
+    # t_tfidf keeps exactly ONE hint: the 1-row n_docs scalar (bounded by
+    # construction); the vocabulary-sized dfreq join must be unhinted
+    analyzed = advanced.t_tfidf(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1
