@@ -493,6 +493,93 @@ GROUP BY p.doc_id
 
 
 # ---------------------------------------------------------------------------
+# t_negative_sample — deterministic negative sampling (contrastive training)
+# ---------------------------------------------------------------------------
+
+def t_negative_sample(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """k pseudo-random negative documents per document, fully
+    deterministic — the contrastive-pair prep step (in-batch negatives
+    don't cover the hard-negative mining case; rand() is unreproducible
+    and per-rerun different). Every choice derives from md5 arithmetic,
+    so reruns, engine swaps, and the DuckDB oracle all agree.
+
+    Scale shape: the corpus gets a dense 1..N rank via the distributed
+    two-level row_number over md5(doc_id) (operators/order.py — no
+    single-partition window); each doc emits k target ranks by hashing
+    (doc_id, i); one equi-join on rank resolves targets to doc ids. One
+    rank-keyed shuffle; self-collisions remapped arithmetically (rank+1
+    mod N) so output is EXACTLY k rows per doc, not k-minus-luck."""
+    from ..operators.order import global_row_number, md5_prefix_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()  # one scalar; identical in the oracle
+    keyed = docs.withColumn("_ok", F.md5(F.col("doc_id").cast("string")))
+    idx = global_row_number(
+        keyed, F.col("_ok"), md5_prefix_bucket(F.col("_ok")), out="rk"
+    ).select("doc_id", "rk")
+
+    cand = idx.select(
+        "doc_id",
+        "rk",
+        F.explode(
+            F.array(*[F.lit(i).cast("long") for i in range(1, k + 1)])
+        ).alias("neg_rank"),  # long: DuckDB generate_series yields BIGINT
+    ).withColumn(
+        "_t",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit("_neg_"),
+                            F.col("neg_rank").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(n)
+        )
+        + 1,
+    )
+    fixed = cand.withColumn(
+        "_t",
+        F.when(F.col("_t") == F.col("rk"), (F.col("_t") % F.lit(n)) + 1).otherwise(
+            F.col("_t")
+        ),
+    )
+    tgt = idx.select(F.col("rk").alias("_t"), F.col("doc_id").alias("neg_doc_id"))
+    return fixed.join(tgt, "_t").select("doc_id", "neg_rank", "neg_doc_id")
+
+
+T_NEGATIVE_SAMPLE_SQL = """
+WITH idx AS (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+    FROM documents
+),
+n AS (SELECT COUNT(*) AS n FROM documents),
+cand AS (
+    SELECT doc_id, rk, i AS neg_rank,
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_neg_' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+            % (SELECT n FROM n)) + 1 AS t
+    FROM idx CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i) g
+),
+fixed AS (
+    SELECT doc_id, neg_rank,
+           CASE WHEN t = rk THEN (t % (SELECT n FROM n)) + 1 ELSE t END AS t
+    FROM cand
+)
+SELECT f.doc_id, f.neg_rank, idx.doc_id AS neg_doc_id
+FROM fixed f JOIN idx ON idx.rk = f.t
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # registration helper (catalog.py imports QUERIES from here)
 # ---------------------------------------------------------------------------
 
@@ -515,4 +602,5 @@ EXTENSION_QUERIES = {
 
 LATE_EXTENSION_QUERIES = {
     "t_lm_perplexity": (t_lm_perplexity, T_LM_PERPLEXITY_SQL),
+    "t_negative_sample": (t_negative_sample, T_NEGATIVE_SAMPLE_SQL),
 }

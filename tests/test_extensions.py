@@ -125,3 +125,18 @@ def test_unbounded_sides_carry_no_broadcast_hint(spark, sf_dir):
     # construction); the vocabulary-sized dfreq join must be unhinted
     analyzed = advanced.t_tfidf(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1
+
+
+def test_negative_sample_exactly_k_no_self(spark, sf_dir):
+    """Exactly k negatives per doc, never the doc itself, deterministic
+    across invocations."""
+    out = extensions.t_negative_sample(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in out:
+        assert r["neg_doc_id"] != r["doc_id"]
+        per_doc.setdefault(r["doc_id"], []).append(r["neg_rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in per_doc.values())
+    again = extensions.t_negative_sample(spark, sf_dir).collect()
+    assert {(r["doc_id"], r["neg_rank"], r["neg_doc_id"]) for r in out} == {
+        (r["doc_id"], r["neg_rank"], r["neg_doc_id"]) for r in again
+    }
