@@ -233,6 +233,67 @@ FROM changes
 """.strip()
 
 
+def j_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup: each probe (a fact with its own
+    event time) joins the SCD2 version valid AT that time — the join every
+    as-was report runs against a versioned dimension.
+
+    Scale shape: an equi-join on the dimension KEY (user_id) carries the
+    shuffle; the validity interval is a residual predicate evaluated
+    inside each key's partition — never a time-range cross join. Both
+    sides can be arbitrarily large; AQE handles key skew. Probes are
+    events shifted +30 min so they land mid-interval and past the final
+    version (exercising the NULL-valid_to current-row arm), not on the
+    interval boundaries they themselves created."""
+    dim = j_scd2_dim(spark, sf_dir)
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 7 == 0)
+        .select(
+            F.col("event_id").alias("probe_id"),
+            "user_id",
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("probe_ts"),
+        )
+    )
+    d = dim.select(
+        F.col("user_id").alias("_u"), "event_type", "valid_from", "valid_to"
+    )
+    return (
+        probes.join(
+            d,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to"))),
+            "left",
+        )
+        .select(
+            "probe_id",
+            "user_id",
+            "probe_ts",
+            F.col("event_type").alias("version_type"),
+            F.col("valid_to").isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
+J_SCD2_LOOKUP_SQL = f"""
+WITH dim AS ({J_SCD2_DIM_SQL}),
+probes AS (
+    SELECT event_id AS probe_id, user_id,
+           ts + INTERVAL 30 MINUTES AS probe_ts
+    FROM events WHERE event_id % 7 = 0
+)
+SELECT p.probe_id, p.user_id, p.probe_ts,
+       d.event_type AS version_type,
+       CAST(d.valid_to IS NULL AS INTEGER) AS is_current
+FROM probes p
+LEFT JOIN dim d
+  ON d.user_id = p.user_id
+ AND d.valid_from <= p.probe_ts
+ AND (d.valid_to IS NULL OR p.probe_ts < d.valid_to)
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # global token frequencies
 # ---------------------------------------------------------------------------

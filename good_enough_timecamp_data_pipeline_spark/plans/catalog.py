@@ -180,6 +180,7 @@ register(
     "d_incremental_dedup", northstar.d_incremental_dedup, northstar.D_INCREMENTAL_DEDUP_SQL
 )
 register("d_dedup_survivors", advanced.d_dedup_survivors, advanced.D_DEDUP_SURVIVORS_SQL)
+register("j_scd2_lookup", analytics.j_scd2_lookup, analytics.J_SCD2_LOOKUP_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)

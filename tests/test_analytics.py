@@ -121,3 +121,30 @@ def test_grouped_list_sorted(spark, sf_dir):
         parts = r["nations"].split("|")
         assert parts == sorted(parts)
         assert len(parts) == r["n_nations"]
+
+
+def test_scd2_lookup_total_and_currency(spark, sf_dir):
+    """Every probe resolves to exactly one version (intervals partition the
+    timeline from the user's first change on), and a probe later than the
+    user's last change resolves to the current (NULL valid_to) row."""
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.plans import analytics
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    out = analytics.j_scd2_lookup(spark, sf_dir)
+    n_probes = (
+        load_table(spark, sf_dir, "events").filter("event_id % 7 = 0").count()
+    )
+    rows = out.collect()
+    assert len(rows) == n_probes  # one version per probe, no fan-out
+    assert all(r["version_type"] is not None for r in rows)
+    # probes past each user's final event must hit the current version
+    ev = load_table(spark, sf_dir, "events")
+    last = ev.groupBy("user_id").agg(F.max("ts").alias("mx"))
+    tail_hits = (
+        out.join(last, "user_id")
+        .filter(F.col("probe_ts") > F.col("mx"))
+        .filter(F.col("is_current") != 1)
+    )
+    assert tail_hits.count() == 0
