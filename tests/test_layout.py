@@ -195,3 +195,39 @@ def test_schema_evolution_mergeschema_read(spark, sf_dir, tmp_path):
     n = nation.count()
     assert merged.count() == 2 * n
     assert merged.filter(F.col("region_code").isNull()).count() == n
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """A time-sorted layout prunes time filters but reads EVERY file for a
+    user filter; the Z-ordered layout bounds both columns per file, so
+    either filter skips most files. Measured from the same parquet footer
+    min/max statistics a reader uses."""
+    from good_enough_timecamp_data_pipeline_spark.operators import layout
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("ts_num", F.col("id"))  # arrival order == time
+        .withColumn("user_id", (F.col("id") * 2654435761) % 10_000)  # uncorrelated
+        .select("ts_num", "user_id")
+    )
+
+    linear = str(tmp_path / "linear")
+    (
+        df.repartitionByRange(16, F.col("ts_num"))
+        .sortWithinPartitions("ts_num")
+        .write.mode("overwrite")
+        .parquet(linear)
+    )
+    zpath = str(tmp_path / "zordered")
+    layout.write_zordered(df, zpath, "ts_num", "user_id", n_files=16)
+
+    # user-scoped box: 1% of the user range
+    u_hit, u_total = layout.files_overlapping(zpath, "user_id", 1000, 1100)
+    ul_hit, ul_total = layout.files_overlapping(linear, "user_id", 1000, 1100)
+    assert ul_hit == ul_total  # linear layout cannot skip on user_id
+    assert u_hit <= u_total // 2, (u_hit, u_total)  # z-order skips most files
+
+    # time-scoped box: z-order still prunes (coarser than pure time sort)
+    t_hit, t_total = layout.files_overlapping(zpath, "ts_num", 0, n // 100)
+    assert t_hit < t_total, (t_hit, t_total)
