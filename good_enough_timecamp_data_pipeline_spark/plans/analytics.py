@@ -233,6 +233,100 @@ FROM changes
 """.strip()
 
 
+def e_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED funnel: per view, the first click within 1 hour, then
+    the first purchase within 1 hour of that click. Stricter than the
+    ordered funnel (`e_funnel_stages`): each transition must land inside
+    the window, which is how conversion attribution is actually defined.
+
+    Shape: two as-of-style joins — equi on user_id (carries the shuffle),
+    the time window as a residual predicate, min-agg per anchor event to
+    pick the FIRST qualifier. Fan-out inside a (user, window) pair is
+    bounded by per-user event rate, and stages only shrink. Never an
+    all-events window function, never a time-range cross join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("_cu"), F.col("ts").alias("c_ts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_pu"), F.col("ts").alias("p_ts")
+    )
+
+    v2c = (
+        views.join(
+            clicks,
+            (F.col("user_id") == F.col("_cu"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + hour),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("c_ts").alias("first_c"))
+    )
+    c2p = (
+        v2c.join(
+            purchases,
+            (F.col("user_id") == F.col("_pu"))
+            & (F.col("p_ts") > F.col("first_c"))
+            & (F.col("p_ts") <= F.col("first_c") + hour),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("p_ts").alias("first_p"))
+    )
+    return (
+        views.agg(F.count("*").alias("n")).select(F.lit("1_views").alias("stage"), "n")
+        .unionByName(
+            v2c.agg(F.count("*").alias("n")).select(
+                F.lit("2_click_within_1h").alias("stage"), "n"
+            )
+        )
+        .unionByName(
+            c2p.agg(F.count("*").alias("n")).select(
+                F.lit("3_purchase_within_1h").alias("stage"), "n"
+            )
+        )
+    )
+
+
+E_WINDOWED_FUNNEL_SQL = """
+WITH views AS (
+    SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+),
+clicks AS (
+    SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'
+),
+v2c AS (
+    SELECT v.user_id, v.v_ts, MIN(c.c_ts) AS first_c
+    FROM views v JOIN clicks c
+      ON c.user_id = v.user_id
+     AND c.c_ts > v.v_ts
+     AND c.c_ts <= v.v_ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id, v.v_ts
+),
+c2p AS (
+    SELECT x.user_id, x.v_ts, MIN(p.p_ts) AS first_p
+    FROM v2c x JOIN purchases p
+      ON p.user_id = x.user_id
+     AND p.p_ts > x.first_c
+     AND p.p_ts <= x.first_c + INTERVAL 1 HOUR
+    GROUP BY x.user_id, x.v_ts
+)
+SELECT '1_views' AS stage, COUNT(*) AS n FROM views
+UNION ALL
+SELECT '2_click_within_1h', COUNT(*) FROM v2c
+UNION ALL
+SELECT '3_purchase_within_1h', COUNT(*) FROM c2p
+""".strip()
+
+
 def j_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup: each probe (a fact with its own
     event time) joins the SCD2 version valid AT that time — the join every

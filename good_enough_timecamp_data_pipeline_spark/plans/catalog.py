@@ -181,6 +181,7 @@ register(
 )
 register("d_dedup_survivors", advanced.d_dedup_survivors, advanced.D_DEDUP_SURVIVORS_SQL)
 register("j_scd2_lookup", analytics.j_scd2_lookup, analytics.J_SCD2_LOOKUP_SQL)
+register("e_windowed_funnel", analytics.e_windowed_funnel, analytics.E_WINDOWED_FUNNEL_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)

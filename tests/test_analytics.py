@@ -148,3 +148,17 @@ def test_scd2_lookup_total_and_currency(spark, sf_dir):
         .filter(F.col("is_current") != 1)
     )
     assert tail_hits.count() == 0
+
+
+def test_windowed_funnel_tighter_than_ordered(spark, sf_dir):
+    """The 1h-window funnel can never convert MORE anchors than views, and
+    monotonically shrinks stage over stage."""
+    from good_enough_timecamp_data_pipeline_spark.plans import analytics
+
+    rows = {
+        r["stage"]: r["n"]
+        for r in analytics.e_windowed_funnel(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"1_views", "2_click_within_1h", "3_purchase_within_1h"}
+    assert rows["1_views"] >= rows["2_click_within_1h"] >= rows["3_purchase_within_1h"]
+    assert rows["2_click_within_1h"] > 0  # testdata has dense per-user traffic
