@@ -405,6 +405,111 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# a_weighted_avg — weighted aggregate (ratio-of-sums)
+# ---------------------------------------------------------------------------
+
+def a_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted unit price per return flag: SUM(w·x)/SUM(w) as
+    exact integer-cents sums divided once at the end — the ratio-of-sums
+    form is one map-side-combinable agg; a per-row division then AVG would
+    be a different (wrong) statistic and two passes of float error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.floor(F.col("l_quantity")).cast("long")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(qty).alias("total_qty"),
+        (
+            F.sum(cents * qty).cast("double") / F.sum(qty).cast("double")
+        ).alias("wavg_price_cents"),
+    )
+
+
+A_WEIGHTED_AVG_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                * CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE)
+           / CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS DOUBLE)
+           AS wavg_price_cents
+FROM lineitem
+GROUP BY l_returnflag
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# w_lag_delta_pct — period-over-period change
+# ---------------------------------------------------------------------------
+
+def w_lag_delta_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month order volume with absolute and percent deltas per
+    priority — the lag + arithmetic idiom of every trend report. One
+    shuffle on the small (priority, month) aggregate; the window runs
+    over that aggregate, never the fact."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            "o_orderpriority",
+            F.date_trunc("month", F.to_date("o_orderdate")).cast("date").alias("month"),
+            F.floor(F.col("o_totalprice")).cast("long").alias("units"),
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum("units").alias("volume"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("volume").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "volume",
+        (F.col("volume") - prev).alias("delta"),
+        F.round((F.col("volume") - prev).cast("double") / prev * 100, 4).alias(
+            "delta_pct"
+        ),
+    )
+
+
+W_LAG_DELTA_PCT_SQL = """
+WITH monthly AS (
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS volume
+    FROM orders
+    GROUP BY 1, 2
+)
+SELECT o_orderpriority, month, volume,
+       volume - lag(volume) OVER w AS delta,
+       ROUND(CAST(volume - lag(volume) OVER w AS DOUBLE)
+             / lag(volume) OVER w * 100, 4) AS delta_pct
+FROM monthly
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY month)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# o_except_all — multiset difference
+# ---------------------------------------------------------------------------
+
+def o_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset semantics: occurrences subtract, not vanish) —
+    the set-ops family member `o_set_ops` doesn't cover. Duplicated
+    low-cardinality projections of lineitem make the multiset count
+    visible: each (flag, status) keeps max(n_left − n_right, 0) copies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    left = li.select("l_returnflag", "l_linestatus")
+    right = li.filter(F.col("l_quantity") > 25).select(
+        "l_returnflag", "l_linestatus"
+    )
+    return left.exceptAll(right)
+
+
+O_EXCEPT_ALL_SQL = """
+SELECT l_returnflag, l_linestatus FROM lineitem
+EXCEPT ALL
+SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # t_lm_perplexity — bigram-LM document scoring (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
 
@@ -603,4 +708,7 @@ EXTENSION_QUERIES = {
 LATE_EXTENSION_QUERIES = {
     "t_lm_perplexity": (t_lm_perplexity, T_LM_PERPLEXITY_SQL),
     "t_negative_sample": (t_negative_sample, T_NEGATIVE_SAMPLE_SQL),
+    "a_weighted_avg": (a_weighted_avg, A_WEIGHTED_AVG_SQL),
+    "w_lag_delta_pct": (w_lag_delta_pct, W_LAG_DELTA_PCT_SQL),
+    "o_except_all": (o_except_all, O_EXCEPT_ALL_SQL),
 }

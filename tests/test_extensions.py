@@ -140,3 +140,35 @@ def test_negative_sample_exactly_k_no_self(spark, sf_dir):
     assert {(r["doc_id"], r["neg_rank"], r["neg_doc_id"]) for r in out} == {
         (r["doc_id"], r["neg_rank"], r["neg_doc_id"]) for r in again
     }
+
+
+def test_weighted_avg_between_min_max_price(spark, sf_dir):
+    rows = extensions.a_weighted_avg(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(
+        F.min(F.floor(F.col("l_extendedprice") * 100)),
+        F.max(F.floor(F.col("l_extendedprice") * 100)),
+    ).collect()[0]
+    assert rows
+    for r in rows:
+        assert lo <= r["wavg_price_cents"] <= hi
+        assert r["total_qty"] > 0
+
+
+def test_lag_delta_first_month_null(spark, sf_dir):
+    rows = extensions.w_lag_delta_pct(spark, sf_dir).orderBy(
+        "o_orderpriority", "month"
+    ).collect()
+    firsts = {}
+    for r in rows:
+        firsts.setdefault(r["o_orderpriority"], r)
+    for r in firsts.values():
+        assert r["delta"] is None and r["delta_pct"] is None
+
+
+def test_except_all_multiset_counts(spark, sf_dir):
+    """EXCEPT ALL keeps n_left - n_right copies per value (floored at 0)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    n_left = li.count()
+    n_right = li.filter(F.col("l_quantity") > 25).count()
+    assert extensions.o_except_all(spark, sf_dir).count() == n_left - n_right
