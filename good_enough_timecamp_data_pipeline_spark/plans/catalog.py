@@ -193,5 +193,6 @@ register("s_stream_sliding", northstar.s_stream_sliding)
 register("s_stream_sessions", northstar.s_stream_sessions)
 register("s_stream_dedup", northstar.s_stream_dedup)
 register("s_stream_join", northstar.s_stream_join)
+register("s_stream_static_join", northstar.s_stream_static_join)
 register("s_stream_upsert", northstar.s_stream_upsert)
 register("s_kmeans", northstar.s_kmeans)

@@ -715,3 +715,13 @@ def s_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import streaming_foreachbatch_upsert
 
     return streaming_foreachbatch_upsert(spark, sf_dir)
+
+
+def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming events ⋈ static nation
+    dim): no watermark, no join state — the static side re-resolves per
+    micro-batch and broadcasts. rows-only; equality with the batch twin
+    asserted in tests/test_multimodal_streaming.py."""
+    from ..streaming.windows import streaming_static_join
+
+    return streaming_static_join(spark, sf_dir)

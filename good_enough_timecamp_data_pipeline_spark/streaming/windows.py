@@ -309,3 +309,35 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming fact joins a STATIC dimension —
+    the everyday enrichment shape (events ⋈ user→region dim) that needs
+    NO watermark and NO join state: the static side is planned as a batch
+    relation (broadcast when small) re-resolved per micro-batch, so only
+    the aggregation keeps state.
+
+    The dim here derives user→nation deterministically from the nation
+    table (user_id % nation count) — dimension-sized by construction.
+    Output: per-nation event counts and value cents, aggregated over the
+    completed stream (memory sink), comparable 1:1 with the batch twin
+    (asserted in tests).
+    """
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("_nk"), "n_name"
+    )
+    n_nations = nation.count()
+
+    stream_dir = tempfile.mkdtemp(prefix="events_ssjoin_static_")
+    os.symlink(f"{sf_dir}/events.parquet", f"{stream_dir}/events.parquet")
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(spark, sf_dir)).parquet(stream_dir)
+    ).withColumn("_nk", F.col("user_id") % F.lit(n_nations))
+
+    enriched = stream.join(nation, "_nk")  # static side: no state, no watermark
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+    return _run_to_completion(spark, agg, "stream_static_out", cleanup_dir=stream_dir)

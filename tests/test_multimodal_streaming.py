@@ -176,3 +176,36 @@ def test_foreachbatch_upsert_idempotent_under_redelivery(spark, sf_dir):
         .collect()
     }
     assert got == expect
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """The stream-static enrichment must aggregate to exactly the batch
+    answer — no watermark/state semantics can change a static join."""
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+    from good_enough_timecamp_data_pipeline_spark.streaming.windows import (
+        streaming_static_join,
+    )
+
+    got = {
+        r["n_name"]: (r["n"], r["value_cents"])
+        for r in streaming_static_join(spark, sf_dir).collect()
+    }
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").cast("long").alias("_nk"), "n_name"
+    )
+    n_nations = nation.count()
+    want = {
+        r["n_name"]: (r["n"], r["value_cents"])
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("_nk", F.col("user_id") % F.lit(n_nations))
+        .join(nation, "_nk")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == want and got
