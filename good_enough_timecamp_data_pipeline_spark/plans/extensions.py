@@ -510,6 +510,87 @@ SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
 
 
 # ---------------------------------------------------------------------------
+# f_bitwise_ops — bit-manipulation scalar family
+# ---------------------------------------------------------------------------
+
+def f_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise AND/OR/XOR/shift projection — the scalar family layout
+    tricks (Z-order keys, bitmap flags, hash mixing) are built from.
+    Pure codegen projection, zero shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(1)).alias("set_lsb"),
+        k.bitwiseXOR(F.shiftright(k, 8)).alias("mix"),
+        F.shiftleft(k.bitwiseAND(F.lit(15)), 4).alias("nibble_hi"),
+    )
+
+
+F_BITWISE_OPS_SQL = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 1 AS set_lsb,
+       xor(o_orderkey, o_orderkey >> 8) AS mix,
+       (o_orderkey & 15) << 4 AS nibble_hi
+FROM orders
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# f_epoch_roundtrip — epoch/timestamp conversion family
+# ---------------------------------------------------------------------------
+
+def f_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch conversions both directions: ts → µs/s since epoch → ts —
+    the family every event-time pipeline leans on (unix_micros is also
+    how the engine normalizes ts internally). Projection only."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("epoch_us"),
+        (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long").alias("epoch_s"),
+        F.timestamp_micros(F.unix_micros(F.col("ts"))).alias("ts_roundtrip"),
+    )
+
+
+F_EPOCH_ROUNDTRIP_SQL = """
+SELECT event_id,
+       epoch_us(ts) AS epoch_us,
+       CAST(epoch_us(ts) // 1000000 AS BIGINT) AS epoch_s,
+       make_timestamp(epoch_us(ts)) AS ts_roundtrip
+FROM events
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_bool_aggs — boolean aggregate family
+# ---------------------------------------------------------------------------
+
+def a_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and / bool_or per group — the expectation-check aggregates
+    (every(...) over a partition is how DQ rules aggregate). Single
+    combinable agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.bool_and(F.col("l_shipdate").isNotNull()).alias("all_shipped_dated"),
+    )
+
+
+A_BOOL_AGGS_SQL = """
+SELECT l_returnflag,
+       bool_and(l_quantity > 0) AS all_positive_qty,
+       bool_or(l_discount > 0.09) AS any_deep_discount,
+       bool_and(l_shipdate IS NOT NULL) AS all_shipped_dated
+FROM lineitem
+GROUP BY l_returnflag
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # t_lm_perplexity — bigram-LM document scoring (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
 
@@ -711,4 +792,7 @@ LATE_EXTENSION_QUERIES = {
     "a_weighted_avg": (a_weighted_avg, A_WEIGHTED_AVG_SQL),
     "w_lag_delta_pct": (w_lag_delta_pct, W_LAG_DELTA_PCT_SQL),
     "o_except_all": (o_except_all, O_EXCEPT_ALL_SQL),
+    "f_bitwise_ops": (f_bitwise_ops, F_BITWISE_OPS_SQL),
+    "f_epoch_roundtrip": (f_epoch_roundtrip, F_EPOCH_ROUNDTRIP_SQL),
+    "a_bool_aggs": (a_bool_aggs, A_BOOL_AGGS_SQL),
 }
