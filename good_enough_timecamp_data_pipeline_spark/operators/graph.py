@@ -38,6 +38,27 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 
+def _unpersist_checkpoint_blocks(df: DataFrame) -> None:
+    """Free the executor blocks behind a ``localCheckpoint``-ed DataFrame.
+
+    ``df.unpersist()`` only talks to the SQL cache manager and is a no-op
+    for checkpoint storage, so without this every round of an iterative
+    loop leaves its full label set pinned in block storage until Python GC
+    plus the ContextCleaner happen to reclaim it — up to ``max_iter``
+    concurrent copies. The checkpointed (persisted) RDD is the sole
+    dependency of the DataFrame's physical scan RDD; walk to it and
+    unpersist. Best-effort over py4j internals: on any surprise, skip —
+    the ContextCleaner fallback still applies, correctness is unaffected.
+    """
+    try:
+        jrdd = df._jdf.queryExecution().toRdd()
+        deps = jrdd.dependencies()
+        if deps.nonEmpty():
+            deps.head().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - defensive around internals
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -95,6 +116,7 @@ def connected_components(
         # each round is one join+agg over a checkpoint scan, never the full
         # iteration history (see module docstring). eager=True would pay a
         # second materialization job per round for nothing.
+        prev_labels = labels
         labels = (
             labels.unionByName(nbr)
             .groupBy("node")
@@ -102,6 +124,10 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        # the collect above materialized the NEW checkpoint, so the previous
+        # round's blocks are dead weight from here — free them now instead
+        # of holding up to max_iter label copies in block storage.
+        _unpersist_checkpoint_blocks(prev_labels)
         if new_sum == prev_sum:
             converged = True
             break

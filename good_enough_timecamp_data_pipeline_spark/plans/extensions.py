@@ -550,7 +550,10 @@ def f_epoch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "event_id",
         F.unix_micros(F.col("ts")).alias("epoch_us"),
-        (F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long").alias("epoch_s"),
+        # floor, not truncate-toward-zero: DuckDB's // floors, so pre-1970
+        # timestamps would differ by 1 under a bare cast('long') of the
+        # double division (r4 ADVICE).
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(1_000_000)).cast("long").alias("epoch_s"),
         F.timestamp_micros(F.unix_micros(F.col("ts"))).alias("ts_roundtrip"),
     )
 

@@ -44,8 +44,16 @@ def ensure_events_read_conf(spark: SparkSession) -> None:
     those unless spark.sql.legacy.parquet.nanosAsLong is set (a no-op for
     files that already carry µs timestamps). Runtime-settable — call before
     ANY read of events (batch or the streaming chunk writer), so the code
-    works under sessions we didn't build (the driver's)."""
+    works under sessions we didn't build (the driver's).
+
+    Also pin the session timezone to UTC: ``normalize_events_ts`` casts
+    TIMESTAMP_NTZ → TIMESTAMP, which is value-preserving only under a UTC
+    session. The DuckDB oracle reads the naive parquet value as UTC, so a
+    foreign non-UTC session would shift every instant-based result
+    (``unix_micros``, window/watermark boundaries) away from the oracle.
+    Both confs are runtime-settable."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:

@@ -155,10 +155,38 @@ def configure_s3a(
     # multipart completion (rename on S3 is a copy, and the v1 committer's
     # directory rename is O(data) + non-atomic)
     hconf.set("fs.s3a.committer.name", "magic")
+    # NOTE: this is the raw Hadoop Configuration — the key must be the one
+    # Hadoop reads directly (the "spark.hadoop." prefix is only stripped
+    # when routed through SparkConf, so prefixing it here would set a key
+    # nobody consults and silently fall back to the rename-based
+    # FileOutputCommitter).
     hconf.set(
-        "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a",
+        "mapreduce.outputcommitter.factory.scheme.s3a",
         "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory",
     )
+    # Spark SQL parquet writes go through their own commit protocol; bind
+    # both to the PathOutputCommitProtocol so DataFrame writes also use the
+    # S3A committer instead of the default rename-based protocol. These two
+    # classes live in the spark-hadoop-cloud module (deployed alongside
+    # hadoop-aws on a real cluster, absent in this sandbox) — setting them
+    # when the class can't load would break EVERY later write in the
+    # session with ClassNotFoundException, so probe first.
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        )
+        cloud_committers_present = True
+    except Exception:
+        cloud_committers_present = False
+    if cloud_committers_present:
+        spark.conf.set(
+            "spark.sql.sources.commitProtocolClass",
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+        )
+        spark.conf.set(
+            "spark.sql.parquet.output.committer.class",
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+        )
 
 
 def write_duckdb(
@@ -310,11 +338,16 @@ def compact_table(
         writer.json(staging)
     else:
         writer.option("header", True).csv(staging)
-    # old-aside swap: the table path is never absent — readers between the
-    # two renames see either the old files or the new ones, and a crash
-    # leaves the old data recoverable under .__old__ instead of gone
-    # (rmtree-then-rename had a no-table window AND destroyed the original
-    # before the replacement was in place).
+    # old-aside swap: the unavailable window is two renames instead of a
+    # full rewrite, and the old data stays recoverable in .__old__ — NOT a
+    # true atomic swap: between the two renames the path briefly does not
+    # exist, and a process crash in that window leaves the table stranded
+    # under .__old__ (recovery: rename .__old__ back to the table path).
+    # The except-clause rollback covers an OSError from the second rename
+    # only. A true atomic exchange needs renameat2(RENAME_EXCHANGE), which
+    # Python does not expose portably; still strictly better than
+    # rmtree-then-rename, which destroyed the original before the
+    # replacement existed.
     old = path.rstrip("/") + ".__old__"
     if os.path.exists(old):
         shutil.rmtree(old)

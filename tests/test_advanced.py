@@ -251,6 +251,25 @@ def test_connected_components_long_chain_nonconvergence(spark):
     assert got == {i: 0 for i in range(10)}
 
 
+def test_connected_components_frees_round_checkpoints(spark):
+    """Each round's localCheckpoint blocks must be freed once the next
+    round materializes (r4 ADVICE): a 10-round chain run may leave at most
+    a constant number of persisted RDDs beyond what existed before —
+    the final labels checkpoint — never one per round."""
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "src long, dst long"
+    )
+    labels = connected_components(chain, max_iter=15)
+    labels.count()
+    after = sc._jsc.sc().getPersistentRDDs().size()
+    # ~11 rounds run for this chain; without per-round cleanup the delta
+    # would be ≥ 10. Allow a small constant for the final checkpoint (+ any
+    # cleaner lag), but fail on per-round accumulation.
+    assert after - before <= 3, f"leaked checkpoint RDDs: {after - before}"
+
+
 def test_kmeans_fewer_vectors_than_k(spark):
     """n < k clamps k to n: every vector becomes its own centroid instead
     of an IndexError in the state arrays (round-2 ADVICE carryover)."""

@@ -170,6 +170,21 @@ def test_s3a_conf_routing(spark):
     assert hconf.get("fs.s3a.endpoint") == "http://minio.local:9000"
     assert hconf.get("fs.s3a.path.style.access") == "true"
     assert hconf.get("fs.s3a.committer.name") == "magic"
+    # the factory key Hadoop actually reads — must be UNprefixed when set
+    # on the raw Hadoop Configuration ('spark.hadoop.' is only stripped by
+    # SparkConf routing); a prefixed key silently leaves the rename-based
+    # FileOutputCommitter in charge (r4 ADVICE, medium).
+    assert (
+        hconf.get("mapreduce.outputcommitter.factory.scheme.s3a")
+        == "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+    )
+    # the SQL-layer commit protocol bindings require spark-hadoop-cloud
+    # (absent in sandbox) and must NOT be set blind — a dangling class name
+    # would break every later parquet write in the session.
+    assert spark.conf.get("spark.sql.sources.commitProtocolClass", None) in (
+        None,
+        "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    )
 
     with pytest.raises(Exception, match="S3AFileSystem|No FileSystem for scheme"):
         spark.read.parquet(io.to_s3a_path("s3://no-such-bucket/t")).count()
