@@ -100,8 +100,11 @@ def shingle_pairs_jaccard(
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t)."""
     sh = _pin(shingle_rows(df, text_col, id_col, n))
     if max_shingle_df is not None:
+        # no broadcast hint: the hot-shingle set is bounded by
+        # shingle_rows / max_shingle_df — small in practice but O(corpus)
+        # in the worst case; AQE broadcasts it when it measures small.
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
-        sh = _pin(sh.join(F.broadcast(hot), "sh", "left_anti"))
+        sh = _pin(sh.join(hot, "sh", "left_anti"))
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     inter = (
@@ -193,15 +196,20 @@ def minhash_lsh_pairs(
     )
 
     # exact verification of candidates only: restrict the shingle set to
-    # docs that appear in some candidate pair (tiny vs the corpus) before
-    # the intersection join — the full corpus is never pair-joined.
+    # docs that appear in some candidate pair before the intersection
+    # join — the full corpus is never pair-joined. NO forced broadcast on
+    # the candidate-id set: it is O(dup_rate × corpus) — billions of ids
+    # on a lightly-deduped web crawl — so a mandatory broadcast OOMs
+    # exactly at scale. The semi-join shuffles on doc (a key the shingle
+    # set already hashes well on) and AQE still picks a broadcast when the
+    # measured candidate set is actually small.
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc"))
         .unionByName(candidates.select(F.col("id_b").alias("doc")))
         .distinct()
     )
     # pinned: consumed by sizes + both sides of the intersection join
-    sh_cand = _pin(sh.join(F.broadcast(cand_ids), "doc", "left_semi"))
+    sh_cand = _pin(sh.join(cand_ids, "doc", "left_semi"))
     sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
         candidates.join(sh_cand.alias("a"), F.col("id_a") == F.col("a.doc"))
@@ -294,10 +302,13 @@ def incremental_lsh_pairs(
         .distinct()
     )
 
+    # no forced broadcast on either candidate-id set (same rationale as
+    # minhash_lsh_pairs): cand_idx in particular is O(dup_rate × corpus);
+    # AQE broadcasts when the runtime size allows, shuffles otherwise.
     cand_new = candidates.select(F.col("id_new").alias("doc")).distinct()
     cand_idx = candidates.select(F.col("dup_of").alias("doc")).distinct()
-    shc_new = _pin(sh_new.join(F.broadcast(cand_new), "doc", "left_semi"))
-    shc_idx = _pin(sh_idx.join(F.broadcast(cand_idx), "doc", "left_semi"))
+    shc_new = _pin(sh_new.join(cand_new, "doc", "left_semi"))
+    shc_idx = _pin(sh_idx.join(cand_idx, "doc", "left_semi"))
     sz_new = shc_new.groupBy("doc").agg(F.count("*").alias("n_new"))
     sz_idx = shc_idx.groupBy("doc").agg(F.count("*").alias("n_idx"))
 

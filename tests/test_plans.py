@@ -40,6 +40,24 @@ def test_dim_lookup_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_dedup_verify_semijoins_carry_no_broadcast_hint(spark, sf_dir):
+    """The LSH verify stage semi-joins the shingle set against the
+    candidate-id set, which is O(dup_rate × corpus) — billions of ids on
+    a lightly-deduped crawl — so a MANDATORY broadcast there OOMs exactly
+    at scale (r4 VERDICT, the one scale-killer). The logical plan must
+    carry no broadcast hint on those joins; AQE may still choose a
+    broadcast at runtime when the measured size allows (that part is
+    asserted nowhere — it's a size-dependent choice, not a contract)."""
+    from good_enough_timecamp_data_pipeline_spark.plans import northstar
+
+    for fn in (northstar.d_minhash_lsh, northstar.d_incremental_dedup):
+        logical = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in logical, (
+            f"{fn.__name__}: forced broadcast hint survives in the "
+            "optimized logical plan"
+        )
+
+
 def test_groupsum_has_partial_agg(spark, sf_dir):
     plan = plan_of(relational.a_groupsum_pricing(spark, sf_dir))
     # map-side combine: partial_sum before the exchange, final after
