@@ -47,17 +47,35 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _query_side_fits_broadcast(q: DataFrame, max_rows: int) -> bool:
+    """Size guard for the "small query set" broadcast contract.
+
+    Batch-ANN at scale often makes the query set the corpus itself — a
+    forced ``F.broadcast`` there OOMs the executors. Probe with
+    ``limit(max_rows + 1).count()`` (early-exits after max_rows+1 rows, so
+    the probe is O(max_rows) even on a 100 TB query side) and only keep
+    the broadcast hint under the cap; above it the caller falls back to a
+    shuffled plan, which is slower but bounded."""
+    return q.limit(max_rows + 1).count() <= max_rows
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 1_000_000,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for every row of ``queries``.
 
     Output: (query_id, neighbor_id, score, rank), self-matches excluded,
     ties broken by neighbor id (fully deterministic).
+
+    The query side broadcasts only while it holds ≤ ``max_broadcast_queries``
+    rows; a bigger query set switches to a partitioned cartesian product —
+    exact all-pairs is inherently O(|q|·|c|), so the honest large-|q| plan
+    shuffles both sides instead of OOMing on a forced broadcast.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cvec")
@@ -65,10 +83,11 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
     ).withColumn("_qnorm", norm("_qvec"))
+    if _query_side_fits_broadcast(q, max_broadcast_queries):
+        q = F.broadcast(q)
 
     scored = (
-        F.broadcast(q)
-        .crossJoin(c)
+        q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("score", dot("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm")))
     )
@@ -80,41 +99,59 @@ def brute_force_topk(
     )
 
 
-def _plane_component(table: int, plane: int, dim_index: Column) -> Column:
-    """Deterministic pseudo-random hyperplane component in [-1, 1)."""
-    h = F.xxhash64(F.lit(table), F.lit(plane), dim_index)
-    return (h % 2001).cast("double") / 1000.5  # symmetric-ish around 0
+def srp_bucket_rows(
+    df: DataFrame,
+    id_out: str,
+    n_planes: int,
+    n_tables: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, _t, _b) sign-random-projection bucket rows for every vector —
+    one bucket id per hash table, one bit per hyperplane.
 
+    ONE Arrow pass per partition: the batch's vectors stack into a matrix
+    and a single GEMM against the (n_tables·n_planes × dim) hyperplane
+    matrix produces every table's sign bits at once. The previous
+    implementation unrolled n_tables·n_planes interpreted ``F.aggregate``
+    folds per vector (32 full array traversals at the 8×4 default) — the
+    r4 bench's one hot spot; the GEMM is the same pattern
+    `neardup_pairs_blocked` already uses for candidate generation.
 
-def srp_bucket(vec: Column | str, n_planes: int = 16, table: int = 0) -> Column:
-    """Sign-random-projection bucket id: one bit per hyperplane."""
-    v = as_double(vec)
-    idx = F.sequence(F.lit(0), F.size(v) - 1)
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(v, idx, lambda x, i: x * _plane_component(table, p, i)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    Hyperplanes are ``RandomState(seed)`` Gaussians — the textbook SRP
+    family (collision prob 1-θ/π per plane) — regenerated identically in
+    every task from the fixed seed, so buckets are reproducible run-to-run
+    and identical between the corpus and query sides.
+    """
+    import numpy as np
+    import pandas as pd
 
+    src = df.select(F.col(id_col).alias(id_out), as_double(vec_col).alias("_v"))
+    id_type = dict(src.dtypes)[id_out]
 
-def _srp_buckets(vec: Column, n_planes: int, n_tables: int) -> Column:
-    """Array of (table, bucket) structs — one entry per hash table."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                srp_bucket(vec, n_planes, table=t).alias("b"),
+    def bucketize(batches):
+        planes = None
+        weights = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf["_v"].to_numpy()).astype(np.float64, copy=False)
+            if planes is None:
+                rng = np.random.RandomState(seed)
+                planes = rng.standard_normal((n_tables * n_planes, vecs.shape[1]))
+                weights = (1 << np.arange(n_planes, dtype=np.int64))
+            signs = (vecs @ planes.T) >= 0.0
+            buckets = signs.reshape(len(vecs), n_tables, n_planes).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {
+                    id_out: np.repeat(pdf[id_out].to_numpy(), n_tables),
+                    "_t": np.tile(np.arange(n_tables, dtype=np.int32), len(vecs)),
+                    "_b": buckets.reshape(-1),
+                }
             )
-            for t in range(n_tables)
-        ]
-    )
+
+    return src.mapInPandas(bucketize, schema=f"{id_out} {id_type}, _t int, _b long")
 
 
 def lsh_topk(
@@ -125,6 +162,7 @@ def lsh_topk(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_queries: int = 1_000_000,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors sharing an SRP bucket in at
     least one of ``n_tables`` independent hash tables (OR-amplification).
@@ -134,6 +172,11 @@ def lsh_topk(
     compare cost stays ~L·n/2^planes per query. Both knobs are the
     recall/cost dial; candidates are deduped before scoring so each pair
     is scored once. Same output schema as brute force.
+
+    Query-side broadcasts are size-guarded (see `brute_force_topk`): above
+    ``max_broadcast_queries`` rows both the bucket join and the score join
+    run shuffled — batch-ANN where the query set IS the corpus stays
+    bounded instead of OOMing on a forced broadcast.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -143,18 +186,19 @@ def lsh_topk(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
     ).withColumn("_qnorm", norm("_qvec"))
 
-    c_b = c.withColumn("_tb", F.explode(_srp_buckets(F.col("_cvec"), n_planes, n_tables)))
-    q_b = q.withColumn("_tb", F.explode(_srp_buckets(F.col("_qvec"), n_planes, n_tables)))
+    c_tb = srp_bucket_rows(corpus, "neighbor_id", n_planes, n_tables, id_col, vec_col)
+    q_tb = srp_bucket_rows(queries, "query_id", n_planes, n_tables, id_col, vec_col)
 
+    q_fits = _query_side_fits_broadcast(q, max_broadcast_queries)
     candidates = (
-        F.broadcast(q_b.select("query_id", "_tb"))
-        .join(c_b.select("neighbor_id", "_tb"), "_tb")
+        (F.broadcast(q_tb) if q_fits else q_tb)
+        .join(c_tb, ["_t", "_b"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
     scored = (
-        candidates.join(F.broadcast(q), "query_id")
+        candidates.join(F.broadcast(q) if q_fits else q, "query_id")
         .join(c, "neighbor_id")
         .withColumn("score", dot("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm")))
     )

@@ -57,6 +57,43 @@ def test_neardup_blocked(vectors):
     assert got == {(1, 2), (4, 5)}  # within-label close pairs only
 
 
+def test_topk_broadcast_guard_paths_agree(vectors):
+    """A query set larger than max_broadcast_queries must take the
+    shuffled path (no mandatory broadcast of an unbounded side — the r4
+    VERDICT misuse case where the query set IS the corpus) and still
+    return the identical result as the broadcast path."""
+    small = similarity.brute_force_topk(vectors, vectors, k=3)  # broadcast path
+    large = similarity.brute_force_topk(vectors, vectors, k=3, max_broadcast_queries=2)
+    assert "broadcast" not in (
+        large._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, large.collect()))
+
+    lsh_small = similarity.lsh_topk(vectors, vectors, k=3, n_planes=2, n_tables=4)
+    lsh_large = similarity.lsh_topk(
+        vectors, vectors, k=3, n_planes=2, n_tables=4, max_broadcast_queries=2
+    )
+    assert "strategy=broadcast" not in (
+        lsh_large._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert sorted(map(tuple, lsh_small.collect())) == sorted(
+        map(tuple, lsh_large.collect())
+    )
+
+
+def test_srp_bucket_rows_shape_and_determinism(vectors):
+    """Every vector gets exactly one bucket per table; two runs (and the
+    corpus/query sides) derive identical buckets from the fixed seed."""
+    a = similarity.srp_bucket_rows(vectors, "doc", n_planes=4, n_tables=3).collect()
+    b = similarity.srp_bucket_rows(vectors, "doc", n_planes=4, n_tables=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r.doc, []).append(r._t)
+    assert all(sorted(ts) == [0, 1, 2] for ts in per_doc.values())
+    assert all(0 <= r._b < 16 for r in a)
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from good_enough_timecamp_data_pipeline_spark.operators.similarity import (
         brute_force_topk,
