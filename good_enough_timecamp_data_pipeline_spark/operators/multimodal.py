@@ -5,15 +5,27 @@ struct; decode / feature-extraction runs as Arrow-batched ``mapInPandas``
 so each Python worker sees a columnar batch (one serde per batch, not per
 row) — the only sane shape for CPU-heavy per-item media work on Spark.
 
-The decode itself is STUBBED (no media libraries in this container): the
-"decoder" emits deterministic fake features derived from payload bytes, and
-`decode_image` raises ``NotImplementedError`` to mark the real integration
-point. Everything around it — schema, batching, partitioning, UDF
-signatures — is real and tested.
+Decode is REAL for two formats a stdlib-only container can parse:
+
+- **PPM (P6)** images — header + raw RGB triples; `decode_ppm` returns
+  true width/height plus per-channel means.
+- **WAV** audio — RIFF container via the stdlib ``wave`` module;
+  `decode_wav` returns true duration/framerate/channels plus an RMS
+  loudness feature.
+
+Formats that genuinely need external codecs (PNG/JPEG/MP4…) raise
+``NotImplementedError`` at the same `decode_media` boundary — swap the
+dispatch table to pillow/opencv/ffmpeg on a real cluster; the Spark
+plumbing (schema, batching, partitioning, UDF signatures) is unchanged.
 """
 
 from __future__ import annotations
 
+import hashlib
+import io
+import math
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -25,8 +37,11 @@ MEDIA_META_FIELDS = "n_bytes bigint, mime string, source string"
 
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, mime string, width int, height int, "
-    "feat array<float>"
+    "duration_s double, feat array<float>"
 )
+
+PPM_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/x-wav"
 
 
 def attach_binary_payload(
@@ -46,54 +61,220 @@ def attach_binary_payload(
     )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder integration point — requires pillow/opencv, absent here."""
+def synthesize_ppm(key: int, seed_text: str) -> bytes:
+    """Deterministic small P6 PPM: dimensions from the key, pixels from an
+    md5 keystream of the text — a real, decodable image fixture."""
+    width = 4 + key % 5
+    height = 3 + key % 4
+    need = width * height * 3
+    seed = hashlib.md5(seed_text.encode("utf-8")).digest()
+    pixels = (seed * (need // len(seed) + 1))[:need]
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
+
+
+def synthesize_wav(key: int) -> bytes:
+    """Deterministic mono 16-bit 8 kHz sine WAV, 0.1–0.5 s by key — a
+    real, decodable audio fixture."""
+    framerate = 8000
+    n_frames = 800 + (key % 5) * 800
+    freq = 200.0 + (key % 10) * 50.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(12000 * math.sin(2 * math.pi * freq * i / framerate)))
+                for i in range(n_frames)
+            )
+        )
+    return buf.getvalue()
+
+
+def attach_synthetic_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, payload, meta) with REAL decodable payloads — even ids get
+    a PPM image, odd ids a WAV clip. mapInPandas so payload bytes are
+    born on the executors and never cross to the driver; deterministic in
+    (id, text) so reruns land bit-identical fixtures."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, mimes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                key = int(doc_id)
+                if key % 2 == 0:
+                    payloads.append(synthesize_ppm(key, str(text)))
+                    mimes.append(PPM_MIME)
+                else:
+                    payloads.append(synthesize_wav(key))
+                    mimes.append(WAV_MIME)
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col], "payload": payloads, "mime": mimes}
+            )
+
+    flat = df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, schema="doc_id bigint, payload binary, mime string"
+    )
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.col("mime").alias("mime"),
+            F.lit("synthetic").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Stdlib P6-PPM decode: true width/height/maxval + per-channel means.
+
+    Binary PPM is ``P6 <ws> width <ws> height <ws> maxval <single-ws>``
+    followed by width·height RGB triples; ``#`` starts a comment through
+    end-of-line anywhere in the header."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary (P6) PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raw pixel data
+    width, height, maxval = fields
+    need = width * height * 3
+    pixels = payload[pos : pos + need]
+    if len(pixels) < need:
+        raise ValueError(f"truncated PPM: want {need} pixel bytes, have {len(pixels)}")
+    n_px = width * height
+    means = [sum(pixels[c::3]) / n_px for c in range(3)]
+    return {
+        "width": width,
+        "height": height,
+        "maxval": maxval,
+        "mean_r": means[0],
+        "mean_g": means[1],
+        "mean_b": means[2],
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Stdlib WAV decode via ``wave``: true duration/framerate/channels
+    plus RMS loudness over the first 4096 16-bit samples."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_channels = w.getnchannels()
+        framerate = w.getframerate()
+        sampwidth = w.getsampwidth()
+        n_frames = w.getnframes()
+        head = w.readframes(min(n_frames, 4096 // max(n_channels, 1)))
+    rms = 0.0
+    if sampwidth == 2 and len(head) >= 2:
+        samples = struct.unpack(f"<{len(head) // 2}h", head[: len(head) // 2 * 2])
+        rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    return {
+        "n_channels": n_channels,
+        "framerate": framerate,
+        "sampwidth": sampwidth,
+        "n_frames": n_frames,
+        "duration_s": n_frames / framerate if framerate else 0.0,
+        "rms": rms,
+    }
+
+
+def decode_media(payload: bytes, mime: str) -> dict:
+    """Mime-dispatched decode — the single integration boundary. Formats
+    needing external codecs raise here; swap entries in on a real cluster."""
+    if mime == PPM_MIME:
+        return decode_ppm(payload)
+    if mime in (WAV_MIME, "audio/wav"):
+        return decode_wav(payload)
     raise NotImplementedError(
-        "media decode needs an image library (pillow/opencv) not present in "
-        "this environment; extract_features uses a deterministic stub"
+        f"no stdlib decoder for {mime!r}; PNG/JPEG/MP4… need pillow/opencv/"
+        "ffmpeg, not present in this environment"
     )
 
 
-def _fake_decode_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic stand-in for a real decode: 8 'features' from payload
-    byte statistics, plus fake dimensions. Replace with decode_image."""
-    payloads = pdf["payload"]
-    n_bytes = payloads.map(len)
-    feats = payloads.map(
-        lambda b: [
-            float(len(b)),
-            float(b[0] if len(b) else 0),
-            float(b[-1] if len(b) else 0),
-            float(sum(b[:64]) % 256),
-            float(min(b) if len(b) else 0),
-            float(max(b) if len(b) else 0),
-            float(len(set(b[:256]))),
-            float((len(b) * 2654435761) % 997),
-        ]
-    )
-    return pd.DataFrame(
-        {
-            "doc_id": pdf["doc_id"],
-            "n_bytes": n_bytes,
-            "mime": pdf["mime"],
-            "width": (n_bytes % 1024).astype("int32"),
-            "height": ((n_bytes * 3) % 1024).astype("int32"),
-            "feat": feats,
-        }
+def decode_image(payload: bytes) -> dict:
+    """Image decode: PPM handled natively, anything else needs pillow/opencv."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    raise NotImplementedError(
+        "media decode for non-PPM images needs an image library "
+        "(pillow/opencv) not present in this environment"
     )
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def _byte_stat_features(b: bytes) -> list[float]:
+    """Cheap content features computed for EVERY payload regardless of
+    format (the 'always-available' feature tier)."""
+    return [
+        float(len(b)),
+        float(b[0] if len(b) else 0),
+        float(b[-1] if len(b) else 0),
+        float(sum(b[:64]) % 256),
+        float(min(b) if len(b) else 0),
+        float(max(b) if len(b) else 0),
+        float(len(set(b[:256]))),
+        float((len(b) * 2654435761) % 997),
+    ]
+
+
+def _decode_batch(pdf: pd.DataFrame, strict: bool) -> pd.DataFrame:
+    out: dict[str, list] = {
+        "doc_id": [], "n_bytes": [], "mime": [], "width": [],
+        "height": [], "duration_s": [], "feat": [],
+    }
+    for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+        b = bytes(payload)
+        width = height = None
+        duration = None
+        feat = _byte_stat_features(b)
+        if mime == PPM_MIME:
+            d = decode_ppm(b)
+            width, height = d["width"], d["height"]
+            feat = feat[:5] + [d["mean_r"], d["mean_g"], d["mean_b"]]
+        elif mime in (WAV_MIME, "audio/wav"):
+            d = decode_wav(b)
+            duration = d["duration_s"]
+            feat = feat[:5] + [float(d["framerate"]), float(d["n_channels"]), d["rms"]]
+        elif strict:
+            decode_media(b, mime)  # raises NotImplementedError loudly
+        out["doc_id"].append(doc_id)
+        out["n_bytes"].append(len(b))
+        out["mime"].append(mime)
+        out["width"].append(width)
+        out["height"].append(height)
+        out["duration_s"].append(duration)
+        out["feat"].append(feat)
+    return pd.DataFrame(out)
+
+
+def extract_features(media: DataFrame, strict: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta) rows.
 
     ``mapInPandas`` keeps the binary payloads inside the executor and
     yields one columnar batch per input batch; repartition upstream if
     media items are large enough that a 128 MB input split holds too many.
+
+    PPM and WAV payloads get REAL decoded dimensions/duration (stdlib
+    codecs above); other mimes get byte-stat features with NULL
+    width/height/duration — or, with ``strict=True``, a loud
+    ``NotImplementedError`` instead of silently-degraded features.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _fake_decode_batch(pdf)
+            yield _decode_batch(pdf, strict)
 
     flat = media.select(
         "doc_id", "payload", F.col("meta.mime").alias("mime")

@@ -644,10 +644,13 @@ def s_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload + Arrow-batched (stub) feature extraction."""
+    """Binary payload + Arrow-batched feature extraction with REAL stdlib
+    decode: even doc_ids carry a decodable P6 PPM (true width/height),
+    odd ids a WAV clip (true duration) — strict mode, so an undecodable
+    payload fails loudly instead of degrading to byte stats."""
     docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_binary_payload(docs, mime="text/plain")
-    return multimodal.extract_features(media)
+    media = multimodal.attach_synthetic_media(docs)
+    return multimodal.extract_features(media, strict=True)
 
 
 def s_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,9 +30,56 @@ def test_extract_features_deterministic(spark):
     assert a[2].n_bytes == 0  # empty payload doesn't crash the batch path
 
 
-def test_decode_image_is_stub():
+def test_decode_image_rejects_formats_needing_external_codecs():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_ppm_known_image():
+    """Hand-built 2x2 P6 with a comment line: exact dims + channel means."""
+    pixels = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    payload = b"P6\n# a comment\n2 2\n255\n" + pixels
+    d = multimodal.decode_ppm(payload)
+    assert (d["width"], d["height"], d["maxval"]) == (2, 2, 255)
+    assert d["mean_r"] == (255 + 0 + 0 + 255) / 4
+    assert d["mean_g"] == (0 + 255 + 0 + 255) / 4
+    assert d["mean_b"] == (0 + 0 + 255 + 255) / 4
+    with pytest.raises(ValueError):
+        multimodal.decode_ppm(b"P6\n2 2\n255\n\x00\x00")  # truncated
+
+
+def test_decode_wav_known_clip():
+    payload = multimodal.synthesize_wav(3)  # key 3 → 800+3*800 frames @8kHz
+    d = multimodal.decode_wav(payload)
+    assert d["n_frames"] == 800 + 3 * 800
+    assert d["framerate"] == 8000 and d["n_channels"] == 1 and d["sampwidth"] == 2
+    assert abs(d["duration_s"] - d["n_frames"] / 8000) < 1e-12
+    assert d["rms"] > 1000  # a 12000-amplitude sine is loud, not silence
+
+
+def test_extract_features_real_decode(spark):
+    """The media tier decodes REAL payloads end-to-end on executors: PPM
+    rows carry true width/height from the header, WAV rows true duration;
+    strict mode raises on an undecodable mime instead of degrading."""
+    df = spark.createDataFrame(
+        [(2, "even doc"), (3, "odd doc")], "doc_id long, text string"
+    )
+    media = multimodal.attach_synthetic_media(df)
+    out = {r.doc_id: r for r in multimodal.extract_features(media, strict=True).collect()}
+    # doc 2: PPM with width = 4 + 2%5 = 6, height = 3 + 2%4 = 5
+    assert (out[2].width, out[2].height) == (6, 5)
+    assert out[2].duration_s is None
+    assert out[2].mime == multimodal.PPM_MIME
+    # doc 3: WAV with 800 + 3*800 frames @ 8 kHz = 0.4 s
+    assert out[3].width is None and out[3].height is None
+    assert abs(out[3].duration_s - 0.4) < 1e-9
+    assert out[3].mime == multimodal.WAV_MIME
+
+    undecodable = multimodal.attach_binary_payload(df, mime="image/png")
+    with pytest.raises(Exception, match="NotImplementedError"):
+        multimodal.extract_features(undecodable, strict=True).collect()
 
 
 def test_streaming_matches_batch(spark, sf_dir):
