@@ -191,6 +191,7 @@ register("m_multimodal_features", northstar.m_multimodal_features)
 register("s_stream_tumbling", northstar.s_stream_tumbling)
 register("s_stream_sliding", northstar.s_stream_sliding)
 register("s_stream_sessions", northstar.s_stream_sessions)
+register("s_stream_session_window", northstar.s_stream_session_window)
 register("s_stream_dedup", northstar.s_stream_dedup)
 register("s_stream_join", northstar.s_stream_join)
 register("s_stream_static_join", northstar.s_stream_static_join)

@@ -674,6 +674,17 @@ def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_sessionize(spark, sf_dir, n_chunks=3)
 
 
+def s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` twin of s_stream_sessions: identical
+    30-min-gap sessions via JVM-side session-merging state (no Python
+    workers, no Arrow) — the cheaper default when no custom per-session
+    logic is needed. Complete mode, so open tail sessions emit too;
+    batch-equality with the native batch plan asserted in tests."""
+    from ..streaming.windows import streaming_session_windows
+
+    return streaming_session_windows(spark, sf_dir, n_chunks=3)
+
+
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermark-bounded streaming dedup: the event stream is fed TWICE
     (duplicate micro-batch — worst-case at-least-once redelivery);

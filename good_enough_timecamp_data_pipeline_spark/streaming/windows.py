@@ -311,6 +311,65 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+SESSION_GAP = "30 minutes"
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_window_agg(events: DataFrame) -> DataFrame:
+    """Native ``session_window`` sessionization (30-min gap) — works on a
+    batch OR streaming events DataFrame unchanged.
+
+    This is the built-in twin of `streaming.stateful.streaming_sessionize`:
+    the same (user_id, session_start_us, session_end_us, n_events) rows,
+    but with JVM-side session-merging state instead of Python
+    ``applyInPandasWithState`` — no Arrow transfer, no Python workers, the
+    cheaper choice whenever plain gap-sessionization is all that's needed.
+    The pandas-state version remains the template for semantics the
+    built-in can't express (per-session custom accumulators, early emits,
+    CDC conflation). Spark's session window end = last event + gap, so the
+    gap is subtracted back to report the true last-event time.
+    """
+    return (
+        events.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            (F.unix_micros(F.col("sw.end")) - F.lit(_SESSION_GAP_US)).alias(
+                "session_end_us"
+            ),
+            "n_events",
+        )
+    )
+
+
+def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-mode native sessionization over events."""
+    ensure_events_read_conf(spark)
+    events = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    return session_window_agg(events)
+
+
+def streaming_session_windows(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+) -> DataFrame:
+    """Native session_window over a multi-batch stream (complete mode, so
+    still-open sessions surface too — unlike the append-mode pandas-state
+    operator, which emits only closed sessions). Sessions spanning
+    micro-batches are merged by the state store; equality with the batch
+    plan is asserted in tests."""
+    from .stateful import _chunked_events_dir
+
+    src = _chunked_events_dir(spark, sf_dir, n_chunks)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = session_window_agg(stream)
+    return _run_to_completion(spark, agg, "stream_session_window_out", cleanup_dir=src)
+
+
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: the streaming fact joins a STATIC dimension —
     the everyday enrichment shape (events ⋈ user→region dim) that needs

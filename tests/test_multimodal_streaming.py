@@ -123,7 +123,28 @@ def test_stateful_sessionize_matches_batch_invariant(spark, sf_dir):
     assert all(r.n_events >= 1 for r in emitted)
 
 
-def test_resize_constant_output_size(spark):
+def test_session_window_stream_equals_batch(spark, sf_dir):
+    """The native session_window twin: streaming (3 micro-batches, state
+    merged across them) must equal the batch plan EXACTLY, and both must
+    agree with the window-function sessionization (e_sessionize) on
+    per-user session counts and event totals."""
+    from good_enough_timecamp_data_pipeline_spark.plans.relational import e_sessionize
+    from good_enough_timecamp_data_pipeline_spark.streaming.windows import (
+        batch_session_windows,
+        streaming_session_windows,
+    )
+
+    batch = sorted(map(tuple, batch_session_windows(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, streaming_session_windows(spark, sf_dir).collect()))
+    assert stream == batch
+
+    per_user: dict[int, list[tuple]] = {}
+    for r in batch:
+        per_user.setdefault(r[0], []).append(r)
+    for r in e_sessionize(spark, sf_dir).collect():
+        sessions = per_user[r.user_id]
+        assert len(sessions) == r.n_sessions
+        assert sum(s[3] for s in sessions) == r.n_events
     df = spark.createDataFrame(
         [(1, "short"), (2, "a much longer document body " * 10), (3, "")],
         "doc_id long, text string",

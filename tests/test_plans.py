@@ -40,6 +40,25 @@ def test_dim_lookup_is_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_retention_funnel_hint_free_but_aqe_broadcasts(spark, sf_dir):
+    """r4 removed the forced broadcast of the first-seen/stage-user sides
+    (user-cardinality — unbounded at 100 TB). The contract after that
+    change: NO mandatory hint in the logical plan, and at small scale AQE
+    must still recover the broadcast join from runtime stats — so the
+    hint removal costs nothing where a broadcast is actually safe."""
+    from good_enough_timecamp_data_pipeline_spark.plans import analytics
+
+    for fn in (analytics.e_retention_cohorts, analytics.e_funnel_stages):
+        df = fn(spark, sf_dir)
+        logical = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in logical, f"{fn.__name__} carries a hint"
+        df.collect()  # AQE finalizes join strategies at runtime
+        final = plan_of(df)
+        assert "BroadcastHashJoin" in final, (
+            f"{fn.__name__}: AQE did not recover the small-scale broadcast"
+        )
+
+
 def test_dedup_verify_semijoins_carry_no_broadcast_hint(spark, sf_dir):
     """The LSH verify stage semi-joins the shingle set against the
     candidate-id set, which is O(dup_rate × corpus) — billions of ids on
