@@ -164,26 +164,13 @@ def minhash_band_buckets(
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 5,
-    num_hashes: int = 64,
-    bands: int = 16,
-    threshold: float = 0.6,
-) -> DataFrame:
-    """MinHash signature + banded LSH candidate pairs, exact-verified.
+def band_bucket_candidates(buckets: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from (doc, band, bucket) rows.
 
-    Output schema matches `shingle_pairs_jaccard` — with near-identical
-    inputs the banding probability of a false negative is ~0, so the two
-    methods agree (which is what the oracle asserts); the difference is
-    cost: candidates come from B bucket-joins, never an all-pairs product.
-    """
-    sh = _pin(shingle_rows(df, text_col, id_col, n))
-    buckets = _pin(minhash_band_buckets(sh, num_hashes, bands))
-
-    candidates = _pin(
+    The LSH candidate generator: docs sharing any (band, bucket) cell.
+    One self-join on the banded key — cost O(sum of bucket sizes squared),
+    never an all-pairs product over the corpus."""
+    return (
         buckets.alias("x")
         .join(
             buckets.alias("y"),
@@ -195,14 +182,22 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only: restrict the shingle set to
-    # docs that appear in some candidate pair before the intersection
-    # join — the full corpus is never pair-joined. NO forced broadcast on
-    # the candidate-id set: it is O(dup_rate × corpus) — billions of ids
-    # on a lightly-deduped web crawl — so a mandatory broadcast OOMs
-    # exactly at scale. The semi-join shuffles on doc (a key the shingle
-    # set already hashes well on) and AQE still picks a broadcast when the
-    # measured candidate set is actually small.
+
+def verify_candidate_pairs(
+    sh: DataFrame, candidates: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against shingle rows.
+
+    Restricts the shingle set to docs that appear in some candidate pair
+    before the intersection join — the full corpus is never pair-joined.
+    NO forced broadcast on the candidate-id set: it is O(dup_rate ×
+    corpus) — billions of ids on a lightly-deduped web crawl — so a
+    mandatory broadcast OOMs exactly at scale. The semi-join shuffles on
+    doc (a key the shingle set already hashes well on) and AQE still
+    picks a broadcast when the measured candidate set is actually small.
+    (`tools/scale_probe.py` times this stage in isolation on a dup-heavy
+    corpus; curve recorded in ARCHITECTURE.md.)
+    """
     cand_ids = (
         candidates.select(F.col("id_a").alias("doc"))
         .unionByName(candidates.select(F.col("id_b").alias("doc")))
@@ -231,6 +226,28 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """MinHash signature + banded LSH candidate pairs, exact-verified.
+
+    Output schema matches `shingle_pairs_jaccard` — with near-identical
+    inputs the banding probability of a false negative is ~0, so the two
+    methods agree (which is what the oracle asserts); the difference is
+    cost: candidates come from B bucket-joins, never an all-pairs product.
+    """
+    sh = _pin(shingle_rows(df, text_col, id_col, n))
+    buckets = _pin(minhash_band_buckets(sh, num_hashes, bands))
+    candidates = _pin(band_bucket_candidates(buckets))
+    return verify_candidate_pairs(sh, candidates, threshold)
 
 
 def build_lsh_index(

@@ -41,15 +41,41 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries of queries(). Window history: r1+r2 confirmed the original
-# ordering, r3 confirmed 43/50 of the rotated front (7 events queries failed
-# on the testdata ts-type drift, fixed this round). The r4 window re-checks,
-# in priority order: (a) the 7 r3 failures, (b) queries whose IMPLEMENTATION
-# changed this round (confirmations only attest the code as of the checked
-# round — ADVICE r3), (c) the 10 queries new this round, then (d) the 32
-# oracle queries not re-checked since r1/r2. Everything r3 confirmed
-# unchanged follows after slot 50; rows-only entries last.
+# ordering; r3 confirmed 43/50 (7 events-reader failures, fixed r4); r4 was
+# 50/50 — cumulative driver-confirmed coverage 92/104 oracle entries. The r5
+# window, in priority order: (a) the 12 oracle queries the driver has NEVER
+# checked (added after the r4 window froze), (b) queries whose IMPLEMENTATION
+# changed this round (dedup verify de-broadcast, graph checkpoint cleanup,
+# similarity size-guard — confirmations only attest code as of the checked
+# round), (c) events-readers re-checked under the r5 UTC session pin
+# (plans/testdata.py) incl. the two AQE hint-removal queries, then (d) the
+# oldest-attested entries (r3-only, never re-checked since). Everything else
+# follows after slot 50; rows-only entries last. After r5 this makes
+# cumulative driver-confirmed coverage 104/104.
 
-# --- (a) r3 failures, all events-readers, fixed by normalize_events_ts -----
+# --- (a) never driver-checked: the 12 post-r4-freeze oracle queries --------
+for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
+    register(_name, _fn, _sql)
+register(
+    "d_incremental_dedup", northstar.d_incremental_dedup, northstar.D_INCREMENTAL_DEDUP_SQL
+)
+register("d_dedup_survivors", advanced.d_dedup_survivors, advanced.D_DEDUP_SURVIVORS_SQL)
+register("j_scd2_lookup", analytics.j_scd2_lookup, analytics.J_SCD2_LOOKUP_SQL)
+register("e_windowed_funnel", analytics.e_windowed_funnel, analytics.E_WINDOWED_FUNNEL_SQL)
+
+# --- (b) implementation changed in r5 --------------------------------------
+# dedup.py verify paths lost their forced candidate-set broadcasts;
+# graph.py gained explicit checkpoint cleanup; similarity.py gained the
+# size-guarded query-side broadcast. (d_incremental_dedup and
+# f_epoch_roundtrip also changed but already sit in window (a).)
+register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
+register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
+register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
+register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
+
+# --- (c) events-readers under the r5 UTC session pin (testdata.py) ---------
+# e_retention_cohorts / e_funnel_stages also confirm the r4 hint removal
+# still matches with AQE choosing the join strategy.
 register(
     "e_retention_cohorts", analytics.e_retention_cohorts, analytics.E_RETENTION_COHORTS_SQL
 )
@@ -57,57 +83,17 @@ register("e_funnel_stages", analytics.e_funnel_stages, analytics.E_FUNNEL_STAGES
 register("j_scd2_dim", analytics.j_scd2_dim, analytics.J_SCD2_DIM_SQL)
 register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
 register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
-register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
-register("a_percentiles", relational.a_percentiles, relational.A_PERCENTILES_SQL)
-
-# --- (b) implementation changed this round (graph.py localCheckpoint) ------
-register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
-
-# --- (c) new this round: plans/extensions.py -------------------------------
-for _name, (_fn, _sql) in extensions.EXTENSION_QUERIES.items():
-    register(_name, _fn, _sql)
-
-# --- (d) oracle queries not re-checked since r1/r2 -------------------------
-# events-readers first (their load path changed via normalize_events_ts):
-register("f_json_props", relational.f_json_props, relational.F_JSON_PROPS_SQL)
 register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
 register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)
 register("x_asof_join", relational.x_asof_join, relational.X_ASOF_JOIN_SQL)
-register("a_count_distinct", relational.a_count_distinct, relational.A_COUNT_DISTINCT_SQL)
-register("x_cube", relational.x_cube, relational.X_CUBE_SQL)
-register("w_frames", relational.w_frames, relational.W_FRAMES_SQL)
 register(
-    "h_breadcrumb_levels",
-    relational.h_breadcrumb_levels,
-    relational.H_BREADCRUMB_LEVELS_SQL,
+    "e_sliding_window",
+    extensions.e_sliding_window,
+    extensions.E_SLIDING_WINDOW_SQL,
 )
-register("f_formatting_wide", relational.f_formatting_wide, relational.F_FORMATTING_WIDE_SQL)
-register("f_string_ids", relational.f_string_ids, relational.F_STRING_IDS_SQL)
-register("f_dates", relational.f_dates, relational.F_DATES_SQL)
-register("f_date_explode", relational.f_date_explode, relational.F_DATE_EXPLODE_SQL)
-register("o_sort_topk", relational.o_sort_topk, relational.O_SORT_TOPK_SQL)
-register("o_set_ops", relational.o_set_ops, relational.O_SET_OPS_SQL)
-register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_SQL)
-register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
-register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
-register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
-register("x_profile", relational.x_profile, relational.X_PROFILE_SQL)
-register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
-register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)
-register("t_langid", northstar.t_langid, northstar.T_LANGID_SQL)
-register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
-register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
-register("t_corpus_prep", northstar.t_corpus_prep, northstar.T_CORPUS_PREP_SQL)
-register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
-register("t_balanced_sample", northstar.t_balanced_sample, northstar.T_BALANCED_SAMPLE_SQL)
-register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
-register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
-register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
-register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS_SQL)
-register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
-# ---------------------------- end of first-50 window -----------------------
+register("e_dau_wau", extensions.e_dau_wau, extensions.E_DAU_WAU_SQL)
 
-# --- confirmed r3 (43/50 minus the failures re-listed above), unchanged ----
+# --- (d) oldest attestation: r3-confirmed, never re-checked since ----------
 register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
 register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
 register("t_topk_tokens", analytics.t_topk_tokens, analytics.T_TOPK_TOKENS_SQL)
@@ -136,7 +122,45 @@ register(
     "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL
 )
 register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
+# ---------------------------- end of first-50 window -----------------------
+
+# --- r3/r4-confirmed, unchanged in r5 --------------------------------------
 register("t_chunking", training.t_chunking, training.T_CHUNKING_SQL)
+register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
+register("a_percentiles", relational.a_percentiles, relational.A_PERCENTILES_SQL)
+for _name, (_fn, _sql) in extensions.EXTENSION_QUERIES.items():
+    if _name not in QUERIES:  # e_sliding_window / e_dau_wau sit in the window
+        register(_name, _fn, _sql)
+register("f_json_props", relational.f_json_props, relational.F_JSON_PROPS_SQL)
+register("a_count_distinct", relational.a_count_distinct, relational.A_COUNT_DISTINCT_SQL)
+register("x_cube", relational.x_cube, relational.X_CUBE_SQL)
+register("w_frames", relational.w_frames, relational.W_FRAMES_SQL)
+register(
+    "h_breadcrumb_levels",
+    relational.h_breadcrumb_levels,
+    relational.H_BREADCRUMB_LEVELS_SQL,
+)
+register("f_formatting_wide", relational.f_formatting_wide, relational.F_FORMATTING_WIDE_SQL)
+register("f_string_ids", relational.f_string_ids, relational.F_STRING_IDS_SQL)
+register("f_dates", relational.f_dates, relational.F_DATES_SQL)
+register("f_date_explode", relational.f_date_explode, relational.F_DATE_EXPLODE_SQL)
+register("o_sort_topk", relational.o_sort_topk, relational.O_SORT_TOPK_SQL)
+register("o_set_ops", relational.o_set_ops, relational.O_SET_OPS_SQL)
+register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_SQL)
+register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
+register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
+register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
+register("x_profile", relational.x_profile, relational.X_PROFILE_SQL)
+register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
+register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)
+register("t_langid", northstar.t_langid, northstar.T_LANGID_SQL)
+register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
+register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
+register("t_corpus_prep", northstar.t_corpus_prep, northstar.T_CORPUS_PREP_SQL)
+register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
+register("t_balanced_sample", northstar.t_balanced_sample, northstar.T_BALANCED_SAMPLE_SQL)
+register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
+register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS_SQL)
 register(
     "report_task_budget", reports.report_task_budget, reports.oracle_task_budget_sql()
 )
@@ -172,16 +196,6 @@ register("a_distinct_ids", relational.a_distinct_ids, relational.A_DISTINCT_IDS_
 register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
 register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
 register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)
-
-# --- added after the r4 window froze; rotate into the front next round -----
-for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
-    register(_name, _fn, _sql)
-register(
-    "d_incremental_dedup", northstar.d_incremental_dedup, northstar.D_INCREMENTAL_DEDUP_SQL
-)
-register("d_dedup_survivors", advanced.d_dedup_survivors, advanced.D_DEDUP_SURVIVORS_SQL)
-register("j_scd2_lookup", analytics.j_scd2_lookup, analytics.J_SCD2_LOOKUP_SQL)
-register("e_windowed_funnel", analytics.e_windowed_funnel, analytics.E_WINDOWED_FUNNEL_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("a_approx_sketches", advanced.a_approx_sketches)

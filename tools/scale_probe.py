@@ -149,6 +149,35 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     spark.catalog.clearCache()
     shutil.rmtree(idx_dir, ignore_errors=True)
 
+    # verify-stage isolation (the join the r5 de-broadcast changed):
+    # dup-heavy corpus — 30% of docs get a near-dup twin — so the
+    # candidate-id set grows WITH the corpus (O(dup_rate × corpus)), the
+    # exact shape where a forced broadcast of candidate ids OOMs at
+    # 100 TB. Shingles and candidates are materialized to parquet
+    # UNTIMED; the timing covers only dedup.verify_candidate_pairs
+    # (candidate-id union/distinct + hint-free semi-join + intersection
+    # join + jaccard filter). Ideal curve: linear in corpus.
+    vdir = tempfile.mkdtemp(prefix="lsh_verify_")
+    docs_v = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    twins = docs_v.filter(F.col("doc_id") % 10 < 3).select(
+        (F.col("doc_id") + F.lit(500_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    sh_v = dedup.shingle_rows(docs_v.unionByName(twins), n=5)
+    sh_v.write.mode("overwrite").parquet(f"{vdir}/sh")
+    sh_v = spark.read.parquet(f"{vdir}/sh")
+    dedup.band_bucket_candidates(
+        dedup.minhash_band_buckets(sh_v, num_hashes=64, bands=32)
+    ).write.mode("overwrite").parquet(f"{vdir}/cand")
+    cand_v = spark.read.parquet(f"{vdir}/cand")
+    t0 = time.time()
+    dedup.verify_candidate_pairs(sh_v, cand_v, threshold=0.5).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    res["lsh_verify_stage"] = time.time() - t0
+    spark.catalog.clearCache()
+    shutil.rmtree(vdir, ignore_errors=True)
+
     # connected components: decade-star edges from the scaled orders fact
     # (components of <=10 nodes, diameter 2 — the dedup-graph shape);
     # edge count scales with the factor, rounds stay constant
