@@ -45,16 +45,24 @@ def _unpersist_checkpoint_blocks(df: DataFrame) -> None:
     for checkpoint storage, so without this every round of an iterative
     loop leaves its full label set pinned in block storage until Python GC
     plus the ContextCleaner happen to reclaim it — up to ``max_iter``
-    concurrent copies. The checkpointed (persisted) RDD is the sole
-    dependency of the DataFrame's physical scan RDD; walk to it and
-    unpersist. Best-effort over py4j internals: on any surprise, skip —
-    the ContextCleaner fallback still applies, correctness is unaffected.
+    concurrent copies. ``queryExecution().toRdd()`` wraps the checkpoint
+    scan in narrow adapters (Spark 4.1: SQLExecutionRDD →
+    MapPartitionsRDD → the persisted RDD), so walk the one-parent chain
+    until the first RDD that actually holds storage and unpersist THAT.
+    Best-effort over py4j internals: on any surprise, skip — the
+    ContextCleaner fallback still applies, correctness is unaffected.
     """
     try:
-        jrdd = df._jdf.queryExecution().toRdd()
-        deps = jrdd.dependencies()
-        if deps.nonEmpty():
-            deps.head().rdd().unpersist(False)
+        r = df._jdf.queryExecution().toRdd()
+        for _ in range(8):
+            lvl = r.getStorageLevel()
+            if lvl.useMemory() or lvl.useDisk():
+                r.unpersist(False)
+                return
+            deps = r.dependencies()
+            if not deps.nonEmpty():
+                return
+            r = deps.head().rdd()
     except Exception:  # pragma: no cover - defensive around internals
         pass
 
@@ -148,6 +156,89 @@ def connected_components(
         else:
             raise RuntimeError(msg)
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    num_iter: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Directed PageRank with dangling-mass redistribution: (node, rank),
+    ranks summing to 1 (up to float addition order).
+
+    The second iterative graph operator next to `connected_components` —
+    used to rank hosts/domains when curating a web-crawl corpus (which
+    pages' duplicates to keep, which sources to up-weight). The reference
+    has no graph surface at all; this is the standard scale companion.
+
+    Same loop discipline as `connected_components` (see module
+    docstring): fixed ``num_iter`` rounds (deterministic — no float
+    convergence compare), each round is ONE keyed shuffle
+    (edges ⋈ ranks on src, then a map-side-combinable sum by dst); ranks
+    are lazily ``localCheckpoint``-ed so the plan never deepens, and the
+    per-round dangling-mass aggregate is the single job that both
+    materializes the new checkpoint and gives the driver its one scalar;
+    the previous round's blocks are freed immediately after.
+
+    Dangling nodes (no out-edges) leak rank mass; it is re-spread
+    uniformly — skipping this makes ranks drift low and is the classic
+    PageRank-at-scale bug.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = nodes.count()  # driver scalar, same contract as CC's convergence sum
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    out_deg = e.groupBy("u").agg(F.count("*").alias("out_deg"))
+    # ranks live joined with out_deg once, so the loop never re-derives it
+    ranked_nodes = nodes.join(out_deg, nodes["node"] == out_deg["u"], "left").select(
+        "node", F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+    )
+    ranks = ranked_nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=False)
+
+    for _ in range(num_iter):
+        contribs = (
+            e.join(ranks, e["u"] == ranks["node"])
+            .select(F.col("v").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        prev = ranks
+        # the dangling aggregate is this round's driver scalar; computing it
+        # from the PREVIOUS checkpoint keeps it one cheap scan
+        dangling = (
+            prev.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            prev.select("node", "out_deg")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                "out_deg",
+                (F.lit(base) + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ranks.count()  # materialize the new checkpoint before freeing prev
+        _unpersist_checkpoint_blocks(prev)
+
+    nodes.unpersist()
+    e.unpersist()
+    return ranks.select("node", "rank")
 
 
 def cluster_sizes(labels: DataFrame) -> DataFrame:

@@ -13,7 +13,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import advanced, analytics, extensions, northstar, relational, reports, training
+from . import (
+    advanced,
+    analytics,
+    extensions,
+    northstar,
+    relational,
+    reports,
+    round5,
+    training,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -197,7 +206,17 @@ register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
 register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
 register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)
 
+# --- added after the r5 window froze; rotate into the front next round -----
+register(
+    "e_peak_concurrency", round5.e_peak_concurrency, round5.E_PEAK_CONCURRENCY_SQL
+)
+register("t_quality_gate", round5.t_quality_gate, round5.T_QUALITY_GATE_SQL)
+register(
+    "t_cooccurrence_lift", round5.t_cooccurrence_lift, round5.T_COOCCURRENCE_LIFT_SQL
+)
+
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
+register("g_pagerank", round5.g_pagerank)
 register("a_approx_sketches", advanced.a_approx_sketches)
 register("s_ann_lsh", northstar.s_ann_lsh)
 register("s_ann_ivf", northstar.s_ann_ivf)

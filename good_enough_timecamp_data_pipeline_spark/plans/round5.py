@@ -1,0 +1,318 @@
+"""Round-5 operator-coverage extensions (SURVEY §2.12 continuation).
+
+Four further operators widening the analytic + LLM-pipeline surface; the
+first three are oracle-twinned, `g_pagerank` is iterative (rows-only).
+Nothing here introduces a Python UDF — every oracle-twinned query stays
+in Catalyst expressions.
+
+Scale principles specific to this batch:
+
+- **Sweep-line** (`e_peak_concurrency`): interval-overlap questions are
+  answered with +1/-1 boundary events and a running sum — never a
+  time-range self-join (which rescans every overlapping row per row).
+  Partitioning by (event_type, day) with day-clipped interval slices
+  keeps the per-partition sort bounded and lets parallelism grow with
+  the time range, instead of one partition per event_type.
+- **Cross-engine float exactness** (`t_cooccurrence_lift`): association
+  strength is reported as *lift* (a single exactly-rounded IEEE
+  division of integer counts), not PMI — ``ln`` is the one scalar whose
+  last ulp differs across engines, and the driver compares value hashes.
+- **Bounded fan-out**: the co-occurrence pair join is restricted to a
+  top-V vocabulary chosen by a distributed TakeOrdered (sort+limit — no
+  single-partition row_number window over the full vocabulary), so the
+  per-doc pair product is ≤ C(V,2) however large the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from .testdata import load_table
+
+US_PER_DAY = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# e_peak_concurrency — sweep-line interval overlap (peak concurrent sessions)
+# ---------------------------------------------------------------------------
+
+def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of concurrently-open sessions per (event_type, day).
+
+    Each event opens a session [ts, ts + value minutes) — half-open, so a
+    session ending exactly when another starts does not overlap it. The
+    sweep: every session slice contributes a +1 at its (clipped) start
+    and a -1 at its (clipped) end; the running sum ordered by
+    (t, delta) *is* the concurrency, and its max is the answer. Ordering
+    deltas before starts at the same instant implements the half-open
+    semantics identically in Spark and DuckDB (both use RANGE-to-current
+    default frames, so tied rows peer-aggregate the same way).
+
+    Sessions are minutes long, so the day-sequence explode is a bounded
+    ≤2× fan-out; all arithmetic stays in epoch µs with FLOOR so Spark's
+    truncating double→long cast can't diverge from DuckDB's rounding one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.greatest(
+                F.floor(F.col("value") * 60_000_000).cast("long"), F.lit(1).cast("long")
+            )
+        ).alias("end_us"),
+    )
+    sliced = (
+        s.withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("start_us") / US_PER_DAY).cast("long"),
+                    F.floor((F.col("end_us") - 1) / US_PER_DAY).cast("long"),
+                )
+            ),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.greatest("start_us", F.col("day") * US_PER_DAY).alias("s_us"),
+            F.least("end_us", (F.col("day") + 1) * US_PER_DAY).alias("e_us"),
+        )
+    )
+    deltas = sliced.select(
+        "event_type",
+        "day",
+        F.explode(
+            F.array(
+                F.struct(F.col("s_us").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e_us").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("x"),
+    ).select("event_type", "day", "x.t", "x.delta")
+    w = Window.partitionBy("event_type", "day").orderBy("t", "delta")
+    return (
+        deltas.withColumn("conc", F.sum("delta").over(w))
+        .groupBy("event_type", "day")
+        .agg(F.max("conc").alias("peak_concurrency"))
+        .select(
+            "event_type",
+            F.date_add(F.lit("1970-01-01").cast("date"), F.col("day").cast("int")).alias(
+                "day"
+            ),
+            "peak_concurrency",
+        )
+    )
+
+
+E_PEAK_CONCURRENCY_SQL = """
+WITH s AS (
+    SELECT event_type,
+           epoch_us(ts) AS start_us,
+           epoch_us(ts)
+             + GREATEST(CAST(FLOOR(value * 60000000) AS BIGINT), 1) AS end_us
+    FROM events
+), sliced AS (
+    SELECT event_type,
+           g.day,
+           GREATEST(start_us, g.day * 86400000000) AS s_us,
+           LEAST(end_us, (g.day + 1) * 86400000000) AS e_us
+    FROM s
+    CROSS JOIN LATERAL (
+        SELECT unnest(generate_series(
+            CAST(FLOOR(start_us / 86400000000) AS BIGINT),
+            CAST(FLOOR((end_us - 1) / 86400000000) AS BIGINT))) AS day
+    ) g
+), deltas AS (
+    SELECT event_type, day, s_us AS t, 1 AS delta FROM sliced
+    UNION ALL
+    SELECT event_type, day, e_us AS t, -1 AS delta FROM sliced
+), swept AS (
+    SELECT event_type, day,
+           SUM(delta) OVER (PARTITION BY event_type, day ORDER BY t, delta) AS conc
+    FROM deltas
+)
+SELECT event_type,
+       DATE '1970-01-01' + CAST(day AS INT) AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+FROM swept
+GROUP BY event_type, day
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_quality_gate — composite quality filter with reason codes
+# ---------------------------------------------------------------------------
+
+def t_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style document gating: every rule is an independent
+    predicate, a failing doc carries the comma-joined reason codes (fixed
+    rule order, so reruns and the oracle agree byte-for-byte), and
+    ``keep`` is the conjunction. One projection pass — the rules share
+    the tokenization subexpressions, zero shuffles, fully codegen'd.
+
+    Ratios divide integer counts (exactly-rounded IEEE doubles) and are
+    compared against constants — no cross-engine float drift.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tokens.cast(
+        "double"
+    )
+    nonspace = F.length(F.regexp_replace(F.col("text"), r"\s", ""))
+    mean_wlen = nonspace.cast("double") / n_tokens.cast("double")
+    digit_ratio = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace(F.col("text"), "[0-9]", ""))
+    ).cast("double") / F.length(F.col("text")).cast("double")
+
+    too_short = n_tokens < 15
+    too_long = n_tokens > 2000
+    bad_wlen = (mean_wlen < 2.0) | (mean_wlen > 12.0)
+    repetitive = distinct_ratio < 0.3
+    digit_heavy = digit_ratio > 0.2
+
+    reasons = F.concat_ws(
+        ",",
+        F.when(too_short, F.lit("too_short")),
+        F.when(too_long, F.lit("too_long")),
+        F.when(bad_wlen, F.lit("bad_word_length")),
+        F.when(repetitive, F.lit("repetitive")),
+        F.when(digit_heavy, F.lit("digit_heavy")),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (~(too_short | too_long | bad_wlen | repetitive | digit_heavy)).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+T_QUALITY_GATE_SQL = r"""
+WITH m AS (
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS distinct_ratio,
+           CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+             / len(regexp_split_to_array(trim(text), '\s+')) AS mean_wlen,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+             / length(text) AS digit_ratio
+    FROM documents
+)
+SELECT doc_id,
+       n_tokens,
+       NOT (n_tokens < 15 OR n_tokens > 2000
+            OR mean_wlen < 2.0 OR mean_wlen > 12.0
+            OR distinct_ratio < 0.3 OR digit_ratio > 0.2) AS keep,
+       concat_ws(',',
+           CASE WHEN n_tokens < 15 THEN 'too_short' END,
+           CASE WHEN n_tokens > 2000 THEN 'too_long' END,
+           CASE WHEN mean_wlen < 2.0 OR mean_wlen > 12.0 THEN 'bad_word_length' END,
+           CASE WHEN distinct_ratio < 0.3 THEN 'repetitive' END,
+           CASE WHEN digit_ratio > 0.2 THEN 'digit_heavy' END) AS reasons
+FROM m
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_cooccurrence_lift — bounded-vocabulary token co-occurrence association
+# ---------------------------------------------------------------------------
+
+def t_cooccurrence_lift(
+    spark: SparkSession, sf_dir: str, vocab_size: int = 40, min_pairs: int = 5
+) -> DataFrame:
+    """Token-pair association (lift) over a top-V vocabulary.
+
+    lift(a,b) = P(a,b) / (P(a)·P(b)) over documents — >1 means the pair
+    co-occurs more than independence predicts. The unbounded version of
+    this query is quadratic in vocabulary; the scale design caps it:
+
+    - vocabulary = top ``vocab_size`` tokens by document frequency,
+      picked by a distributed sort+limit (TakeOrdered — never a
+      single-partition row_number window over every distinct token);
+    - per-doc tokens are semi-joined to that vocabulary *before* the
+      pair self-join, so pair fan-out is ≤ C(V,2) per doc regardless of
+      corpus size. The 40-row vocabulary side is AQE-broadcast.
+    - lift is one exactly-rounded integer division — no logs, so the
+      DuckDB twin hashes identically (see module docstring).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    doc_toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok")
+    )
+    df_counts = doc_toks.groupBy("tok").agg(F.count("*").alias("df"))
+    vocab = df_counts.orderBy(F.desc("df"), F.asc("tok")).limit(vocab_size)
+    in_vocab = doc_toks.join(vocab, "tok").select("doc_id", "tok", "df")
+    pairs = (
+        in_vocab.alias("a")
+        .join(
+            in_vocab.alias("b"),
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"),
+            F.col("b.tok").alias("tok_b"),
+            F.col("a.df").alias("n_a"),
+            F.col("b.df").alias("n_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    return pairs.crossJoin(n_docs).select(  # 1-row stats side
+        "tok_a",
+        "tok_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        (
+            (F.col("n_ab") * F.col("n_docs")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
+T_COOCCURRENCE_LIFT_SQL = r"""
+WITH doc_toks AS (
+    SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+    FROM documents
+), df_counts AS (
+    SELECT tok, COUNT(*) AS df FROM doc_toks GROUP BY tok
+), vocab AS (
+    SELECT tok, df FROM df_counts ORDER BY df DESC, tok ASC LIMIT 40
+), in_vocab AS (
+    SELECT d.doc_id, d.tok, v.df FROM doc_toks d JOIN vocab v USING (tok)
+), pairs AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS n_a, b.df AS n_b,
+           COUNT(*) AS n_ab
+    FROM in_vocab a
+    JOIN in_vocab b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY 1, 2, 3, 4
+    HAVING COUNT(*) >= 5
+)
+SELECT tok_a, tok_b, n_ab, n_a, n_b,
+       CAST(n_ab * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+         / CAST(n_a * n_b AS DOUBLE) AS lift
+FROM pairs
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# g_pagerank — iterative PageRank over the part↔supplier supply graph
+# ---------------------------------------------------------------------------
+
+def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the directed part→supplier graph from lineitem
+    (which suppliers sit under the most supply pressure). Iterative —
+    not SQL-expressible, so rows-only in the driver gate; invariants
+    (mass conservation, uniform-graph degeneracy, hand-computed tiny
+    graphs) are pinned in tests/test_round5.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"), (F.col("l_suppkey") + 10_000_000).alias("dst")
+    ).distinct()
+    return pagerank(edges, num_iter=8).orderBy(F.desc("rank"), F.asc("node")).limit(50)

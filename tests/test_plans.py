@@ -171,3 +171,42 @@ def test_zscore_stats_broadcast(spark, sf_dir):
     plan = plan_of(advanced.a_zscore_outliers(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_peak_concurrency_partitioned_sweep(spark, sf_dir):
+    """The sweep-line window must be partitioned by (event_type, day) —
+    never an unpartitioned (single-partition) global sort — and the plan
+    must contain no join at all: concurrency comes from explode + window,
+    not a time-range self-join."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round5
+
+    plan = plan_of(round5.e_peak_concurrency(spark, sf_dir))
+    assert "Window" in plan
+    m = re.search(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1) and "day" in m.group(1)
+    assert "Join" not in plan
+
+
+def test_cooccurrence_vocab_join_broadcasts(spark, sf_dir):
+    """The top-V vocabulary side is 40 rows: after AQE the doc-token join
+    against it must be a broadcast, and the vocabulary itself must come
+    from TakeOrdered (distributed sort+limit), not a single-partition
+    row_number window."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round5
+
+    df = round5.t_cooccurrence_lift(spark, sf_dir)
+    df.collect()  # AQE finalizes join strategies at runtime
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_gate_is_single_stage_projection(spark, sf_dir):
+    """Five rules, one scan: no shuffle, no join, codegen'd end to end."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round5
+
+    plan = plan_of(round5.t_quality_gate(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.lstrip().startswith("*(1) Project")  # codegen'd single stage

@@ -1,0 +1,180 @@
+"""Round-5 operator tests: sweep-line concurrency, quality gate,
+co-occurrence lift, PageRank."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.operators.graph import pagerank
+from good_enough_timecamp_data_pipeline_spark.plans import round5, testdata
+
+
+# ---------------------------------------------------------------------------
+# e_peak_concurrency
+# ---------------------------------------------------------------------------
+
+def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
+    """Sweep-line result equals an O(n²) brute force over the raw sessions
+    (evaluate concurrency at every session start, clipped per day)."""
+    out = {
+        (r["event_type"], r["day"].toordinal()): r["peak_concurrency"]
+        for r in round5.e_peak_concurrency(spark, sf_dir).collect()
+    }
+    ev = testdata.load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    rows = ev.collect()
+    import calendar
+    import datetime
+    import math
+
+    sessions = []
+    for r in rows:
+        # exact µs epoch (float .timestamp() can flip a µs at 2024 epochs)
+        ts = r["ts"]
+        start = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        # reproduce the query's µs arithmetic exactly
+        end = start + max(math.floor(r["value"] * 60_000_000), 1)
+        sessions.append((r["event_type"], start, end))
+
+    US_DAY = 86_400_000_000
+    expected: dict[tuple[str, int], int] = {}
+    by_type_day: dict[tuple[str, int], list[tuple[int, int]]] = {}
+    for et, s, e in sessions:
+        for day in range(s // US_DAY, (e - 1) // US_DAY + 1):
+            cs, ce = max(s, day * US_DAY), min(e, (day + 1) * US_DAY)
+            by_type_day.setdefault((et, day), []).append((cs, ce))
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    for (et, day), ivs in by_type_day.items():
+        peak = 0
+        for s, _ in ivs:
+            peak = max(peak, sum(1 for a, b in ivs if a <= s < b))
+        expected[(et, epoch + day)] = peak
+
+    assert out == expected
+
+
+# ---------------------------------------------------------------------------
+# t_quality_gate
+# ---------------------------------------------------------------------------
+
+def test_quality_gate_reasons_consistent(spark, sf_dir):
+    rows = round5.t_quality_gate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["keep"]:
+            assert r["reasons"] == ""
+        else:
+            assert r["reasons"] != ""
+            assert set(r["reasons"].split(",")) <= {
+                "too_short",
+                "too_long",
+                "bad_word_length",
+                "repetitive",
+                "digit_heavy",
+            }
+
+
+def test_quality_gate_rules_recomputed_in_python(spark, sf_dir):
+    """Spot-check every doc's verdict against a plain-Python re-derivation."""
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in testdata.load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in round5.t_quality_gate(spark, sf_dir).collect():
+        text = docs[r["doc_id"]]
+        toks = re.split(r"\s+", text.strip())
+        n = len(toks)
+        distinct_ratio = len(set(toks)) / n
+        nonspace = len(re.sub(r"\s", "", text))
+        mean_wlen = nonspace / n
+        digits = sum(c.isdigit() for c in text)
+        digit_ratio = digits / len(text)
+        fails = (
+            n < 15
+            or n > 2000
+            or mean_wlen < 2.0
+            or mean_wlen > 12.0
+            or distinct_ratio < 0.3
+            or digit_ratio > 0.2
+        )
+        assert r["n_tokens"] == n
+        assert r["keep"] == (not fails), (r["doc_id"], r["reasons"])
+
+
+# ---------------------------------------------------------------------------
+# t_cooccurrence_lift
+# ---------------------------------------------------------------------------
+
+def test_cooccurrence_lift_bounds_and_bruteforce(spark, sf_dir):
+    res = round5.t_cooccurrence_lift(spark, sf_dir).collect()
+    assert res
+    vocab = {r["tok_a"] for r in res} | {r["tok_b"] for r in res}
+    assert len(vocab) <= 40
+    docs = [
+        set(re.split(r"\s+", r["text"].strip()))
+        for r in testdata.load_table(spark, sf_dir, "documents").collect()
+    ]
+    n_docs = len(docs)
+    for r in res[:10]:
+        assert r["tok_a"] < r["tok_b"]
+        assert r["n_ab"] >= 5
+        n_ab = sum(1 for d in docs if r["tok_a"] in d and r["tok_b"] in d)
+        n_a = sum(1 for d in docs if r["tok_a"] in d)
+        n_b = sum(1 for d in docs if r["tok_b"] in d)
+        assert (r["n_ab"], r["n_a"], r["n_b"]) == (n_ab, n_a, n_b)
+        assert r["lift"] == pytest.approx(n_ab * n_docs / (n_a * n_b), rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def _numpy_pagerank(edges, num_iter=10, damping=0.85):
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out_deg = np.zeros(n)
+    for u, _ in edges:
+        out_deg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(num_iter):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / out_deg[idx[u]]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - damping) / n + damping * dangling / n + damping * contrib
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_ring_is_uniform(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, num_iter=5).collect()}
+    for v in ranks.values():
+        assert v == pytest.approx(1 / 3, rel=1e-12)
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    # star + chain + dangling node: 1→2, 3→2, 2→4; 4 dangles
+    edge_list = [(1, 2), (3, 2), (2, 4), (5, 1), (5, 3)]
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(edges, num_iter=10).collect()}
+    want = _numpy_pagerank(edge_list, num_iter=10)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-9), k
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_mass_conserved_on_lineitem_graph(spark, sf_dir):
+    li = testdata.load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_partkey").alias("src"), (F.col("l_suppkey") + 10_000_000).alias("dst")
+    ).distinct()
+    ranks = pagerank(edges, num_iter=4)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert total == pytest.approx(1.0, rel=1e-6)
+    assert ranks.filter(F.col("rank") <= 0).count() == 0
