@@ -200,6 +200,14 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # size loop parallelism to the measured graph, exactly as
+    # connected_components does: a 32-partition shuffle per round over a
+    # small edge set is pure task-scheduling overhead; big graphs keep
+    # their natural partitioning.
+    n_edges = e.count()
+    target = max(1, min(e.rdd.getNumPartitions(), n_edges // 1_000_000))
+    if target < e.rdd.getNumPartitions():
+        e = e.coalesce(target)
     out_deg = e.groupBy("u").agg(F.count("*").alias("out_deg"))
     # ranks live joined with out_deg once, so the loop never re-derives it
     ranked_nodes = nodes.join(out_deg, nodes["node"] == out_deg["u"], "left").select(
@@ -207,22 +215,29 @@ def pagerank(
     )
     ranks = ranked_nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(eager=False)
 
+    # ONE job per round: the dangling-mass aggregate at the top of each
+    # iteration is simultaneously (a) this round's driver scalar and
+    # (b) the action that materializes the lazily-checkpointed ranks it
+    # reads — so no separate count() job. Block freeing is deferred one
+    # round: freeing round k-1 only after the collect that materialized
+    # round k means at most two label copies are ever live.
+    freeable: DataFrame | None = None
     for _ in range(num_iter):
+        dangling = (
+            ranks.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
+        )
+        if freeable is not None:
+            _unpersist_checkpoint_blocks(freeable)
+        base = (1.0 - damping) / n + damping * dangling / n
         contribs = (
             e.join(ranks, e["u"] == ranks["node"])
             .select(F.col("v").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
         )
-        prev = ranks
-        # the dangling aggregate is this round's driver scalar; computing it
-        # from the PREVIOUS checkpoint keeps it one cheap scan
-        dangling = (
-            prev.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
-        base = (1.0 - damping) / n + damping * dangling / n
+        freeable = ranks
         ranks = (
-            prev.select("node", "out_deg")
+            ranks.select("node", "out_deg")
             .join(contribs, "node", "left")
             .select(
                 "node",
@@ -233,8 +248,9 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        ranks.count()  # materialize the new checkpoint before freeing prev
-        _unpersist_checkpoint_blocks(prev)
+    # the final ranks are still lazy; the caller's terminal action
+    # materializes them (their one surviving parent checkpoint stays until
+    # then — the ContextCleaner reclaims it afterwards).
 
     nodes.unpersist()
     e.unpersist()
