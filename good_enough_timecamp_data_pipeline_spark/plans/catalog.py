@@ -214,6 +214,11 @@ register("t_quality_gate", round5.t_quality_gate, round5.T_QUALITY_GATE_SQL)
 register(
     "t_cooccurrence_lift", round5.t_cooccurrence_lift, round5.T_COOCCURRENCE_LIFT_SQL
 )
+register(
+    "x_range_join_bucketed",
+    round5.x_range_join_bucketed,
+    round5.X_RANGE_JOIN_BUCKETED_SQL,
+)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("g_pagerank", round5.g_pagerank)
@@ -229,4 +234,5 @@ register("s_stream_dedup", northstar.s_stream_dedup)
 register("s_stream_join", northstar.s_stream_join)
 register("s_stream_static_join", northstar.s_stream_static_join)
 register("s_stream_upsert", northstar.s_stream_upsert)
+register("s_stream_incremental_dedup", northstar.s_stream_incremental_dedup)
 register("s_kmeans", northstar.s_kmeans)

@@ -739,3 +739,14 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import streaming_static_join
 
     return streaming_static_join(spark, sf_dir)
+
+
+def s_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup ingestion: document micro-batches probed against
+    the corpus' persisted LSH index via foreachBatch — O(batch) per
+    arrival, state in the index + result table, never in streaming state.
+    rows-only; per-batch equality with the batch incremental probe on the
+    same rows asserted in tests/test_round5.py."""
+    from ..streaming.windows import streaming_incremental_dedup
+
+    return streaming_incremental_dedup(spark, sf_dir)

@@ -316,3 +316,89 @@ def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("src"), (F.col("l_suppkey") + 10_000_000).alias("dst")
     ).distinct()
     return pagerank(edges, num_iter=8).orderBy(F.desc("rank"), F.asc("node")).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# x_range_join_bucketed — both-sides-big range join via time-bucket explode
+# ---------------------------------------------------------------------------
+
+US_PER_HOUR = 3_600_000_000
+
+
+def x_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events contained in other events' sessions — the BOTH-SIDES-BIG
+    range join (`x_range_join` handles the broadcastable-hot-side case).
+
+    Each event opens a session [ts, ts + value minutes); count, per
+    session, the same user's OTHER events falling inside it. The naive
+    plan is a per-user time-range self-join — quadratic in the hot user.
+    The scale plan turns the range predicate into an equi-join:
+
+    - intervals explode to the 1 h time buckets they cover (sessions are
+      minutes long — a bounded ≤2× fan-out);
+    - points map to exactly ONE bucket, so a contained point meets its
+      interval in precisely one (user_id, bucket) cell — no post-join
+      dedup;
+    - the join is a plain shuffle equi-join on (user_id, bucket) with
+      the [s, e) containment as a residual filter. Shuffle keys grow
+      with users × hours, so parallelism scales with data — no
+      broadcast, no cross product, skew amortized over buckets.
+
+    All µs arithmetic matches `e_peak_concurrency` (FLOOR before the
+    long cast — Spark truncates, DuckDB rounds).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("t_us"),
+        (
+            F.unix_micros(F.col("ts"))
+            + F.greatest(
+                F.floor(F.col("value") * 60_000_000).cast("long"), F.lit(1).cast("long")
+            )
+        ).alias("e_us"),
+    )
+    intervals = base.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t_us") / US_PER_HOUR).cast("long"),
+                F.floor((F.col("e_us") - 1) / US_PER_HOUR).cast("long"),
+            )
+        ),
+    ).select("user_id", F.col("event_id").alias("anchor_id"), "t_us", "e_us", "bucket")
+    points = base.select(
+        "user_id",
+        F.col("event_id").alias("point_id"),
+        F.col("t_us").alias("p_us"),
+        F.floor(F.col("t_us") / US_PER_HOUR).cast("long").alias("bucket"),
+    )
+    return (
+        intervals.join(points, ["user_id", "bucket"])
+        .filter(
+            (F.col("p_us") >= F.col("t_us"))
+            & (F.col("p_us") < F.col("e_us"))
+            & (F.col("point_id") != F.col("anchor_id"))
+        )
+        .groupBy("anchor_id")
+        .agg(F.count("*").alias("n_within"))
+    )
+
+
+X_RANGE_JOIN_BUCKETED_SQL = """
+WITH base AS (
+    SELECT user_id, event_id, epoch_us(ts) AS t_us,
+           epoch_us(ts)
+             + GREATEST(CAST(FLOOR(value * 60000000) AS BIGINT), 1) AS e_us
+    FROM events
+)
+SELECT a.event_id AS anchor_id, COUNT(*) AS n_within
+FROM base a
+JOIN base b
+  ON a.user_id = b.user_id
+ AND b.t_us >= a.t_us
+ AND b.t_us < a.e_us
+ AND b.event_id <> a.event_id
+GROUP BY a.event_id
+""".strip()

@@ -400,3 +400,104 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
     return _run_to_completion(spark, agg, "stream_static_out", cleanup_dir=stream_dir)
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int = 2,
+    batch_every: int = 25,
+) -> DataFrame:
+    """Streaming near-dup detection: arriving document micro-batches are
+    probed against the corpus' persisted LSH index via ``foreachBatch``.
+
+    The production shape for continuous corpus ingestion: the corpus'
+    (doc, band, bucket) rows and shingle rows are built ONCE
+    (`dedup.build_lsh_index`) and land as parquet; the stream then feeds
+    document batches, and each micro-batch runs
+    `dedup.incremental_lsh_pairs(batch, index=...)` — O(batch) per
+    arrival, never O(corpus) — appending detected (id_new, dup_of) pairs
+    to a result table. State lives in the INDEX and the result table,
+    not in streaming state: restarts re-probe only undelivered files.
+
+    The synthetic feed takes every ``batch_every``-th corpus doc, shifts
+    its id and appends a token — a near-dup of a known source doc — so
+    every arriving doc should be matched to its origin (asserted in
+    tests against the batch `incremental_lsh_pairs` on the same rows).
+    Returns per-source-doc match counts.
+    """
+    import shutil
+
+    from ..operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_lsh_")
+    idx_dir = f"{work}/index"
+    stream_dir = f"{work}/feed"
+    out_dir = f"{work}/pairs"
+    os.makedirs(stream_dir)
+
+    sh_idx, b_idx = dedup.build_lsh_index(docs, n=5, num_hashes=64, bands=32)
+    sh_idx.write.mode("overwrite").parquet(f"{idx_dir}/shingles")
+    b_idx.write.mode("overwrite").parquet(f"{idx_dir}/buckets")
+
+    import glob as _glob
+
+    base_ts = __import__("time").time() - 3600
+    for k in range(n_batches):
+        batch = docs.filter(F.col("doc_id") % batch_every == k).select(
+            (F.col("doc_id") + F.lit((k + 1) * 100_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" zz{k}")).alias("text"),
+        )
+        staging = f"{work}/staging_{k}"
+        batch.coalesce(1).write.mode("overwrite").parquet(staging)
+        # feed plain files (one per micro-batch), not Spark output dirs
+        (part,) = _glob.glob(f"{staging}/part-*.parquet")
+        path = f"{stream_dir}/b{k}.parquet"
+        shutil.move(part, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.utime(path, (base_ts + k * 10, base_ts + k * 10))
+
+    feed_schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    def probe(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        index = (
+            sess.read.parquet(f"{idx_dir}/shingles"),
+            sess.read.parquet(f"{idx_dir}/buckets"),
+        )
+        dedup.incremental_lsh_pairs(
+            batch, index=index, n=5, num_hashes=64, bands=32, threshold=0.5
+        ).write.mode("append").parquet(out_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(probe)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    pairs = spark.read.parquet(out_dir)
+    result = (
+        pairs.groupBy("dup_of")
+        .agg(F.count("*").alias("n_matches"), F.max("jaccard").alias("best_jaccard"))
+        .orderBy("dup_of")
+    )
+    rows = result.persist()
+    rows.count()  # materialize before the temp dirs vanish
+    shutil.rmtree(work, ignore_errors=True)
+    return rows

@@ -178,3 +178,91 @@ def test_pagerank_mass_conserved_on_lineitem_graph(spark, sf_dir):
     total = ranks.agg(F.sum("rank")).collect()[0][0]
     assert total == pytest.approx(1.0, rel=1e-6)
     assert ranks.filter(F.col("rank") <= 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# x_range_join_bucketed
+# ---------------------------------------------------------------------------
+
+def test_range_join_bucketed_matches_bruteforce(spark, sf_dir):
+    """The bucketed equi-join plan must equal the naive per-user range
+    self-join computed in plain Python."""
+    import calendar
+    import math
+
+    out = {
+        r["anchor_id"]: r["n_within"]
+        for r in round5.x_range_join_bucketed(spark, sf_dir).collect()
+    }
+    rows = (
+        testdata.load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict[int, list[tuple[int, int, int]]] = {}
+    for r in rows:
+        ts = r["ts"]
+        t = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        e = t + max(math.floor(r["value"] * 60_000_000), 1)
+        by_user.setdefault(r["user_id"], []).append((r["event_id"], t, e))
+    expected: dict[int, int] = {}
+    for evs in by_user.values():
+        for aid, t, e in evs:
+            n = sum(1 for pid, p, _ in evs if pid != aid and t <= p < e)
+            if n:
+                expected[aid] = n
+    assert out == expected
+
+
+def test_range_join_bucketed_no_cartesian(spark, sf_dir):
+    """The plan must be an equi-join on (user_id, bucket) — no broadcast
+    nested loop, no cartesian product."""
+    plan = (
+        round5.x_range_join_bucketed(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# s_stream_incremental_dedup
+# ---------------------------------------------------------------------------
+
+def test_streaming_incremental_dedup_equals_batch_probe(spark, sf_dir):
+    """foreachBatch probing of the persisted index must equal running the
+    batch incremental probe over the same concatenated feed rows."""
+    from pyspark.sql import functions as SF
+
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup
+    from good_enough_timecamp_data_pipeline_spark.streaming.windows import (
+        streaming_incremental_dedup,
+    )
+
+    got = {
+        r["dup_of"]: (r["n_matches"], round(r["best_jaccard"], 9))
+        for r in streaming_incremental_dedup(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    feed = None
+    for k in range(2):
+        b = docs.filter(SF.col("doc_id") % 25 == k).select(
+            (SF.col("doc_id") + SF.lit((k + 1) * 100_000_000)).alias("doc_id"),
+            SF.concat(SF.col("text"), SF.lit(f" zz{k}")).alias("text"),
+        )
+        feed = b if feed is None else feed.unionByName(b)
+    batch_pairs = dedup.incremental_lsh_pairs(
+        feed, index_df=docs, n=5, num_hashes=64, bands=32, threshold=0.5
+    )
+    want = {
+        r["dup_of"]: (r["n_matches"], round(r["best_jaccard"], 9))
+        for r in batch_pairs.groupBy("dup_of")
+        .agg(
+            SF.count("*").alias("n_matches"), SF.max("jaccard").alias("best_jaccard")
+        )
+        .collect()
+    }
+    assert got == want
+    assert got  # the synthetic near-dups must actually be detected
