@@ -219,6 +219,10 @@ register(
     round5.x_range_join_bucketed,
     round5.X_RANGE_JOIN_BUCKETED_SQL,
 )
+register("x_ordered_paths", round5.x_ordered_paths, round5.X_ORDERED_PATHS_SQL)
+register(
+    "j_salted_skew_join", round5.j_salted_skew_join, round5.J_SALTED_SKEW_JOIN_SQL
+)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("g_pagerank", round5.g_pagerank)

@@ -402,3 +402,120 @@ JOIN base b
  AND b.event_id <> a.event_id
 GROUP BY a.event_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# x_ordered_paths — ordered event-path aggregation (top user journeys)
+# ---------------------------------------------------------------------------
+
+def x_ordered_paths(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """Most-common per-(user, day) event-type journeys.
+
+    Ordered aggregation without a UDF: ``collect_list`` of
+    (t, event_id, type) structs per group, ``array_sort`` (struct order =
+    field order, and event_id makes the order total — reruns and the
+    oracle agree byte-for-byte), then project + join into the path
+    string. The per-group list is bounded by a user's daily activity —
+    this is NOT a global sort; the final top-k is a distributed
+    TakeOrdered with a deterministic (count desc, path asc) tie-break.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / US_PER_DAY).cast("long").alias("day"),
+            F.struct(
+                F.unix_micros("ts").alias("t"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["et"]), ">"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_journeys"))
+        .orderBy(F.desc("n_journeys"), F.asc("path"))
+        .limit(top_k)
+    )
+
+
+X_ORDERED_PATHS_SQL = """
+WITH paths AS (
+    SELECT user_id,
+           CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+    FROM events
+    GROUP BY user_id, day
+)
+SELECT path, COUNT(*) AS n_journeys
+FROM paths
+GROUP BY path
+ORDER BY n_journeys DESC, path ASC
+LIMIT 20
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# j_salted_skew_join — hand-salted skew join (replicate build, salt probe)
+# ---------------------------------------------------------------------------
+
+def j_salted_skew_join(
+    spark: SparkSession, sf_dir: str, n_salts: int = 8
+) -> DataFrame:
+    """Per-user anomalous-event counts via an explicitly SALTED join.
+
+    The portable answer to join skew when the build side is too big to
+    broadcast and AQE's skew split isn't available (pre-3.x clusters,
+    non-AQE engines, deterministic-partitioning requirements): replicate
+    the build side ``n_salts``× with a salt column, give every probe row
+    one deterministic salt (hash of its unique id — never ``rand()``,
+    reruns must agree), and equi-join on (key, salt). A key carrying 50%
+    of the fact now spreads over ``n_salts`` partitions instead of
+    melting one. Cost: build side ×``n_salts`` — cheap when the build is
+    per-key aggregates (one row per key), which is exactly the skew-join
+    case that hurts most.
+
+    The result is identical to the unsalted join (the oracle runs that
+    plain join), so correctness is engine-checkable while the plan shape
+    is the scale pattern. The companion aggregation-side pattern is
+    `a_salted_skew_sum`. The anomaly predicate compares exact integer
+    cents (``v·n > 2·Σv`` instead of ``v > 2·avg``) — a float AVG is
+    addition-order-sensitive, and a row near the boundary could flip
+    between engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    profile = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents")
+    )
+    build = profile.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    probe = ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)))
+    return (
+        probe.join(build, ["user_id", "salt"])
+        .filter(cents * F.col("n_events") > 2 * F.col("sum_cents"))
+        .groupBy("user_id", "n_events")
+        .agg(F.count("*").alias("n_anomalous"))
+    )
+
+
+J_SALTED_SKEW_JOIN_SQL = """
+WITH profile AS (
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents
+    FROM events GROUP BY user_id
+)
+SELECT e.user_id, p.n_events, COUNT(*) AS n_anomalous
+FROM events e
+JOIN profile p USING (user_id)
+WHERE CAST(FLOOR(e.value * 100) AS BIGINT) * p.n_events > 2 * p.sum_cents
+GROUP BY e.user_id, p.n_events
+""".strip()

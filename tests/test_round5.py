@@ -266,3 +266,101 @@ def test_streaming_incremental_dedup_equals_batch_probe(spark, sf_dir):
     }
     assert got == want
     assert got  # the synthetic near-dups must actually be detected
+
+
+# ---------------------------------------------------------------------------
+# x_ordered_paths
+# ---------------------------------------------------------------------------
+
+def test_ordered_paths_matches_python(spark, sf_dir):
+    """Path strings equal a plain-Python (t, event_id)-sorted re-derivation."""
+    import calendar
+
+    got = [
+        (r["path"], r["n_journeys"])
+        for r in round5.x_ordered_paths(spark, sf_dir).collect()
+    ]
+    rows = (
+        testdata.load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "event_type")
+        .collect()
+    )
+    groups: dict[tuple[int, int], list[tuple[int, int, str]]] = {}
+    US_DAY = 86_400_000_000
+    for r in rows:
+        ts = r["ts"]
+        t = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        groups.setdefault((r["user_id"], t // US_DAY), []).append(
+            (t, r["event_id"], r["event_type"])
+        )
+    from collections import Counter
+
+    counts = Counter(
+        ">".join(et for _, _, et in sorted(g)) for g in groups.values()
+    )
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# j_salted_skew_join
+# ---------------------------------------------------------------------------
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """The salted plan must return exactly the unsalted join's answer."""
+    import math
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_anomalous"])
+        for r in round5.j_salted_skew_join(spark, sf_dir).collect()
+    }
+    rows = (
+        testdata.load_table(spark, sf_dir, "events")
+        .select("user_id", "value")
+        .collect()
+    )
+    per_user: dict[int, list[int]] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(math.floor(r["value"] * 100))
+    want = {}
+    for u, vals in per_user.items():
+        n, s = len(vals), sum(vals)
+        anom = sum(1 for v in vals if v * n > 2 * s)
+        if anom:
+            want[u] = (n, anom)
+    assert got == want
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """A synthetic 90%-hot-key fact must join correctly through the salted
+    path (the correctness half of the skew story; the spread itself is the
+    plan's (key, salt) join condition)."""
+    from pyspark.sql import functions as SF
+
+    from good_enough_timecamp_data_pipeline_spark.plans.round5 import (
+        J_SALTED_SKEW_JOIN_SQL,  # noqa: F401 - imported for parity visibility
+    )
+
+    n = 2000
+    fact = spark.range(n).select(
+        SF.when(SF.col("id") % 10 < 9, SF.lit(1)).otherwise(SF.col("id")).alias(
+            "user_id"
+        ),
+        SF.col("id").alias("event_id"),
+        # spiky values so the hot user HAS anomalies (> 2x its average)
+        SF.when(SF.col("id") % 10 == 0, SF.lit(500.0)).otherwise(SF.lit(10.0)).alias(
+            "value"
+        ),
+        SF.lit("x").alias("event_type"),
+        SF.current_timestamp().alias("ts"),
+        SF.lit("{}").alias("props"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        fact.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        res = round5.j_salted_skew_join(spark, d)
+        hot = {r["user_id"]: r for r in res.collect()}.get(1)
+    # hot user: 1800 events incl. all 200 spikes of 500 vs avg ~64 →
+    # every spike anomalous
+    assert hot is not None and hot["n_events"] == 1800 and hot["n_anomalous"] == 200
