@@ -111,3 +111,76 @@ def test_cycle_injection_terminates(spark):
     assert out.count() == n * 9
     crumbs = breadcrumbs(tree, max_depth=8)
     assert crumbs.count() == n
+
+
+# ---------------------------------------------------------------------------
+# sweep-line concurrency vs brute force on random interval sets
+# ---------------------------------------------------------------------------
+
+# sessions as (start_minute_offset, duration_minutes·100) from a midnight
+# anchor — durations stress day boundaries, zero-length, exact ties
+_sessions = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3000),  # start offset, minutes
+        st.integers(min_value=0, max_value=200_000),  # duration, centi-minutes
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(sessions=_sessions)
+def test_sweepline_concurrency_matches_bruteforce(spark, sessions):
+    import datetime
+    import math
+    import tempfile
+
+    from good_enough_timecamp_data_pipeline_spark.plans import round5
+
+    anchor = datetime.datetime(2024, 3, 1, 23, 0, 0)  # near midnight on purpose
+    rows = [
+        (
+            i,
+            anchor + datetime.timedelta(minutes=off),
+            7,
+            "s",
+            dur / 100.0,
+            "{}",
+        )
+        for i, (off, dur) in enumerate(sessions)
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+        got = {
+            r["day"].toordinal(): r["peak_concurrency"]
+            for r in round5.e_peak_concurrency(spark, d).collect()
+        }
+
+    US_DAY = 86_400_000_000
+    anchor_us = int(anchor.replace(tzinfo=datetime.timezone.utc).timestamp()) * 1_000_000
+    ivs = []
+    for off, dur in sessions:
+        s = anchor_us + off * 60_000_000
+        e = s + max(math.floor((dur / 100.0) * 60_000_000), 1)
+        ivs.append((s, e))
+    by_day: dict[int, list[tuple[int, int]]] = {}
+    for s, e in ivs:
+        for day in range(s // US_DAY, (e - 1) // US_DAY + 1):
+            by_day.setdefault(day, []).append(
+                (max(s, day * US_DAY), min(e, (day + 1) * US_DAY))
+            )
+    epoch = datetime.date(1970, 1, 1).toordinal()
+    want = {
+        epoch + day: max(
+            sum(1 for a, b in g if a <= s < b) for s, _ in g
+        )
+        for day, g in by_day.items()
+    }
+    assert got == want
