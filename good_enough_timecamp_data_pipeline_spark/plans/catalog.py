@@ -223,9 +223,11 @@ register("x_ordered_paths", round5.x_ordered_paths, round5.X_ORDERED_PATHS_SQL)
 register(
     "j_salted_skew_join", round5.j_salted_skew_join, round5.J_SALTED_SKEW_JOIN_SQL
 )
+register("c_cdc_apply", round5.c_cdc_apply, round5.C_CDC_APPLY_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("g_pagerank", round5.g_pagerank)
+register("t_semdedup", round5.t_semdedup)
 register("a_approx_sketches", advanced.a_approx_sketches)
 register("s_ann_lsh", northstar.s_ann_lsh)
 register("s_ann_ivf", northstar.s_ann_ivf)

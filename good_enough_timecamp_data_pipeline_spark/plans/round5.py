@@ -519,3 +519,121 @@ JOIN profile p USING (user_id)
 WHERE CAST(FLOOR(e.value * 100) AS BIGINT) * p.n_events > 2 * p.sum_cents
 GROUP BY e.user_id, p.n_events
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# c_cdc_apply — CDC change-log application (latest wins, deletes honored)
+# ---------------------------------------------------------------------------
+
+def c_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a Debezium-style change log to produce current state: the
+    newest change per key wins, and keys whose newest change is a DELETE
+    vanish. The events table plays the log: key = event_id mod 1000
+    (many versions per key), change order = (ts, event_id) — a total
+    order, so reruns agree — and 'error' events are deletes.
+
+    The scale plan is ONE map-side-combinable aggregation:
+    ``max_by(struct(payload), struct(ts, event_id))`` — partial max_by in
+    the scan stage, merge in the reduce — instead of the
+    row_number-over-window formulation (which adds a per-partition SORT
+    of the whole log). The oracle states the same semantics with
+    ROW_NUMBER, which is exactly the point: same answer, different
+    physics. Deletes filter AFTER the agg: dropping delete rows first
+    would resurrect the previous version of a deleted key.
+
+    The companion `o_latest_per_key` is compaction without delete
+    semantics; this is the full CDC apply.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.pmod(F.col("event_id"), F.lit(1000)).alias("key"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias(
+            "op"
+        ),
+        "ts",
+        "event_id",
+        "value",
+    )
+    latest = log.groupBy("key").agg(
+        F.max_by(
+            F.struct("op", F.col("value").alias("v"), F.col("event_id").alias("eid")),
+            F.struct("ts", "event_id"),
+        ).alias("last"),
+        F.count("*").alias("n_changes"),
+    )
+    return latest.filter(F.col("last.op") != "D").select(
+        "key",
+        F.col("last.v").alias("value"),
+        F.col("last.eid").alias("last_event_id"),
+        "n_changes",
+    )
+
+
+C_CDC_APPLY_SQL = """
+WITH log AS (
+    SELECT event_id % 1000 AS key,
+           CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+           ts, event_id, value
+    FROM events
+), ranked AS (
+    SELECT key, op, value, event_id,
+           ROW_NUMBER() OVER (PARTITION BY key ORDER BY ts DESC, event_id DESC) AS rn,
+           COUNT(*) OVER (PARTITION BY key) AS n_changes
+    FROM log
+)
+SELECT key, value, event_id AS last_event_id, CAST(n_changes AS BIGINT) AS n_changes
+FROM ranked
+WHERE rn = 1 AND op <> 'D'
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_semdedup — semantic dedup: cluster embeddings, near-dedup within clusters
+# ---------------------------------------------------------------------------
+
+def t_semdedup(
+    spark: SparkSession, sf_dir: str, k: int = 8, threshold: float = 0.40
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then cosine near-dedup WITHIN each cluster — the
+    all-pairs O(n²) becomes a sum of per-cluster squares, and the cluster
+    count is the recall/cost knob. This is the semantic complement of the
+    lexical MinHash path: paraphrases share no shingles but do share an
+    embedding neighborhood.
+
+    Pure composition of existing scale operators: `clustering.kmeans`
+    (deterministic first-k init, mapInPandas partial sums) feeds its
+    cluster ids as the blocking column of
+    `similarity.neardup_pairs_blocked` (tiled-GEMM candidates + exact
+    sequential-fold refine). rows-only: the float centroid means make
+    cluster BOUNDARIES engine-specific even though the run itself is
+    deterministic; the duplicate-recall property is pinned in tests by
+    injecting known duplicates.
+
+    Returns per-cluster (n_vectors, n_dup_pairs) — the dedup-rate map a
+    curator reads before pulling the trigger.
+    """
+    from ..operators.clustering import kmeans
+    from ..operators.similarity import neardup_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign, _ = kmeans(emb, k=k, max_iter=3)
+    labeled = emb.join(assign.select("vec_id", "cluster"), "vec_id")
+    pairs = neardup_pairs_blocked(labeled, block_col="cluster", threshold=threshold)
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
+    dup_counts = (
+        pairs.join(
+            labeled.select(F.col("vec_id").alias("id_a"), "cluster"), "id_a"
+        )
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+    return (
+        sizes.join(dup_counts, "cluster", "left")
+        .select(
+            "cluster",
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+        )
+        .orderBy("cluster")
+    )

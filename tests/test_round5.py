@@ -364,3 +364,69 @@ def test_salted_join_spreads_hot_key(spark):
     # hot user: 1800 events incl. all 200 spikes of 500 vs avg ~64 →
     # every spike anomalous
     assert hot is not None and hot["n_events"] == 1800 and hot["n_anomalous"] == 200
+
+
+# ---------------------------------------------------------------------------
+# c_cdc_apply
+# ---------------------------------------------------------------------------
+
+def test_cdc_apply_matches_python(spark, sf_dir):
+    """Latest-wins + delete semantics equal a plain-Python replay."""
+    import calendar
+
+    got = {
+        r["key"]: (r["value"], r["last_event_id"], r["n_changes"])
+        for r in round5.c_cdc_apply(spark, sf_dir).collect()
+    }
+    rows = (
+        testdata.load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .collect()
+    )
+    latest: dict[int, tuple] = {}
+    counts: dict[int, int] = {}
+    for r in rows:
+        ts = r["ts"]
+        t = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        k = r["event_id"] % 1000
+        counts[k] = counts.get(k, 0) + 1
+        op = "D" if r["event_type"] == "error" else "U"
+        cur = latest.get(k)
+        if cur is None or (t, r["event_id"]) > cur[0]:
+            latest[k] = ((t, r["event_id"]), op, r["value"], r["event_id"])
+    want = {
+        k: (v[2], v[3], counts[k]) for k, v in latest.items() if v[1] != "D"
+    }
+    assert got == want
+    # deletes must actually remove keys on this dataset
+    assert len(want) < len(latest)
+
+
+# ---------------------------------------------------------------------------
+# t_semdedup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_finds_injected_duplicates(spark, sf_dir):
+    """Exact duplicate vectors land in the same k-means cluster (identical
+    points share a nearest centroid deterministically), so SemDeDup must
+    count at least one dup pair in those clusters — and every reported
+    count must be consistent with the cluster's size."""
+    import tempfile
+
+    from pyspark.sql import functions as SF
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.filter(SF.col("vec_id") % 100 == 0).select(
+        (SF.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    n_injected = dups.count()
+    assert n_injected > 0
+    with tempfile.TemporaryDirectory() as d:
+        emb.unionByName(dups).write.mode("overwrite").parquet(
+            f"{d}/embeddings.parquet"
+        )
+        res = round5.t_semdedup(spark, d, threshold=0.999).collect()
+    total_pairs = sum(r["n_dup_pairs"] for r in res)
+    assert total_pairs >= n_injected  # every injected exact dup detected
+    for r in res:
+        assert r["n_dup_pairs"] <= r["n_vectors"] * (r["n_vectors"] - 1) // 2
