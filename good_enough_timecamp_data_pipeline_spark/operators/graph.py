@@ -67,6 +67,26 @@ def _unpersist_checkpoint_blocks(df: DataFrame) -> None:
         pass
 
 
+def _sized_for_loop(df: DataFrame, rows_per_partition: int = 1_000_000) -> DataFrame:
+    """Coalesce an iterative loop's edge set to its measured size.
+
+    A 32-partition shuffle per round over a few thousand edges is pure
+    task-scheduling overhead (measured ~2× the whole CC loop on
+    testdata); big inputs keep their natural partitioning. The count is
+    an aggregate the surrounding persist needs anyway.
+
+    NOTE for callers: coalesce returns a NEW DataFrame — unpersist must
+    target the original persisted one, not the rebound variable (a
+    `df = df.coalesce(n)` rebind makes a later `df.unpersist()` a no-op
+    that leaks the cache for the session).
+    """
+    n = df.count()
+    target = max(1, min(df.rdd.getNumPartitions(), n // rows_per_partition))
+    if target < df.rdd.getNumPartitions():
+        return df.coalesce(target)
+    return df
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -89,22 +109,16 @@ def connected_components(
     (over-segmentation keeps more docs — safe for dedup, wrong for
     counting components).
     """
-    und = (
+    und_pinned = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Size the loop's parallelism to the measured graph, not the session
-    # default: a near-dup graph is typically a sliver of the corpus, and a
-    # 32-partition shuffle per round on a few thousand edges is pure task-
-    # scheduling overhead (measured ~2× the whole loop on testdata). The
-    # count is an aggregate the persist needs anyway; big graphs keep their
-    # natural partitioning.
-    n_edges = und.count()
-    target = max(1, min(und.rdd.getNumPartitions(), n_edges // 1_000_000))
-    if target < und.rdd.getNumPartitions():
-        und = und.coalesce(target)
+    # size the loop's parallelism to the measured graph, not the session
+    # default (see _sized_for_loop); unpersist targets und_pinned — the
+    # coalesce wrapper would not match the cache entry.
+    und = _sized_for_loop(und_pinned)
     labels = (
         und.select(F.col("u").alias("node"))
         .distinct()
@@ -141,7 +155,7 @@ def connected_components(
             break
         prev_sum = new_sum
 
-    und.unpersist()
+    und_pinned.unpersist()
     if not converged:
         msg = (
             f"connected_components: no fixpoint after max_iter={max_iter} rounds; "
@@ -195,19 +209,14 @@ def pagerank(
     n = nodes.count()  # driver scalar, same contract as CC's convergence sum
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    e = (
+    e_pinned = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # size loop parallelism to the measured graph, exactly as
-    # connected_components does: a 32-partition shuffle per round over a
-    # small edge set is pure task-scheduling overhead; big graphs keep
-    # their natural partitioning.
-    n_edges = e.count()
-    target = max(1, min(e.rdd.getNumPartitions(), n_edges // 1_000_000))
-    if target < e.rdd.getNumPartitions():
-        e = e.coalesce(target)
+    # loop parallelism sized to the measured graph (see _sized_for_loop);
+    # unpersist below targets e_pinned, not the coalesce wrapper.
+    e = _sized_for_loop(e_pinned)
     out_deg = e.groupBy("u").agg(F.count("*").alias("out_deg"))
     # ranks live joined with out_deg once, so the loop never re-derives it
     ranked_nodes = nodes.join(out_deg, nodes["node"] == out_deg["u"], "left").select(
@@ -248,12 +257,16 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    # the final ranks are still lazy; the caller's terminal action
-    # materializes them (their one surviving parent checkpoint stays until
-    # then — the ContextCleaner reclaims it afterwards).
-
+    # materialize the final checkpoint BEFORE releasing the edge/node
+    # caches: the last round's plan still reads them, and unpersisting
+    # first would force the caller's first action to recompute
+    # edges.distinct() from source. One extra job; after it the result
+    # scans only its own checkpoint blocks.
+    ranks.count()
+    if freeable is not None:
+        _unpersist_checkpoint_blocks(freeable)
     nodes.unpersist()
-    e.unpersist()
+    e_pinned.unpersist()
     return ranks.select("node", "rank")
 
 

@@ -152,6 +152,11 @@ def decode_ppm(payload: bytes) -> dict:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace byte after maxval, then raw pixel data
     width, height, maxval = fields
+    if maxval > 255:
+        # spec-valid but 2 bytes/sample — silently halving the read would
+        # produce garbage channel means from a function billed as a REAL
+        # decoder; refuse instead.
+        raise ValueError(f"PPM maxval {maxval} > 255 (16-bit samples) unsupported")
     need = width * height * 3
     pixels = payload[pos : pos + need]
     if len(pixels) < need:
@@ -239,16 +244,29 @@ def _decode_batch(pdf: pd.DataFrame, strict: bool) -> pd.DataFrame:
         width = height = None
         duration = None
         feat = _byte_stat_features(b)
-        if mime == PPM_MIME:
-            d = decode_ppm(b)
-            width, height = d["width"], d["height"]
-            feat = feat[:5] + [d["mean_r"], d["mean_g"], d["mean_b"]]
-        elif mime in (WAV_MIME, "audio/wav"):
-            d = decode_wav(b)
-            duration = d["duration_s"]
-            feat = feat[:5] + [float(d["framerate"]), float(d["n_channels"]), d["rms"]]
-        elif strict:
-            decode_media(b, mime)  # raises NotImplementedError loudly
+        # non-strict contract: a malformed payload degrades to the
+        # byte-stat feature tier instead of killing the whole job — one
+        # corrupt row in a crawl batch must not abort the stage.
+        try:
+            if mime == PPM_MIME:
+                d = decode_ppm(b)
+                width, height = d["width"], d["height"]
+                feat = feat[:5] + [d["mean_r"], d["mean_g"], d["mean_b"]]
+            elif mime in (WAV_MIME, "audio/wav"):
+                d = decode_wav(b)
+                duration = d["duration_s"]
+                feat = feat[:5] + [
+                    float(d["framerate"]), float(d["n_channels"]), d["rms"]
+                ]
+            elif strict:
+                decode_media(b, mime)  # raises NotImplementedError loudly
+        except NotImplementedError:
+            raise
+        except Exception:
+            if strict:
+                raise
+            width = height = duration = None
+            feat = _byte_stat_features(b)
         out["doc_id"].append(doc_id)
         out["n_bytes"].append(len(b))
         out["mime"].append(mime)

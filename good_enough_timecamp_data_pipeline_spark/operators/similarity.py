@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from .order import global_row_number, md5_prefix_bucket
 
@@ -52,10 +53,14 @@ def _query_side_fits_broadcast(q: DataFrame, max_rows: int) -> bool:
 
     Batch-ANN at scale often makes the query set the corpus itself — a
     forced ``F.broadcast`` there OOMs the executors. Probe with
-    ``limit(max_rows + 1).count()`` (early-exits after max_rows+1 rows, so
-    the probe is O(max_rows) even on a 100 TB query side) and only keep
-    the broadcast hint under the cap; above it the caller falls back to a
-    shuffled plan, which is slower but bounded."""
+    ``limit(max_rows + 1).count()`` and only keep the broadcast hint
+    under the cap; above it the caller falls back to a shuffled plan,
+    which is slower but bounded. The limit early-exits scans (CollectLimit
+    stops pulling partitions past max_rows+1 rows), though a query side
+    whose lineage ends in a shuffle still executes that upstream work —
+    callers persist ``q`` FIRST so the probe's work is reused by the real
+    join rather than paid twice. This is an eager job at plan-construction
+    time — the price of choosing the join strategy from the actual size."""
     return q.limit(max_rows + 1).count() <= max_rows
 
 
@@ -80,9 +85,15 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cvec")
     ).withColumn("_cnorm", norm("_cvec"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
-    ).withColumn("_qnorm", norm("_qvec"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
+        )
+        .withColumn("_qnorm", norm("_qvec"))
+        # pinned so the size probe's execution is reused by the join
+        # instead of re-running the query side's lineage twice
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if _query_side_fits_broadcast(q, max_broadcast_queries):
         q = F.broadcast(q)
 
@@ -182,9 +193,14 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double(vec_col).alias("_cvec"),
     ).withColumn("_cnorm", norm("_cvec"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
-    ).withColumn("_qnorm", norm("_qvec"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
+        )
+        .withColumn("_qnorm", norm("_qvec"))
+        # pinned: consumed by the size probe and the score join
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     c_tb = srp_bucket_rows(corpus, "neighbor_id", n_planes, n_tables, id_col, vec_col)
     q_tb = srp_bucket_rows(queries, "query_id", n_planes, n_tables, id_col, vec_col)

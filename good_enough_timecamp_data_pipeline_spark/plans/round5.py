@@ -32,6 +32,26 @@ from ..operators.graph import pagerank
 from .testdata import load_table
 
 US_PER_DAY = 86_400_000_000
+# a session is [ts, ts + value minutes) clamped to 7 days: without a cap a
+# single absurd `value` row would explode the day/bucket sequence (or hit
+# Spark's array-length limit) — and the SQL twins carry the same LEAST()
+MAX_SESSION_US = 7 * US_PER_DAY
+
+
+def _session_bounds() -> tuple:
+    """(start_us, end_us) expressions of an event's session — THE
+    cross-engine arithmetic contract every interval twin shares: FLOOR
+    before the double→long cast (Spark truncates, DuckDB rounds), minimum
+    1 µs (half-open, never empty), duration clamped to ``MAX_SESSION_US``.
+    Any change here must land in every `*_SQL` twin that inlines it."""
+    start = F.unix_micros(F.col("ts"))
+    dur = F.least(
+        F.greatest(
+            F.floor(F.col("value") * 60_000_000).cast("long"), F.lit(1).cast("long")
+        ),
+        F.lit(MAX_SESSION_US).cast("long"),
+    )
+    return start, start + dur
 
 
 # ---------------------------------------------------------------------------
@@ -55,15 +75,9 @@ def e_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncating double→long cast can't diverge from DuckDB's rounding one.
     """
     ev = load_table(spark, sf_dir, "events")
+    start_us, end_us = _session_bounds()
     s = ev.select(
-        "event_type",
-        F.unix_micros(F.col("ts")).alias("start_us"),
-        (
-            F.unix_micros(F.col("ts"))
-            + F.greatest(
-                F.floor(F.col("value") * 60_000_000).cast("long"), F.lit(1).cast("long")
-            )
-        ).alias("end_us"),
+        "event_type", start_us.alias("start_us"), end_us.alias("end_us")
     )
     sliced = (
         s.withColumn(
@@ -112,7 +126,8 @@ WITH s AS (
     SELECT event_type,
            epoch_us(ts) AS start_us,
            epoch_us(ts)
-             + GREATEST(CAST(FLOOR(value * 60000000) AS BIGINT), 1) AS end_us
+             + LEAST(GREATEST(CAST(FLOOR(value * 60000000) AS BIGINT), 1),
+                     604800000000) AS end_us
     FROM events
 ), sliced AS (
     SELECT event_type,
@@ -348,16 +363,9 @@ def x_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     long cast — Spark truncates, DuckDB rounds).
     """
     ev = load_table(spark, sf_dir, "events")
+    start_us, end_us = _session_bounds()
     base = ev.select(
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts")).alias("t_us"),
-        (
-            F.unix_micros(F.col("ts"))
-            + F.greatest(
-                F.floor(F.col("value") * 60_000_000).cast("long"), F.lit(1).cast("long")
-            )
-        ).alias("e_us"),
+        "user_id", "event_id", start_us.alias("t_us"), end_us.alias("e_us")
     )
     intervals = base.withColumn(
         "bucket",
@@ -390,7 +398,8 @@ X_RANGE_JOIN_BUCKETED_SQL = """
 WITH base AS (
     SELECT user_id, event_id, epoch_us(ts) AS t_us,
            epoch_us(ts)
-             + GREATEST(CAST(FLOOR(value * 60000000) AS BIGINT), 1) AS e_us
+             + LEAST(GREATEST(CAST(FLOOR(value * 60000000) AS BIGINT), 1),
+                     604800000000) AS e_us
     FROM events
 )
 SELECT a.event_id AS anchor_id, COUNT(*) AS n_within
@@ -613,12 +622,18 @@ def t_semdedup(
     Returns per-cluster (n_vectors, n_dup_pairs) — the dedup-rate map a
     curator reads before pulling the trigger.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from ..operators.clustering import kmeans
     from ..operators.similarity import neardup_pairs_blocked
 
     emb = load_table(spark, sf_dir, "embeddings")
     assign, _ = kmeans(emb, k=k, max_iter=3)
-    labeled = emb.join(assign.select("vec_id", "cluster"), "vec_id")
+    # pinned: consumed by the pair GEMM, the sizes agg, and the dup-count
+    # join — without it each consumer re-runs the assignment scan + join
+    labeled = emb.join(assign.select("vec_id", "cluster"), "vec_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = neardup_pairs_blocked(labeled, block_col="cluster", threshold=threshold)
     sizes = labeled.groupBy("cluster").agg(F.count("*").alias("n_vectors"))
     dup_counts = (

@@ -171,8 +171,13 @@ def configure_s3a(
     # hadoop-aws on a real cluster, absent in this sandbox) — setting them
     # when the class can't load would break EVERY later write in the
     # session with ClassNotFoundException, so probe first.
+    # Probe through Spark's own loader chain: jars shipped via
+    # --jars/--packages land in the MutableURLClassLoader (installed as the
+    # thread context classloader), which java.lang.Class.forName from the
+    # py4j entry point does NOT consult — a bare forName would false-
+    # negative on exactly the clusters that deploy spark-hadoop-cloud.
     try:
-        spark._jvm.java.lang.Class.forName(
+        spark._jvm.java.lang.Thread.currentThread().getContextClassLoader().loadClass(
             "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
         )
         cloud_committers_present = True

@@ -497,7 +497,10 @@ def streaming_incremental_dedup(
         .agg(F.count("*").alias("n_matches"), F.max("jaccard").alias("best_jaccard"))
         .orderBy("dup_of")
     )
-    rows = result.persist()
-    rows.count()  # materialize before the temp dirs vanish
+    # the summary is per-source-doc of the batch (bounded, small): pull it
+    # to the driver and re-create, so the returned DataFrame has NO lineage
+    # into {work} — persist+count would still point recomputation at the
+    # temp dirs deleted below.
+    rows = result.collect()
     shutil.rmtree(work, ignore_errors=True)
-    return rows
+    return spark.createDataFrame(rows, result.schema)

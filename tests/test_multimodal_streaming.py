@@ -145,6 +145,9 @@ def test_session_window_stream_equals_batch(spark, sf_dir):
         sessions = per_user[r.user_id]
         assert len(sessions) == r.n_sessions
         assert sum(s[3] for s in sessions) == r.n_events
+
+
+def test_resize_constant_output_size(spark):
     df = spark.createDataFrame(
         [(1, "short"), (2, "a much longer document body " * 10), (3, "")],
         "doc_id long, text string",

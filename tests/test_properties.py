@@ -168,7 +168,7 @@ def test_sweepline_concurrency_matches_bruteforce(spark, sessions):
     ivs = []
     for off, dur in sessions:
         s = anchor_us + off * 60_000_000
-        e = s + max(math.floor((dur / 100.0) * 60_000_000), 1)
+        e = s + min(max(math.floor((dur / 100.0) * 60_000_000), 1), 7 * 86_400_000_000)
         ivs.append((s, e))
     by_day: dict[int, list[tuple[int, int]]] = {}
     for s, e in ivs:

@@ -35,7 +35,7 @@ def test_peak_concurrency_matches_bruteforce(spark, sf_dir):
         ts = r["ts"]
         start = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
         # reproduce the query's µs arithmetic exactly
-        end = start + max(math.floor(r["value"] * 60_000_000), 1)
+        end = start + min(max(math.floor(r["value"] * 60_000_000), 1), 7 * 86_400_000_000)
         sessions.append((r["event_type"], start, end))
 
     US_DAY = 86_400_000_000
@@ -203,7 +203,7 @@ def test_range_join_bucketed_matches_bruteforce(spark, sf_dir):
     for r in rows:
         ts = r["ts"]
         t = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
-        e = t + max(math.floor(r["value"] * 60_000_000), 1)
+        e = t + min(max(math.floor(r["value"] * 60_000_000), 1), 7 * 86_400_000_000)
         by_user.setdefault(r["user_id"], []).append((r["event_id"], t, e))
     expected: dict[int, int] = {}
     for evs in by_user.values():
