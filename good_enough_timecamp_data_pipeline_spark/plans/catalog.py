@@ -224,6 +224,7 @@ register(
     "j_salted_skew_join", round5.j_salted_skew_join, round5.J_SALTED_SKEW_JOIN_SQL
 )
 register("c_cdc_apply", round5.c_cdc_apply, round5.C_CDC_APPLY_SQL)
+register("t_dsir_weights", round5.t_dsir_weights, round5.T_DSIR_WEIGHTS_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("g_pagerank", round5.g_pagerank)

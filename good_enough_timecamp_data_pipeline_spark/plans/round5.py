@@ -652,3 +652,127 @@ def t_semdedup(
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# t_dsir_weights — DSIR importance weights (hashed-bigram log-ratio)
+# ---------------------------------------------------------------------------
+
+def t_dsir_weights(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 512
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): weight every document by how much more likely its
+    hashed-bigram profile is under a TARGET distribution than under the
+    raw corpus — log w(d) = Σ_b n_b(d)·(ln p̂_target(b) − ln p̂_corpus(b)),
+    Laplace-smoothed. High-weight docs are the ones resampling keeps when
+    curating toward the target domain (here: source='src0' plays the
+    target; the full corpus is the proposal).
+
+    Scale shape: bigrams hash into ``n_buckets`` md5-derived buckets
+    (bit-identical across engines — the t_split recipe), so BOTH
+    distribution estimates are B-row tables however big the corpus; the
+    per-doc scoring join meets a B-row dimension (AQE broadcasts it) and
+    the two totals are driver scalars from bounded aggregates. ln() gets
+    identical double inputs in both engines; the per-doc sum is rounded
+    4dp to absorb summation-order ulps (the t_lm_perplexity contract).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", "source", toks.alias("t")).filter(F.size("t") >= 2)
+    pairs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "bg.w1", "bg.w2")), 1, 8), 16, 10
+            ).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    doc_b = pairs.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
+    tgt_b = (
+        pairs.filter(F.col("source") == "src0")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_t"))
+    )
+    cor_b = pairs.groupBy("bucket").agg(F.count("*").alias("c_c"))
+    totals = pairs.agg(
+        F.count("*").alias("tc"),
+        F.count_if(F.col("source") == "src0").alias("tt"),
+    ).collect()[0]
+    t_c, t_t = float(totals["tc"]), float(totals["tt"])
+    lr = (
+        cor_b.join(tgt_b, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce("c_t", F.lit(0)) + 1.0) / (t_t + n_buckets))
+                - F.log((F.col("c_c") + 1.0) / (t_c + n_buckets))
+            ).alias("lr"),
+        )
+    )
+    return (
+        doc_b.join(lr, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 4).alias("dsir_logw"),
+        )
+    )
+
+
+T_DSIR_WEIGHTS_SQL = """
+WITH t AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 8)) AS BIGINT) % 512 AS bucket
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+               unnest(list_slice(toks, 2, len(toks))) AS w2
+        FROM t WHERE len(toks) >= 2
+    )
+),
+doc_b AS (
+    SELECT doc_id, bucket, COUNT(*) AS n FROM pairs GROUP BY doc_id, bucket
+),
+tgt_b AS (
+    SELECT bucket, COUNT(*) AS c_t FROM pairs WHERE source = 'src0' GROUP BY bucket
+),
+cor_b AS (
+    SELECT bucket, COUNT(*) AS c_c FROM pairs GROUP BY bucket
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS t_c,
+           CAST(count_if(source = 'src0') AS DOUBLE) AS t_t
+    FROM pairs
+),
+lr AS (
+    SELECT c.bucket,
+           ln((COALESCE(g.c_t, 0) + 1.0) / (tot.t_t + 512))
+             - ln((c.c_c + 1.0) / (tot.t_c + 512)) AS lr
+    FROM cor_b c LEFT JOIN tgt_b g USING (bucket) CROSS JOIN tot
+)
+SELECT d.doc_id,
+       CAST(SUM(d.n) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(d.n * lr.lr), 4) AS dsir_logw
+FROM doc_b d JOIN lr USING (bucket)
+GROUP BY d.doc_id
+""".strip()

@@ -430,3 +430,29 @@ def test_semdedup_finds_injected_duplicates(spark, sf_dir):
     assert total_pairs >= n_injected  # every injected exact dup detected
     for r in res:
         assert r["n_dup_pairs"] <= r["n_vectors"] * (r["n_vectors"] - 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# t_dsir_weights
+# ---------------------------------------------------------------------------
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """Importance weights must discriminate: documents FROM the target
+    domain (source='src0') score a higher mean log-weight than the rest —
+    that is the whole point of importance resampling. Also every weight
+    is finite (Laplace smoothing leaves no -inf)."""
+    import math
+
+    w = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in round5.t_dsir_weights(spark, sf_dir).collect()
+    }
+    assert w and all(math.isfinite(v) for v in w.values())
+    src = {
+        r["doc_id"]: r["source"]
+        for r in testdata.load_table(spark, sf_dir, "documents").collect()
+    }
+    tgt = [v for k, v in w.items() if src[k] == "src0"]
+    rest = [v for k, v in w.items() if src[k] != "src0"]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
