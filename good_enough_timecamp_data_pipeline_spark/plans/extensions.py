@@ -279,27 +279,41 @@ GROUP BY l_returnflag
 # t_bigram_lm — bigram language-model statistics over documents
 # ---------------------------------------------------------------------------
 
-def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 corpus bigrams with conditional probability P(w2 | w1).
-
-    Tokenize → zip each token array with its own tail (``slice`` +
-    ``arrays_zip`` — expression-level, no posexplode self-join) → explode
-    → one hash agg. The conditional-probability window runs over the
-    AGGREGATED bigram table partitioned by w1 (vocabulary-sized, not
-    corpus-sized). All of it whole-stage codegen; no Python."""
-    docs = load_table(spark, sf_dir, "documents")
+def doc_bigram_rows(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, *extra_cols, w1, w2) bigram rows — THE tokenization
+    contract shared by `t_bigram_lm`, `t_lm_perplexity`, and
+    `round5.t_dsir_weights`: lowercase, split on ``[^a-z]+``, drop
+    empties, zip each token array with its own tail (``slice`` +
+    ``arrays_zip`` — expression-level, no posexplode self-join). Every
+    SQL twin inlines the same regex/slice — a change here must land in
+    each of them."""
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
     )
-    d = docs.select(toks.alias("t")).filter(F.size("t") >= 2)
-    pairs = d.select(
+    d = docs.select("doc_id", *extra_cols, toks.alias("t")).filter(F.size("t") >= 2)
+    return d.select(
+        "doc_id",
+        *extra_cols,
         F.explode(
             F.arrays_zip(
                 F.slice("t", 1, F.size("t") - 1).alias("w1"),
                 F.slice("t", 2, F.size("t") - 1).alias("w2"),
             )
-        ).alias("bg")
-    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        ).alias("bg"),
+    ).select(
+        "doc_id", *extra_cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus bigrams with conditional probability P(w2 | w1).
+
+    Bigram rows via `doc_bigram_rows` → one hash agg. The conditional-
+    probability window runs over the AGGREGATED bigram table partitioned
+    by w1 (vocabulary-sized, not corpus-sized). All whole-stage codegen;
+    no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = doc_bigram_rows(docs).select("w1", "w2")
     counted = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("w1")
     return (
@@ -612,19 +626,7 @@ def t_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     double inputs; the per-doc mean is rounded 4dp for summation-order
     ulps."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
-    )
-    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 2)
-    pairs = d.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("t", 1, F.size("t") - 1).alias("w1"),
-                F.slice("t", 2, F.size("t") - 1).alias("w2"),
-            )
-        ).alias("bg"),
-    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = doc_bigram_rows(docs)
 
     bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))

@@ -677,51 +677,39 @@ def t_dsir_weights(
     identical double inputs in both engines; the per-doc sum is rounded
     4dp to absorb summation-order ulps (the t_lm_perplexity contract).
     """
+    from .extensions import doc_bigram_rows
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
-    )
-    d = docs.select("doc_id", "source", toks.alias("t")).filter(F.size("t") >= 2)
-    pairs = d.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.arrays_zip(
-                F.slice("t", 1, F.size("t") - 1).alias("w1"),
-                F.slice("t", 2, F.size("t") - 1).alias("w2"),
-            )
-        ).alias("bg"),
-    ).select(
+    pairs = doc_bigram_rows(docs, extra_cols=("source",)).select(
         "doc_id",
         "source",
         (
             F.conv(
-                F.substring(F.md5(F.concat_ws(" ", "bg.w1", "bg.w2")), 1, 8), 16, 10
+                F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 8), 16, 10
             ).cast("long")
             % n_buckets
         ).alias("bucket"),
     )
     doc_b = pairs.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
-    tgt_b = (
-        pairs.filter(F.col("source") == "src0")
-        .groupBy("bucket")
-        .agg(F.count("*").alias("c_t"))
+    # one conditional aggregation yields BOTH distribution estimates
+    # (the a_conditional_agg pattern) — no second corpus scan, no
+    # left-join + coalesce; totals are sums over this B-row table,
+    # cross-joined in as a 1-row stats side so the whole plan stays lazy
+    # (no job at plan-construction time).
+    bucket_counts = pairs.groupBy("bucket").agg(
+        F.count("*").alias("c_c"),
+        F.count_if(F.col("source") == "src0").alias("c_t"),
     )
-    cor_b = pairs.groupBy("bucket").agg(F.count("*").alias("c_c"))
-    totals = pairs.agg(
-        F.count("*").alias("tc"),
-        F.count_if(F.col("source") == "src0").alias("tt"),
-    ).collect()[0]
-    t_c, t_t = float(totals["tc"]), float(totals["tt"])
-    lr = (
-        cor_b.join(tgt_b, "bucket", "left")
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce("c_t", F.lit(0)) + 1.0) / (t_t + n_buckets))
-                - F.log((F.col("c_c") + 1.0) / (t_c + n_buckets))
-            ).alias("lr"),
-        )
+    tot = bucket_counts.agg(
+        F.sum("c_c").cast("double").alias("t_c"),
+        F.sum("c_t").cast("double").alias("t_t"),
+    )
+    lr = bucket_counts.crossJoin(tot).select(  # 1-row stats side
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("t_t") + n_buckets))
+            - F.log((F.col("c_c") + 1.0) / (F.col("t_c") + n_buckets))
+        ).alias("lr"),
     )
     return (
         doc_b.join(lr, "bucket")
