@@ -764,3 +764,86 @@ SELECT d.doc_id,
 FROM doc_b d JOIN lr USING (bucket)
 GROUP BY d.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# t_dsir_resample — Gumbel-top-k weighted sampling over DSIR weights
+# ---------------------------------------------------------------------------
+
+def t_dsir_resample(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """The resampling half of DSIR: draw ``k`` documents WITHOUT
+    replacement with probability ∝ exp(dsir_logw), distributed, in one
+    pass — the Gumbel-top-k identity (top-k of logw + Gumbel noise IS a
+    weighted sample without replacement). No sequential draws, no
+    rejection loop: per-row noise + a distributed TakeOrdered.
+
+    Determinism is the whole design: the Gumbel uniform comes from an
+    md5 of the doc id (never ``rand()`` — reruns and the oracle must
+    agree), and the noise is rounded 4dp before the sum so the double
+    ``ln`` calls' last-ulp wobble cannot flip a rank (the
+    t_lm_perplexity contract); ties at 4dp resolution break by doc_id.
+    """
+    w = t_dsir_weights(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("_g"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 4294967296.0
+    gumbel = F.round(-F.log(-F.log(u)), 4)
+    return (
+        w.withColumn("score", F.col("dsir_logw") + gumbel)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "dsir_logw", "score")
+    )
+
+
+T_DSIR_RESAMPLE_SQL = """
+WITH t AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(w1 || ' ' || w2), 1, 8)) AS BIGINT) % 512 AS bucket
+    FROM (
+        SELECT doc_id, source,
+               unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+               unnest(list_slice(toks, 2, len(toks))) AS w2
+        FROM t WHERE len(toks) >= 2
+    )
+),
+doc_b AS (
+    SELECT doc_id, bucket, COUNT(*) AS n FROM pairs GROUP BY doc_id, bucket
+),
+bucket_counts AS (
+    SELECT bucket, COUNT(*) AS c_c, count_if(source = 'src0') AS c_t
+    FROM pairs GROUP BY bucket
+),
+tot AS (
+    SELECT CAST(SUM(c_c) AS DOUBLE) AS t_c, CAST(SUM(c_t) AS DOUBLE) AS t_t
+    FROM bucket_counts
+),
+lr AS (
+    SELECT bucket,
+           ln((c_t + 1.0) / (tot.t_t + 512)) - ln((c_c + 1.0) / (tot.t_c + 512)) AS lr
+    FROM bucket_counts CROSS JOIN tot
+),
+w AS (
+    SELECT d.doc_id, ROUND(SUM(d.n * lr.lr), 4) AS dsir_logw
+    FROM doc_b d JOIN lr USING (bucket)
+    GROUP BY d.doc_id
+)
+SELECT doc_id, dsir_logw,
+       dsir_logw + ROUND(-ln(-ln(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_g'), 1, 8)) AS BIGINT)
+              + 0.5) / 4294967296.0)), 4) AS score
+FROM w
+ORDER BY score DESC, doc_id ASC
+LIMIT 100
+""".strip()

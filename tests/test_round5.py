@@ -456,3 +456,15 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
     rest = [v for k, v in w.items() if src[k] != "src0"]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_dsir_resample_is_weighted_and_deterministic(spark, sf_dir):
+    """Gumbel-top-k must (a) be rerun-identical (md5 noise, no rand) and
+    (b) actually sample ∝ exp(weight): the selected docs' mean log-weight
+    exceeds the corpus mean."""
+    a = [tuple(r) for r in round5.t_dsir_resample(spark, sf_dir).collect()]
+    b = [tuple(r) for r in round5.t_dsir_resample(spark, sf_dir).collect()]
+    assert a == b and len(a) == 100
+    sel_mean = sum(r[1] for r in a) / len(a)
+    all_w = [r["dsir_logw"] for r in round5.t_dsir_weights(spark, sf_dir).collect()]
+    assert sel_mean > sum(all_w) / len(all_w)
