@@ -60,7 +60,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (plans/testdata.py) incl. the two AQE hint-removal queries, then (d) the
 # oldest-attested entries (r3-only, never re-checked since). Everything else
 # follows after slot 50; rows-only entries last. After r5 this makes
-# cumulative driver-confirmed coverage 104/104.
+# cumulative driver-confirmed coverage 104/104 of the pre-r5 oracle set;
+# the 9 oracle queries ADDED during r5 (e_peak_concurrency …
+# t_dsir_resample, registered after the slot-50 marker) are locally
+# verified at sf0.001/sf0.01/sf0.1 and rotate into the r6 front.
 
 # --- (a) never driver-checked: the 12 post-r4-freeze oracle queries --------
 for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
