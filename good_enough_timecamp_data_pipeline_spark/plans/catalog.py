@@ -229,6 +229,7 @@ register(
 register("c_cdc_apply", round5.c_cdc_apply, round5.C_CDC_APPLY_SQL)
 register("t_dsir_weights", round5.t_dsir_weights, round5.T_DSIR_WEIGHTS_SQL)
 register("t_dsir_resample", round5.t_dsir_resample, round5.T_DSIR_RESAMPLE_SQL)
+register("t_token_kl_drift", round5.t_token_kl_drift, round5.T_TOKEN_KL_DRIFT_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("g_pagerank", round5.g_pagerank)

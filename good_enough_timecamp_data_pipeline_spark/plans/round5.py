@@ -847,3 +847,88 @@ FROM w
 ORDER BY score DESC, doc_id ASC
 LIMIT 100
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# t_token_kl_drift — per-source KL divergence vs the corpus distribution
+# ---------------------------------------------------------------------------
+
+def t_token_kl_drift(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 256
+) -> DataFrame:
+    """KL(source ‖ corpus) over hashed unigram buckets — the drift monitor
+    a curation pipeline watches per ingest source: a source whose token
+    distribution diverges from the corpus mix is changing under you
+    (scraper drift, spam influx, language shift).
+
+    Same physics as `t_dsir_weights`: md5-hashed token buckets make every
+    per-source distribution a B-row table regardless of corpus size, so
+    the whole query is two hash aggs + a join against a B-row dimension;
+    totals ride along as grouped sums (no driver scalars at all).
+    Laplace smoothing keeps every term finite; the sum runs over the
+    buckets the source actually observed (absent-bucket terms are
+    O(1/t_s) and identical in the twin); ln gets identical double inputs
+    in both engines and the per-source sum rounds 4dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    rows = docs.select("source", F.explode(toks).alias("tok")).select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % n_buckets
+        ).alias("bucket"),
+    )
+    src_b = rows.groupBy("source", "bucket").agg(F.count("*").alias("c_s"))
+    cor_b = rows.groupBy("bucket").agg(F.count("*").alias("c_c"))
+    src_tot = src_b.groupBy("source").agg(F.sum("c_s").cast("double").alias("t_s"))
+    cor_tot = cor_b.agg(F.sum("c_c").cast("double").alias("t_c"))
+    p_s = (F.col("c_s") + 1.0) / (F.col("t_s") + n_buckets)
+    p_c = (F.col("c_c") + 1.0) / (F.col("t_c") + n_buckets)
+    return (
+        src_b.join(cor_b, "bucket")
+        .join(src_tot, "source")
+        .crossJoin(cor_tot)  # 1-row stats side
+        .groupBy("source")
+        .agg(
+            F.sum("c_s").alias("n_tokens"),
+            F.round(F.sum(p_s * (F.log(p_s) - F.log(p_c))), 4).alias("kl_vs_corpus"),
+        )
+    )
+
+
+T_TOKEN_KL_DRIFT_SQL = """
+WITH rows_ AS (
+    SELECT source,
+           CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+    FROM (
+        SELECT source,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    )
+),
+src_b AS (
+    SELECT source, bucket, COUNT(*) AS c_s FROM rows_ GROUP BY source, bucket
+),
+cor_b AS (
+    SELECT bucket, COUNT(*) AS c_c FROM rows_ GROUP BY bucket
+),
+src_tot AS (
+    SELECT source, CAST(SUM(c_s) AS DOUBLE) AS t_s FROM src_b GROUP BY source
+),
+cor_tot AS (
+    SELECT CAST(SUM(c_c) AS DOUBLE) AS t_c FROM cor_b
+)
+SELECT s.source,
+       CAST(SUM(s.c_s) AS BIGINT) AS n_tokens,
+       ROUND(SUM(((s.c_s + 1.0) / (st.t_s + 256))
+                 * (ln((s.c_s + 1.0) / (st.t_s + 256))
+                    - ln((c.c_c + 1.0) / (ct.t_c + 256)))), 4) AS kl_vs_corpus
+FROM src_b s
+JOIN cor_b c USING (bucket)
+JOIN src_tot st USING (source)
+CROSS JOIN cor_tot ct
+GROUP BY s.source
+""".strip()

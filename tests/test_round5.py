@@ -468,3 +468,64 @@ def test_dsir_resample_is_weighted_and_deterministic(spark, sf_dir):
     sel_mean = sum(r[1] for r in a) / len(a)
     all_w = [r["dsir_logw"] for r in round5.t_dsir_weights(spark, sf_dir).collect()]
     assert sel_mean > sum(all_w) / len(all_w)
+
+
+# ---------------------------------------------------------------------------
+# empty-input robustness: every round-5 query must plan and return empty
+# (or a well-defined degenerate result) on zero-row tables, never crash
+# ---------------------------------------------------------------------------
+
+def test_round5_queries_survive_empty_tables(spark):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    events_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([], events_schema).write.parquet(f"{d}/events.parquet")
+        spark.createDataFrame([], docs_schema).write.parquet(f"{d}/documents.parquet")
+        for fn in (
+            round5.e_peak_concurrency,
+            round5.t_quality_gate,
+            round5.t_cooccurrence_lift,
+            round5.x_range_join_bucketed,
+            round5.x_ordered_paths,
+            round5.j_salted_skew_join,
+            round5.c_cdc_apply,
+            round5.t_dsir_weights,
+            round5.t_dsir_resample,
+            round5.t_token_kl_drift,
+        ):
+            assert fn(spark, d).collect() == [], fn.__name__
+
+
+def test_kl_drift_zero_when_source_is_corpus(spark):
+    """A single-source corpus has p_source == p_corpus exactly → KL 0.0."""
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc{i % 7} delta", "en", "only", 30) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        rows = round5.t_token_kl_drift(spark, d).collect()
+    assert len(rows) == 1 and rows[0]["kl_vs_corpus"] == 0.0
