@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from good_enough_timecamp_data_pipeline_spark.operators import dedup, similarity
-from good_enough_timecamp_data_pipeline_spark.operators.graph import connected_components
+from good_enough_timecamp_data_pipeline_spark.operators.graph import connected_components, pagerank
 from good_enough_timecamp_data_pipeline_spark.plans import advanced, reports
 from good_enough_timecamp_data_pipeline_spark.session import get_spark
 
@@ -189,6 +189,14 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     connected_components(edges).write.format("noop").mode("overwrite").save()
     res["cc_components"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # pagerank: same scaled edge set, FIXED 8 rounds — per-round work is
+    # one keyed shuffle over the edges, so ideal is linear in the factor
+    # (with heavy fixed per-round scheduling overhead at this scale)
+    t0 = time.time()
+    pagerank(edges, num_iter=8).write.format("noop").mode("overwrite").save()
+    res["pagerank"] = time.time() - t0
     spark.catalog.clearCache()
     return res
 
