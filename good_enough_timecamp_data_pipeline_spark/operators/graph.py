@@ -208,6 +208,7 @@ def pagerank(
     )
     n = nodes.count()  # driver scalar, same contract as CC's convergence sum
     if n == 0:
+        nodes.unpersist()  # nothing to iterate; don't leak the empty cache
         return nodes.withColumn("rank", F.lit(0.0))
     e_pinned = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

@@ -529,3 +529,27 @@ def test_kl_drift_zero_when_source_is_corpus(spark):
         docs.write.parquet(f"{d}/documents.parquet")
         rows = round5.t_token_kl_drift(spark, d).collect()
     assert len(rows) == 1 and rows[0]["kl_vs_corpus"] == 0.0
+
+
+def test_pagerank_empty_and_semdedup_loud_on_no_vectors(spark):
+    """Degenerate-input contracts: an empty edge set yields an empty rank
+    table (not a crash); SemDeDup on an empty embeddings table fails LOUD
+    (kmeans refuses to cluster nothing) rather than returning garbage."""
+    import tempfile
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges).collect() == []
+
+    from pyspark.sql import types as T
+
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([], emb_schema).write.parquet(f"{d}/embeddings.parquet")
+        with pytest.raises(ValueError, match="no vectors"):
+            round5.t_semdedup(spark, d).collect()
