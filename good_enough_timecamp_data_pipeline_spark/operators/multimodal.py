@@ -361,3 +361,157 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash near-dup (REAL decode path: PPM → aHash → banded match)
+# ---------------------------------------------------------------------------
+
+PHASH_GRID = 8  # 8×8 grid → 64-bit average hash
+PHASH_BANDS = 4  # 4 × 16-bit bands → pigeonhole-exact for hamming ≤ 3
+
+
+def ppm_average_hash(payload: bytes) -> int:
+    """64-bit average hash (aHash) of a P6 PPM: true decode → grayscale →
+    8×8 nearest-sample grid → bit i set iff cell i ≥ grid mean.
+
+    The standard perceptual fingerprint for image near-dup mining
+    (identical layout survives re-encode/noise; hamming distance ≈ visual
+    distance). Stdlib-only; returns a SIGNED 64-bit int so the value fits
+    Spark's LongType unchanged."""
+    d = decode_ppm(payload)
+    w, h = d["width"], d["height"]
+    hdr_end = _ppm_pixel_offset(payload)
+    px = payload[hdr_end : hdr_end + w * h * 3]
+    g = PHASH_GRID
+    cells = []
+    for gy in range(g):
+        sy = (gy * h) // g
+        for gx in range(g):
+            sx = (gx * w) // g
+            o = (sy * w + sx) * 3
+            cells.append(px[o] + px[o + 1] + px[o + 2])  # 3× grayscale
+    mean = sum(cells) / len(cells)
+    bits = 0
+    for i, c in enumerate(cells):
+        if c >= mean:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= 1 << 63 else bits
+
+
+def _ppm_pixel_offset(payload: bytes) -> int:
+    """Byte offset of the raw pixel data in a P6 PPM (header re-walk,
+    comment-aware — mirrors decode_ppm's parser)."""
+    pos = 2
+    fields = 0
+    while fields < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields += 1
+    return pos + 1
+
+
+def phash_rows(media: DataFrame) -> DataFrame:
+    """(doc_id, phash) for every PPM payload — Arrow-batched mapInPandas;
+    non-PPM rows are dropped (they have no image hash). Payload bytes stay
+    on the executors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+                if mime != PPM_MIME:
+                    continue
+                ids.append(doc_id)
+                hashes.append(ppm_average_hash(bytes(payload)))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "phash": pd.Series(hashes, dtype="int64")})
+
+    flat = media.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+    return flat.mapInPandas(run, schema="doc_id bigint, phash bigint")
+
+
+def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs (id_a < id_b, hamming ≤ max_hamming) via the
+    same pigeonhole banding as SimHash (plans/northstar.py d_simhash_pairs):
+    split the 64-bit aHash into PHASH_BANDS equal bands — any pair within
+    max_hamming ≤ PHASH_BANDS-1 total differing bits must agree on ≥ 1
+    band, so a per-band equality self-join is EXACT (zero false
+    negatives), then popcount(XOR) filters candidates. Scale shape: the
+    only shuffle is the band-key join — no all-pairs product; hot bands
+    (flat images) are bounded by the 2^16 band-value space."""
+    assert max_hamming <= PHASH_BANDS - 1, "pigeonhole needs bands > hamming"
+    h = phash_rows(media)
+    width = 64 // PHASH_BANDS
+    mask = (1 << width) - 1
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("phash", b * width).bitwiseAND(F.lit(mask)).alias("key"),
+                )
+                for b in range(PHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "phash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def perturb_payloads(media: DataFrame, id_shift: int, delta: int = 7) -> DataFrame:
+    """Noisy twin of every media row: id shifted by ``id_shift``, LAST
+    payload byte nudged by ``delta`` (mod 256) — for a P6 PPM that is one
+    channel of one pixel, so the twin is a true near-duplicate of the
+    original image (the fixture a phash near-dup test needs). Meta is
+    recomputed; mime/source carried through."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                bytes(b[:-1]) + bytes([(b[-1] + delta) % 256]) if len(b) else b
+                for b in (bytes(p) for p in pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"] + id_shift,
+                    "payload": payloads,
+                    "mime": pdf["mime"],
+                }
+            )
+
+    flat = media.select(
+        "doc_id", "payload", F.col("meta.mime").alias("mime")
+    ).mapInPandas(run, schema="doc_id bigint, payload binary, mime string")
+    return flat.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.col("mime").alias("mime"),
+            F.lit("synthetic-twin").alias("source"),
+        ).alias("meta"),
+    )

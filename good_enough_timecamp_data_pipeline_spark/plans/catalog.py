@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from . import (
     advanced,
     analytics,
+    curation,
     extensions,
     northstar,
     relational,
@@ -230,8 +231,13 @@ register("c_cdc_apply", round5.c_cdc_apply, round5.C_CDC_APPLY_SQL)
 register("t_dsir_weights", round5.t_dsir_weights, round5.T_DSIR_WEIGHTS_SQL)
 register("t_dsir_resample", round5.t_dsir_resample, round5.T_DSIR_RESAMPLE_SQL)
 register("t_token_kl_drift", round5.t_token_kl_drift, round5.T_TOKEN_KL_DRIFT_SQL)
+register("t_ccnet_buckets", curation.t_ccnet_buckets, curation.T_CCNET_BUCKETS_SQL)
+register("t_line_dedup", curation.t_line_dedup, curation.T_LINE_DEDUP_SQL)
+register("a_mad_outliers", curation.a_mad_outliers, curation.A_MAD_OUTLIERS_SQL)
+register("w_pareto_share", curation.w_pareto_share, curation.W_PARETO_SHARE_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
+register("m_phash_neardup", curation.m_phash_neardup)
 register("g_pagerank", round5.g_pagerank)
 register("t_semdedup", round5.t_semdedup)
 register("a_approx_sketches", advanced.a_approx_sketches)

@@ -1,0 +1,382 @@
+"""Round-5b curation operators — corpus-quality gates a 100 TB
+training-data pipeline runs after dedup and before sharding.
+
+Four oracle-twinned queries plus the perceptual-hash image near-dup tier:
+
+- ``t_ccnet_buckets`` — CCNet-style per-language perplexity terciles
+  (head/middle/tail), the canonical quality-stratification step before
+  mixture sampling (Wenzek et al., "CCNet", 2020).
+- ``t_line_dedup`` — C4-style corpus-wide exact line dedup (Raffel et
+  al., 2020 §2.2: drop every repeated "line", keep the first
+  occurrence, reassemble documents). Testdata has no newlines, so the
+  "line" unit is a fixed 10-token pseudo-line; on a real crawl swap the
+  splitter for ``split(text, '\\n')`` — the plan shape is identical.
+- ``a_mad_outliers`` — robust (median/MAD) outlier QC per event type;
+  the 3σ-equivalent gate that survives heavy tails where z-scores
+  (plans/advanced.py a_zscore_outliers) break down.
+- ``w_pareto_share`` — cumulative-share concentration (the 80/20 audit:
+  which sources/customers dominate volume), built on the distributed
+  global-cumsum operator — NO single-partition window.
+- ``m_phash_neardup`` — rows-only: true-decode PPM → 64-bit average
+  hash → pigeonhole-banded hamming pairs (operators/multimodal.py).
+
+The reference has no corpus-curation surface (its pipeline ends at
+warehouse sinks, dlt_fetch_timecamp.py); these extend SURVEY §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.order import global_cumsum, long_range_bucket
+from .extensions import doc_bigram_rows
+from .testdata import load_table
+
+# ---------------------------------------------------------------------------
+# t_ccnet_buckets — per-language perplexity terciles (head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratify every document into head/middle/tail quality buckets by
+    its LM score WITHIN its language — CCNet's central move: perplexity
+    is only comparable against same-language text, so the tercile split
+    is per-language, then head gets oversampled in the training mixture.
+
+    Scale shape: the LM build is two vocabulary-sized hash aggs (see
+    t_lm_perplexity, plans/extensions.py); the tercile NTILE is a window
+    partitioned BY LANGUAGE — parallel across languages, and within one
+    language the scored-docs table (one row per doc) is orders of
+    magnitude smaller than the corpus text it summarizes. For a corpus
+    where even one language's doc LIST overflows an executor, swap NTILE
+    for approx-quantile boundaries + a broadcast range join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = doc_bigram_rows(docs, extra_cols=("lang",))
+
+    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = bi.select("w1").unionByName(bi.select(F.col("w2").alias("w1")))
+    v = vocab.distinct().count()  # one scalar; identical in the oracle
+
+    lm = bi.join(uni, "w1").withColumn(
+        "_nlp", -F.log((F.col("c12") + 1.0) / (F.col("c1") + float(v)))
+    )
+    scored = (
+        pairs.join(lm.select("w1", "w2", "_nlp"), ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("_nlp"), 4).alias("avg_neg_logp"))
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "doc_id")
+    tile = F.ntile(3).over(w)
+    return scored.withColumn(
+        "bucket",
+        F.element_at(F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile),
+    )
+
+
+T_CCNET_BUCKETS_SQL = """
+WITH t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+pairs AS (
+    SELECT doc_id, lang,
+           unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+           unnest(list_slice(toks, 2, len(toks))) AS w2
+    FROM t WHERE len(toks) >= 2
+),
+bi AS (
+    SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY 1, 2
+),
+uni AS (
+    SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bi GROUP BY 1
+),
+v AS (
+    SELECT COUNT(*) AS v FROM (
+        SELECT w1 FROM bi UNION SELECT w2 FROM bi
+    )
+),
+lm AS (
+    SELECT bi.w1, bi.w2,
+           -ln((bi.c12 + 1.0) / (uni.c1 + (SELECT CAST(v AS DOUBLE) FROM v))) AS nlp
+    FROM bi JOIN uni ON bi.w1 = uni.w1
+),
+scored AS (
+    SELECT p.doc_id, p.lang, ROUND(AVG(lm.nlp), 4) AS avg_neg_logp
+    FROM pairs p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+    GROUP BY p.doc_id, p.lang
+),
+tiled AS (
+    SELECT doc_id, lang, avg_neg_logp,
+           NTILE(3) OVER (PARTITION BY lang ORDER BY avg_neg_logp, doc_id) AS t3
+    FROM scored
+)
+SELECT doc_id, lang, avg_neg_logp,
+       CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM tiled
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_line_dedup — C4-style corpus-wide exact line dedup (first wins)
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 10
+
+
+def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop every corpus-wide repeated line, keeping only its FIRST
+    occurrence (global order = (doc_id, position)), and reassemble each
+    document from its surviving lines — C4's three-sentence-span rule in
+    its simplest exact form. The "line" unit here is a fixed 10-token
+    pseudo-line (testdata text has no newlines); a real crawl splits on
+    newline instead and the plan is unchanged.
+
+    Scale shape: ONE shuffle on the line text (the window's hash
+    partitioning) decides winners — no self-join, no all-pairs; the
+    reassembly groupBy(doc_id) is a second shuffle whose payload is the
+    SURVIVING lines only. Line-keyed skew (boilerplate lines repeated
+    millions of times) is real at 100 TB: the winner of a hot line is
+    decided by min(doc_id, pos), which AQE skew-split handles because
+    min is combinable — swap row_number for a groupBy(line).agg(min)
+    + self-semi-join if a single line's replica count ever exceeds one
+    partition's memory.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
+    n_lines = F.ceil(F.size("t") / F.lit(float(LINE_TOKENS))).cast("int")
+    lines = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * LINE_TOKENS + 1, LINE_TOKENS), " "
+                ),
+            )
+        ).alias("pos", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+T_LINE_DEDUP_SQL = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+),
+d AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 1),
+ln AS (
+    SELECT doc_id,
+           unnest(list_transform(
+               range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)),
+               i -> struct_pack(
+                   pos := CAST(i AS INT),
+                   line := array_to_string(
+                       list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')))) AS s
+    FROM d
+),
+l AS (SELECT doc_id, s.pos AS pos, s.line AS line FROM ln),
+w AS (
+    SELECT doc_id, pos, line,
+           ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+    FROM l
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM l GROUP BY 1),
+kept AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           string_agg(line, ' ' ORDER BY pos) AS clean_text
+    FROM w WHERE rn = 1 GROUP BY doc_id
+)
+SELECT tot.doc_id, tot.n_lines,
+       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(kept.clean_text, '') AS clean_text
+FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_mad_outliers — robust median/MAD outlier gate per event type
+# ---------------------------------------------------------------------------
+
+MAD_K = 3.0 * 1.4826  # 1.4826·MAD ≈ σ for normal data; 3σ-equivalent gate
+
+
+def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier counts: a value is an outlier when
+    |value − median| > 3 · 1.4826 · MAD. Unlike the moment-based z-score
+    gate (a_zscore_outliers), one wild sensor reading cannot drag the
+    threshold — median and MAD have 50% breakdown.
+
+    Scale shape: exact medians mean two grouped full-sorts over the
+    fact (Spark plans ``percentile`` as a grouped sort-agg with partial
+    combine) plus one broadcast-back join each — the exact-QC shape.
+    At 100 TB the same plan runs with ``approx_percentile`` (one pass,
+    t-digest merge) by swapping the two F.median calls; the approximate
+    twin already lives in a_approx_sketches (plans/advanced.py).
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.min("med").alias("med"), F.median("adev").alias("mad")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+    )
+
+
+A_MAD_OUTLIERS_SQL = f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, MEDIAN(value) AS med FROM ev GROUP BY 1),
+dev AS (
+    SELECT ev.event_type, ev.value, med.med,
+           ABS(ev.value - med.med) AS adev
+    FROM ev JOIN med ON ev.event_type = med.event_type
+),
+mad AS (
+    SELECT event_type, MIN(med) AS med, MEDIAN(adev) AS mad
+    FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.adev > {MAD_K!r} * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+       ROUND(MIN(m.med), 6) AS med,
+       ROUND(MIN(m.mad), 6) AS mad
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# w_pareto_share — cumulative-share concentration audit (80/20)
+# ---------------------------------------------------------------------------
+
+PARETO_KEY_SHIFT = 1 << 24  # custkey < 16.7M at every tested SF (doc'd)
+
+
+def w_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration: customers sorted by revenue desc with their
+    cumulative share of total — the 'which 20% of sources produce 80% of
+    the tokens' audit every mixture design starts from. ``is_top80``
+    marks the prefix that reaches 80% (boundary-crossing row included).
+
+    Scale shape: revenue is summed as integer cents (order-independent —
+    the repo-wide FP determinism rule, see a_groupsum_pricing); the
+    cumulative sum runs on operators/order.py::global_cumsum — bucketed
+    range partitioning + per-bucket window + broadcast bucket offsets,
+    NOT the single-partition global window Spark would plan for a bare
+    ``Window.orderBy``. The sort key packs (−revenue, custkey) into one
+    long so buckets are monotone and unique; the 80% test is integer
+    arithmetic (cum·10 < total·8) — no FP boundary flake.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
+    )
+    total = rev.agg(F.sum("rev_cents").alias("t"))
+    key = (-F.col("rev_cents")) * F.lit(PARETO_KEY_SHIFT) + F.col("o_custkey")
+    keyed = rev.withColumn("__k", key)
+    cum = global_cumsum(
+        keyed,
+        F.col("__k"),
+        F.col("rev_cents"),
+        long_range_bucket(keyed, F.col("__k")),
+        out="cum_cents",
+    ).drop("__k")
+    return cum.join(F.broadcast(total)).select(
+        "o_custkey",
+        "rev_cents",
+        "cum_cents",
+        (F.col("cum_cents").cast("double") / F.col("t")).alias("cum_share"),
+        ((F.col("cum_cents") - F.col("rev_cents")) * 10 < F.col("t") * 8).alias(
+            "is_top80"
+        ),
+    )
+
+
+W_PARETO_SHARE_SQL = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS t FROM rev),
+c AS (
+    SELECT o_custkey, rev_cents,
+           CAST(SUM(rev_cents) OVER (
+               ORDER BY rev_cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_cents
+    FROM rev
+)
+SELECT o_custkey, rev_cents, cum_cents,
+       CAST(cum_cents AS DOUBLE) / (SELECT t FROM tot) AS cum_share,
+       ((cum_cents - rev_cents) * 10 < (SELECT t FROM tot) * 8) AS is_top80
+FROM c
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# m_phash_neardup — image near-dup pairs over REAL-decoded PPM payloads
+# ---------------------------------------------------------------------------
+
+
+def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup detection, end to end on REAL
+    decoded pixels: synthesize deterministic PPM payloads for even-id
+    docs plus a noisy twin of each (one pixel perturbed, id shifted),
+    average-hash them (stdlib decode), and emit hamming≤3 pairs via
+    pigeonhole banding (operators/multimodal.py::phash_neardup_pairs).
+    rows-only: binary decode has no SQL twin; twin-recovery and
+    banding-exactness invariants are pinned in tests/test_curation.py."""
+    from ..operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = mm.attach_synthetic_media(docs)
+    twins = mm.perturb_payloads(media, id_shift=1_000_000_000)
+    pairs = mm.phash_neardup_pairs(media.unionByName(twins), max_hamming=3)
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")

@@ -1,0 +1,124 @@
+"""Invariant tests for the round-5b curation operators (plans/curation.py).
+
+Oracle equality for the four SQL-twinned queries is covered by
+tools/oracle_check.py / the driver gate; these pin the semantic invariants
+that equality alone would not catch (first-wins ordering, bucket balance,
+robustness, prefix property, twin recovery through real pixel decode).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.operators import multimodal as mm
+from good_enough_timecamp_data_pipeline_spark.plans import curation
+
+
+def test_line_dedup_first_wins_and_counts(spark, sf_dir):
+    out = curation.t_line_dedup(spark, sf_dir).cache()
+    rows = out.collect()
+    assert rows, "non-empty corpus must yield rows"
+    # every doc keeps at most what it had
+    assert all(r.n_kept <= r.n_lines for r in rows)
+    # total kept lines == corpus-wide distinct line count (each distinct
+    # line survives exactly once)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit(""))
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
+    n_lines = F.ceil(F.size("t") / F.lit(10.0)).cast("int")
+    lines = d.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * 10 + 1, 10), " "),
+            )
+        ).alias("line")
+    )
+    distinct_lines = lines.distinct().count()
+    assert sum(r.n_kept for r in rows) == distinct_lines
+    # the globally-first doc keeps one copy of each of ITS distinct lines
+    first = min(rows, key=lambda r: r.doc_id)
+    first_doc_distinct = (
+        curation.t_line_dedup(spark, sf_dir)  # plan reuse is fine; tiny data
+        .filter(F.col("doc_id") == first.doc_id)
+        .collect()[0]
+    )
+    assert first_doc_distinct.n_kept >= 1
+    out.unpersist()
+
+
+def test_ccnet_buckets_balanced_partition(spark, sf_dir):
+    out = curation.t_ccnet_buckets(spark, sf_dir).cache()
+    per = (
+        out.groupBy("lang", "bucket").count().groupBy("lang")
+        .agg(
+            F.max("count").alias("mx"),
+            F.min("count").alias("mn"),
+            F.sum("count").alias("n"),
+        )
+        .collect()
+    )
+    assert per, "expected at least one language"
+    # NTILE(3): bucket sizes within a language differ by at most 1
+    assert all(r.mx - r.mn <= 1 for r in per)
+    # every scored doc lands in exactly one bucket
+    assert out.count() == out.select("doc_id").distinct().count()
+    assert out.filter(~F.col("bucket").isin("head", "middle", "tail")).count() == 0
+    out.unpersist()
+
+
+def test_mad_outliers_bounded_and_robust(spark, sf_dir):
+    rows = curation.a_mad_outliers(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_outliers < r.n, "MAD gate must never flag a majority"
+        assert r.mad >= 0.0
+
+
+def test_pareto_share_prefix_property(spark, sf_dir):
+    rows = (
+        curation.w_pareto_share(spark, sf_dir)
+        .orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+        .collect()
+    )
+    assert rows
+    # cumulative share is monotone and ends at exactly 1.0
+    shares = [r.cum_share for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert shares[-1] == pytest.approx(1.0, abs=1e-12)
+    # is_top80 is a PREFIX of the revenue-desc order
+    flags = [r.is_top80 for r in rows]
+    assert flags[0] is True
+    first_false = flags.index(False) if False in flags else len(flags)
+    assert all(flags[:first_false]) and not any(flags[first_false:])
+    # the top80 prefix covers >= 80% of revenue, the prefix minus its
+    # last member covers < 80%
+    total = sum(r.rev_cents for r in rows)
+    top = sum(r.rev_cents for r in rows[:first_false])
+    assert top * 10 >= total * 8
+    assert (top - rows[first_false - 1].rev_cents) * 10 < total * 8
+
+
+def test_phash_deterministic_and_twin_recovery(spark, sf_dir):
+    # determinism of the stdlib hash itself
+    img = mm.synthesize_ppm(42, "some pixel seed")
+    assert mm.ppm_average_hash(img) == mm.ppm_average_hash(img)
+    # a one-byte nudge is a NEAR duplicate: small hamming, not a new image
+    nudged = img[:-1] + bytes([(img[-1] + 7) % 256])
+    ham = bin(
+        (mm.ppm_average_hash(img) ^ mm.ppm_average_hash(nudged)) & ((1 << 64) - 1)
+    ).count("1")
+    assert ham <= 3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    media = mm.attach_synthetic_media(docs)
+    twins = mm.perturb_payloads(media, id_shift=1_000_000_000)
+    pairs = mm.phash_neardup_pairs(media.unionByName(twins), max_hamming=3).cache()
+    n_ppm = media.filter(F.col("meta.mime") == mm.PPM_MIME).count()
+    # every (orig, orig+1e9) twin pair whose hash survived the nudge is
+    # recovered; banding is pigeonhole-exact so only >3-bit flips can lose
+    # a twin — require >= 90% recovery
+    twin_hits = pairs.filter(F.col("id_b") - F.col("id_a") == 1_000_000_000).count()
+    assert twin_hits >= 0.9 * n_ppm
+    # symmetry/ordering contract
+    assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
+    pairs.unpersist()
