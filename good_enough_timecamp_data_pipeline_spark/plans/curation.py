@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..operators.order import global_cumsum, long_range_bucket
 from .extensions import doc_bigram_rows
@@ -380,3 +381,161 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = mm.perturb_payloads(media, id_shift=1_000_000_000)
     pairs = mm.phash_neardup_pairs(media.unionByName(twins), max_hamming=3)
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")
+
+
+# ---------------------------------------------------------------------------
+# g_triangle_count — distributed triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def g_triangle_count(
+    spark: SparkSession, sf_dir: str, vertex_mod: int = 4
+) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts are adjacent when
+    some order contains both) — THE graph-shape statistic for clustering
+    coefficient / community density, and the standard non-iterative
+    distributed graph benchmark.
+
+    Scale shape: edges are oriented low-id → high-id, so each triangle is
+    enumerated exactly once as (a<b<c) and the classic two-join plan does
+    no post-hoc dedup. Both joins are plain equi-joins on node ids — AQE
+    splits hot nodes (high-degree parts). Per-order pair fan-out is
+    bounded by order size (≤ order_lines², tiny); at web scale the
+    orientation should be by DEGREE (lower-degree endpoint first), which
+    bounds the e1⋈e2 wedge intermediate by O(E^1.5) for skewed-degree
+    graphs (Suri & Vassilvitskii, "Counting Triangles and the Curse of
+    the Last Reducer", WWW'11) — swap the orientation key for a degree
+    lookup, the plan is unchanged. The co-purchase graph is NEAR-REGULAR
+    (every part in ~120 orders), where no orientation shrinks the
+    Θ(n·d²) wedge set — so the catalog entry counts the induced subgraph
+    on the deterministic 1-in-``vertex_mod`` vertex sample (exact for
+    that subgraph, wedge cost /mod³); pass ``vertex_mod=1`` for the full
+    graph.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    if vertex_mod > 1:
+        li = li.filter(F.col("l_partkey") % vertex_mod == 0)
+    a, b = li.alias("a"), li.alias("b")
+    # edges feed FIVE consumers (three triangle-join legs + two stats
+    # aggs) — persist so the per-order pair fan-out + distinct shuffle
+    # runs once, not five times.
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    stats = edges.agg(
+        F.count("*").alias("n_edges"),
+        F.count_distinct(F.col("u")).alias("_nu"),
+    )
+    nodes = edges.select(F.col("u").alias("n")).unionByName(
+        edges.select(F.col("v").alias("n"))
+    )
+    n_nodes = nodes.agg(F.count_distinct("n").alias("n_nodes"))
+    return (
+        tri.crossJoin(stats.select("n_edges")).crossJoin(n_nodes)
+        .select("n_triangles", "n_edges", "n_nodes")
+    )
+
+
+G_TRIANGLE_COUNT_SQL = """
+WITH li AS (
+    SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 4 = 0
+),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM edges e1
+    JOIN edges e2 ON e1.v = e2.u
+    JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+),
+st AS (SELECT COUNT(*) AS n_edges FROM edges),
+nd AS (
+    SELECT COUNT(DISTINCT n) AS n_nodes FROM (
+        SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges
+    )
+)
+SELECT tri.n_triangles, st.n_edges, nd.n_nodes FROM tri, st, nd
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_winsorize — percentile clipping with exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+
+def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) per-type value summaries — the
+    standard heavy-tail taming step before moment statistics. Everything
+    after the exact percentiles runs in integer micro-units so the
+    clipped sums are order-independent (the repo-wide FP determinism
+    rule); the interpolated percentiles themselves are bit-identical
+    across engines (same (n−1)·p linear interpolation — proven by
+    a_percentiles).
+
+    Scale shape: one grouped exact-percentile agg (grouped sort-agg; at
+    100 TB swap for approx_percentile's one-pass t-digest) broadcast
+    back onto the fact, then one combinable hash-agg.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = ev.groupBy("event_type").agg(
+        F.floor(F.percentile("value", 0.05) * 1_000_000).cast("long").alias("p05_micros"),
+        F.floor(F.percentile("value", 0.95) * 1_000_000).cast("long").alias("p95_micros"),
+    )
+    mv = F.floor(F.col("value") * 1_000_000).cast("long")
+    j = ev.join(F.broadcast(pct), "event_type").withColumn("mv", mv)
+    clamped = F.greatest("p05_micros", F.least("p95_micros", F.col("mv")))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("mv") < F.col("p05_micros"), 1).otherwise(0)).alias("n_lo"),
+            F.sum(F.when(F.col("mv") > F.col("p95_micros"), 1).otherwise(0)).alias("n_hi"),
+            F.min("p05_micros").alias("p05_micros"),
+            F.min("p95_micros").alias("p95_micros"),
+            F.sum(clamped).alias("sum_clamped_micros"),
+        )
+    )
+
+
+A_WINSORIZE_SQL = """
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+pct AS (
+    SELECT event_type,
+           CAST(FLOOR(quantile_cont(value, 0.05) * 1000000) AS BIGINT) AS p05_micros,
+           CAST(FLOOR(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_micros
+    FROM ev GROUP BY 1
+),
+j AS (
+    SELECT ev.event_type,
+           CAST(FLOOR(ev.value * 1000000) AS BIGINT) AS mv,
+           pct.p05_micros, pct.p95_micros
+    FROM ev JOIN pct ON ev.event_type = pct.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN mv < p05_micros THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       CAST(SUM(CASE WHEN mv > p95_micros THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       MIN(p05_micros) AS p05_micros,
+       MIN(p95_micros) AS p95_micros,
+       CAST(SUM(GREATEST(p05_micros, LEAST(p95_micros, mv))) AS BIGINT)
+           AS sum_clamped_micros
+FROM j GROUP BY event_type
+""".strip()

@@ -122,3 +122,30 @@ def test_phash_deterministic_and_twin_recovery(spark, sf_dir):
     # symmetry/ordering contract
     assert pairs.filter(F.col("id_a") >= F.col("id_b")).count() == 0
     pairs.unpersist()
+
+
+def test_triangle_count_invariants(spark, sf_dir):
+    full = curation.g_triangle_count(spark, sf_dir, vertex_mod=1).collect()[0]
+    sub = curation.g_triangle_count(spark, sf_dir, vertex_mod=4).collect()[0]
+    assert full.n_nodes >= sub.n_nodes
+    assert full.n_edges >= sub.n_edges
+    # induced subgraph can never add triangles
+    assert full.n_triangles >= sub.n_triangles
+    # loose structural sanity: triangles need edges
+    for r in (full, sub):
+        assert r.n_triangles >= 0
+        if r.n_triangles:
+            assert r.n_edges >= 3 and r.n_nodes >= 3
+
+
+def test_winsorize_clip_fractions(spark, sf_dir):
+    rows = curation.a_winsorize(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # strictly-below-p05 (resp. above-p95) mass is at most ~5% + the
+        # interpolation row
+        assert r.n_lo <= 0.05 * r.n + 1
+        assert r.n_hi <= 0.05 * r.n + 1
+        assert r.p05_micros <= r.p95_micros
+        # clamped sum bounded by the clamp range
+        assert r.n * r.p05_micros <= r.sum_clamped_micros <= r.n * r.p95_micros
