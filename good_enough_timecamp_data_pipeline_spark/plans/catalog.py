@@ -255,4 +255,5 @@ register("s_stream_join", northstar.s_stream_join)
 register("s_stream_static_join", northstar.s_stream_static_join)
 register("s_stream_upsert", northstar.s_stream_upsert)
 register("s_stream_incremental_dedup", northstar.s_stream_incremental_dedup)
+register("s_stream_deadletter", northstar.s_stream_deadletter)
 register("s_kmeans", northstar.s_kmeans)

@@ -750,3 +750,15 @@ def s_stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import streaming_incremental_dedup
 
     return streaming_incremental_dedup(spark, sf_dir)
+
+
+def s_stream_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dead-letter routing: validated rows to the main table,
+    failing rows to a quarantine table with ordered reason codes, both
+    written from ONE foreachBatch projection. The feed is the events
+    file plus a corrupted copy so the quarantine path runs for real.
+    rows-only; exact-partition + batch-equality invariants in
+    tests/test_curation.py."""
+    from ..streaming.windows import streaming_deadletter_split
+
+    return streaming_deadletter_split(spark, sf_dir)

@@ -504,3 +504,125 @@ def streaming_incremental_dedup(
     rows = result.collect()
     shutil.rmtree(work, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
+
+
+# ---------------------------------------------------------------------------
+# dead-letter routing: per-row validation → main table / quarantine table
+# ---------------------------------------------------------------------------
+
+KNOWN_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def validation_reasons() -> "F.Column":
+    """Ordered array of failed validation rules for an events row —
+    empty array = valid. Single codegen projection (same shape as
+    round5.t_quality_gate's reason codes); extend by appending rules.
+    """
+    rules = [
+        ("null_ts", F.col("ts").isNull()),
+        ("null_value", F.col("value").isNull()),
+        ("negative_value", F.col("value") < 0),
+        ("unknown_type", ~F.col("event_type").isin(*KNOWN_EVENT_TYPES)),
+    ]
+    return F.filter(
+        F.array(*[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]),
+        lambda x: x.isNotNull(),
+    )
+
+
+def streaming_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ingestion with a dead-letter queue: every arriving row is
+    validated; clean rows land in the main table, failing rows land in a
+    QUARANTINE table carrying their ordered reason codes — the standard
+    production shape for crawl/telemetry ingestion where one malformed
+    row must neither kill the stage (see the multimodal non-strict
+    decode) nor silently vanish (audit requirement).
+
+    foreachBatch writes BOTH tables from one validated micro-batch
+    DataFrame: the validation projection runs once, the two filtered
+    writes share it, and the routing decision is recorded in data (the
+    quarantine's ``reasons``), not in logs. The feed is the events file
+    plus a corrupted copy (negative values / unknown types / nulled ts,
+    ids shifted) so the quarantine path is actually exercised.
+
+    Returns per-(route, reason) counts; valid rows carry reason 'ok'.
+    Batch-equality + exact-partition invariants in tests/test_curation.py.
+    """
+    import shutil
+
+    ensure_events_read_conf(spark)
+    work = tempfile.mkdtemp(prefix="deadletter_")
+    stream_dir = f"{work}/feed"
+    main_dir = f"{work}/main"
+    dlq_dir = f"{work}/quarantine"
+    os.makedirs(stream_dir)
+
+    events = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # corrupted copy: rotate each row through one of three corruption modes
+    m = F.col("event_id") % 3
+    corrupted = events.select(
+        (F.col("event_id") + 900_000_000).alias("event_id"),
+        F.when(m == 0, F.lit(None).cast("timestamp")).otherwise(F.col("ts")).alias("ts"),
+        F.col("user_id"),
+        F.when(m == 1, F.lit("mystery")).otherwise(F.col("event_type")).alias("event_type"),
+        F.when(m == 2, -F.abs("value")).otherwise(F.col("value")).alias("value"),
+        F.col("props"),
+    )
+    base = __import__("time").time() - 3600
+    for i, (name, df) in enumerate((("clean", events), ("dirty", corrupted))):
+        staging = f"{work}/staging_{name}"
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        import glob as _glob
+
+        (part,) = _glob.glob(f"{staging}/part-*.parquet")
+        path = f"{stream_dir}/{name}.parquet"
+        shutil.move(part, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.utime(path, (base + i * 10, base + i * 10))
+
+    stream = normalize_events_ts(
+        spark.readStream.schema(spark.read.parquet(f"{stream_dir}/clean.parquet").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    def route(batch: DataFrame, batch_id: int) -> None:
+        v = batch.withColumn("reasons", validation_reasons())
+        v.filter(F.size("reasons") == 0).drop("reasons").write.mode("append").parquet(
+            main_dir
+        )
+        v.filter(F.size("reasons") > 0).withColumn(
+            "reasons", F.array_join("reasons", ",")
+        ).write.mode("append").parquet(dlq_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                stream.writeStream.foreachBatch(route)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            shutil.rmtree(stream_dir, ignore_errors=True)
+
+    main = (
+        spark.read.parquet(main_dir)
+        .groupBy()
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("main").alias("route"), F.lit("ok").alias("reason"), "n")
+    )
+    dlq = (
+        spark.read.parquet(dlq_dir)
+        .select(F.explode(F.split("reasons", ",")).alias("reason"))
+        .groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("quarantine").alias("route"), "reason", "n")
+    )
+    return main.unionByName(dlq).orderBy("route", "reason")

@@ -149,3 +149,30 @@ def test_winsorize_clip_fractions(spark, sf_dir):
         assert r.p05_micros <= r.p95_micros
         # clamped sum bounded by the clamp range
         assert r.n * r.p05_micros <= r.sum_clamped_micros <= r.n * r.p95_micros
+
+
+def test_stream_deadletter_exact_partition(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.streaming.windows import (
+        streaming_deadletter_split,
+        validation_reasons,
+    )
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    rows = {(r.route, r.reason): r.n for r in streaming_deadletter_split(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    # clean copy all valid; corrupted copy: event_id%3==0 → null_ts,
+    # ==1 → unknown_type, ==2 → negative_value (value>0 in testdata)
+    n_mod = {
+        k: ev.filter(F.col("event_id") % 3 == k).count() for k in (0, 1, 2)
+    }
+    assert rows[("main", "ok")] == n_events
+    assert rows[("quarantine", "null_ts")] == n_mod[0]
+    assert rows[("quarantine", "unknown_type")] == n_mod[1]
+    assert rows[("quarantine", "negative_value")] == n_mod[2]
+    # exact partition: every fed row landed exactly once on one route
+    # (reasons here are mutually exclusive, so reason-counts == row-counts)
+    assert sum(rows.values()) == 2 * n_events
+    # batch twin: the same validation projection on the same input
+    batch_valid = ev.withColumn("r", validation_reasons()).filter(F.size("r") == 0).count()
+    assert batch_valid == n_events
