@@ -237,6 +237,7 @@ register("a_mad_outliers", curation.a_mad_outliers, curation.A_MAD_OUTLIERS_SQL)
 register("w_pareto_share", curation.w_pareto_share, curation.W_PARETO_SHARE_SQL)
 register("g_triangle_count", curation.g_triangle_count, curation.G_TRIANGLE_COUNT_SQL)
 register("a_winsorize", curation.a_winsorize, curation.A_WINSORIZE_SQL)
+register("s_embedding_drift", curation.s_embedding_drift, curation.S_EMBEDDING_DRIFT_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

@@ -539,3 +539,88 @@ SELECT event_type,
            AS sum_clamped_micros
 FROM j GROUP BY event_type
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# s_embedding_drift — cohort centroid drift per label (exact integer path)
+# ---------------------------------------------------------------------------
+
+
+def s_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L1 centroid drift between two embedding cohorts (even vs
+    odd vec_id standing in for reference vs current ingest) — the
+    embedding-space analog of the token-KL drift monitor
+    (round5.t_token_kl_drift): a retrained encoder or a shifted corpus
+    moves class centroids long before downstream metrics notice.
+
+    Determinism: per-dim values floor to integer micro-units, and the
+    drift keeps a COMMON denominator per label (cohort counts are
+    constant across dims), so the summed per-dim term
+    |sum_ref·n_cur − sum_cur·n_ref| stays in exact int64 all the way;
+    one final division of exact longs is bit-identical cross-engine.
+
+    Scale shape: one posexplode (rows × dims — columnar, codegen'd) into
+    ONE combinable hash-agg on (label, dim), then a label-sized agg;
+    no window, no join, B-row tables only (labels × dims).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).withColumn("mv", F.floor(F.col("val").cast("double") * 1_000_000).cast("long"))
+    per_dim = rows.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("mv")).otherwise(0)).alias("s_ref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("mv")).otherwise(0)).alias("s_cur"),
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cur"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n_ref").alias("n_ref"),
+            F.max("n_cur").alias("n_cur"),
+            F.count("*").alias("dims"),
+            F.sum(
+                F.abs(F.col("s_ref") * F.col("n_cur") - F.col("s_cur") * F.col("n_ref"))
+            ).alias("drift_scaled"),
+        )
+        .withColumn(
+            "l1_drift",
+            F.col("drift_scaled").cast("double")
+            / (F.col("n_ref") * F.col("n_cur") * F.lit(1_000_000)).cast("double"),
+        )
+    )
+
+
+S_EMBEDDING_DRIFT_SQL = """
+WITH rows_ AS (
+    SELECT label,
+           (vec_id % 2 = 0) AS is_ref,
+           s.dim AS dim,
+           CAST(FLOOR(CAST(s.val AS DOUBLE) * 1000000) AS BIGINT) AS mv
+    FROM (
+        SELECT label, vec_id,
+               unnest(list_transform(range(1, len(embedding) + 1),
+                      i -> struct_pack(dim := CAST(i - 1 AS INT),
+                                       val := embedding[i]))) AS s
+        FROM embeddings
+    )
+),
+per_dim AS (
+    SELECT label, dim,
+           CAST(SUM(CASE WHEN is_ref THEN mv ELSE 0 END) AS BIGINT) AS s_ref,
+           CAST(SUM(CASE WHEN NOT is_ref THEN mv ELSE 0 END) AS BIGINT) AS s_cur,
+           CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+           CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+    FROM rows_ GROUP BY label, dim
+)
+SELECT label,
+       MAX(n_ref) AS n_ref,
+       MAX(n_cur) AS n_cur,
+       COUNT(*) AS dims,
+       CAST(SUM(ABS(s_ref * n_cur - s_cur * n_ref)) AS BIGINT) AS drift_scaled,
+       CAST(SUM(ABS(s_ref * n_cur - s_cur * n_ref)) AS DOUBLE)
+           / CAST(MAX(n_ref) * MAX(n_cur) * 1000000 AS DOUBLE) AS l1_drift
+FROM per_dim GROUP BY label
+""".strip()

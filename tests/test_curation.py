@@ -176,3 +176,30 @@ def test_stream_deadletter_exact_partition(spark, sf_dir):
     # batch twin: the same validation projection on the same input
     batch_valid = ev.withColumn("r", validation_reasons()).filter(F.size("r") == 0).count()
     assert batch_valid == n_events
+
+
+def test_embedding_drift_zero_identity_and_symmetry(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    out = {r.label: r for r in curation.s_embedding_drift(spark, sf_dir).collect()}
+    assert out
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = [r.label for r in emb.select("label").distinct().collect()]
+    assert sorted(out) == sorted(labels)
+    for r in out.values():
+        assert r.dims == 64
+        assert r.n_ref + r.n_cur > 0
+        assert r.drift_scaled >= 0
+        assert r.l1_drift >= 0.0
+    # identical cohorts → zero drift: feed a table where odd rows mirror
+    # even rows exactly
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    mirrored = even.unionByName(
+        even.select((F.col("vec_id") + 1).alias("vec_id"), "embedding", "label")
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "embeddings.parquet")
+        mirrored.coalesce(1).write.parquet(p)
+        zero = curation.s_embedding_drift(spark, d).collect()
+        assert zero and all(r.drift_scaled == 0 for r in zero)
