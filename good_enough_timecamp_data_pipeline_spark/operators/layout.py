@@ -111,3 +111,20 @@ def files_overlapping(path: str, column: str, lo, hi) -> tuple[int, int]:
         if fmin is not None and not (fmax < lo or fmin > hi):
             hit += 1
     return hit, total
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, cols: list[str], n_files: int = 16
+) -> None:
+    """Single-order layout: range-partition on ``cols`` then sort within
+    each file — maximal footer min/max pruning along ONE sort order (each
+    file owns a disjoint key range). The right layout when the workload
+    filters on one dimension; Z-order (above) when it filters on several.
+    RangePartitioner samples the key distribution, so near-equal file
+    sizes hold even under key skew."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in cols])
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

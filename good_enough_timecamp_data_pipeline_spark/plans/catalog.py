@@ -238,6 +238,7 @@ register("w_pareto_share", curation.w_pareto_share, curation.W_PARETO_SHARE_SQL)
 register("g_triangle_count", curation.g_triangle_count, curation.G_TRIANGLE_COUNT_SQL)
 register("a_winsorize", curation.a_winsorize, curation.A_WINSORIZE_SQL)
 register("s_embedding_drift", curation.s_embedding_drift, curation.S_EMBEDDING_DRIFT_SQL)
+register("x_skew_report", curation.x_skew_report, curation.X_SKEW_REPORT_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)
@@ -257,4 +258,5 @@ register("s_stream_static_join", northstar.s_stream_static_join)
 register("s_stream_upsert", northstar.s_stream_upsert)
 register("s_stream_incremental_dedup", northstar.s_stream_incremental_dedup)
 register("s_stream_deadletter", northstar.s_stream_deadletter)
+register("a_hll_partial_merge", curation.a_hll_partial_merge)
 register("s_kmeans", northstar.s_kmeans)

@@ -624,3 +624,84 @@ SELECT label,
            / CAST(MAX(n_ref) * MAX(n_cur) * 1000000 AS DOUBLE) AS l1_drift
 FROM per_dim GROUP BY label
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# x_skew_report — hot-key diagnostics (the operator you run BEFORE salting)
+# ---------------------------------------------------------------------------
+
+
+def x_skew_report(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """Hottest join/agg keys of the events fact with their share of total
+    rows — the diagnostic that decides whether a_salted_skew_sum /
+    j_salted_skew_join (or AQE skew-split alone) is warranted, and with
+    what replication factor. Pairs with PLANS.md's skew notes.
+
+    Scale shape: one combinable hash-agg to key-sized rows, then a
+    distributed TakeOrdered for the top-k (no global window, no full
+    sort); the share is integer ppm over a broadcast 1-row total —
+    exact, no FP boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n",
+            F.expr("CAST((n * 1000000) DIV t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n"), F.asc("user_id"))
+        .limit(top_k)
+    )
+
+
+X_SKEW_REPORT_SQL = """
+WITH counts AS (
+    SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM counts)
+SELECT user_id, n,
+       CAST((n * 1000000) // (SELECT t FROM tot) AS BIGINT) AS share_ppm
+FROM counts
+ORDER BY n DESC, user_id ASC
+LIMIT 20
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_hll_partial_merge — sketch re-aggregation (incremental distinct counts)
+# ---------------------------------------------------------------------------
+
+
+def a_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly distinct users from MERGED daily HLL sketches — the
+    incremental-maintenance shape exact distincts cannot give: daily
+    sketches land once (a few KB each), and any rollup window is a
+    sketch UNION over the partials, never a rescan of the fact. At
+    100 TB this is the difference between a daily O(day) append and a
+    weekly O(history) recount.
+
+    rows-only: HLL estimates are library-specific (Spark's DataSketches
+    lgK binning vs DuckDB's HLL) so no SQL twin can hash-match;
+    merge-associativity (merged dailies == direct weekly sketch) and the
+    error bound vs exact distinct are asserted in tests/test_curation.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.to_date("ts").alias("day"),
+        "event_type",
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("week", "event_type")
+        .agg(F.hll_union_agg("sk").alias("sk"), F.count("*").alias("n_days"))
+        .select(
+            F.to_date("week").alias("week"),
+            "event_type",
+            "n_days",
+            F.hll_sketch_estimate("sk").alias("approx_users"),
+        )
+        .orderBy("week", "event_type")
+    )

@@ -203,3 +203,53 @@ def test_embedding_drift_zero_identity_and_symmetry(spark, sf_dir):
         mirrored.coalesce(1).write.parquet(p)
         zero = curation.s_embedding_drift(spark, d).collect()
         assert zero and all(r.drift_scaled == 0 for r in zero)
+
+
+def test_skew_report_shares(spark, sf_dir):
+    rows = curation.x_skew_report(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    # descending by count, deterministic tie-break
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(0 <= r.share_ppm <= 1_000_000 for r in rows)
+    # ppm is exact integer division of the true total
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    for r in rows:
+        assert r.share_ppm == (r.n * 1_000_000) // total
+
+
+def test_hll_partial_merge_associative_and_bounded(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    merged = {
+        (r.week, r.event_type): r.approx_users
+        for r in curation.a_hll_partial_merge(spark, sf_dir).collect()
+    }
+    assert merged
+    ev = load_table(spark, sf_dir, "events")
+    # associativity: sketching the whole week directly gives the SAME
+    # estimate as merging the daily sketches
+    direct = {
+        (r.week, r.event_type): r.approx_users
+        for r in ev.groupBy(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"), "event_type"
+        )
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"))
+        .collect()
+    }
+    assert merged.keys() == direct.keys()
+    for k in merged:
+        assert merged[k] == direct[k], f"merge not associative for {k}"
+    # error bound vs exact distinct (HLL default lgK=12 → ~1.6% rse; 5% is lax)
+    exact = {
+        (r.week, r.event_type): r.n
+        for r in ev.groupBy(
+            F.to_date(F.date_trunc("week", F.col("ts"))).alias("week"), "event_type"
+        )
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in merged.items():
+        assert abs(est - exact[k]) <= max(0.05 * exact[k], 2)

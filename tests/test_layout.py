@@ -246,3 +246,26 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     # time-scoped box: z-order still prunes (coarser than pure time sort)
     t_hit, t_total = layout.files_overlapping(zpath, "ts_num", 0, n // 100)
     assert t_hit < t_total, (t_hit, t_total)
+
+
+def test_range_sorted_layout_disjoint_files(spark, tmp_path):
+    """write_range_sorted gives each file a disjoint key range: a narrow
+    key filter touches exactly one (or two boundary) files, measured from
+    the same footer statistics a reader prunes with."""
+    from good_enough_timecamp_data_pipeline_spark.operators import layout
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("user_id", (F.col("id") * 2654435761) % 10_000)
+        .select("user_id", F.col("id").alias("payload"))
+    )
+    path = str(tmp_path / "range_sorted")
+    layout.write_range_sorted(df, path, ["user_id"], n_files=16)
+
+    hit, total = layout.files_overlapping(path, "user_id", 1000, 1100)
+    assert total == 16
+    # 1% of the key range must not touch more than 2 boundary files
+    assert hit <= 2, (hit, total)
+    # layout preserves data
+    assert spark.read.parquet(path).count() == n
