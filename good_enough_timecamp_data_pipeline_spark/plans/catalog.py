@@ -23,6 +23,7 @@ from . import (
     reports,
     round5,
     training,
+    warehouse,
 )
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -239,6 +240,15 @@ register("g_triangle_count", curation.g_triangle_count, curation.G_TRIANGLE_COUN
 register("a_winsorize", curation.a_winsorize, curation.A_WINSORIZE_SQL)
 register("s_embedding_drift", curation.s_embedding_drift, curation.S_EMBEDDING_DRIFT_SQL)
 register("x_skew_report", curation.x_skew_report, curation.X_SKEW_REPORT_SQL)
+register(
+    "q_shipping_priority", warehouse.q_shipping_priority, warehouse.Q_SHIPPING_PRIORITY_SQL
+)
+register(
+    "q_local_supplier_volume",
+    warehouse.q_local_supplier_volume,
+    warehouse.Q_LOCAL_SUPPLIER_VOLUME_SQL,
+)
+register("e_attribution", warehouse.e_attribution, warehouse.E_ATTRIBUTION_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

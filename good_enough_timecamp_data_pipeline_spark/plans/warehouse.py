@@ -1,0 +1,226 @@
+"""Multi-way-join warehouse analytics (TPC-H-shaped) + event attribution.
+
+The reference's reports are 2-3-way star joins over its own fact
+(SAMPLE-REPORTS.md); these queries exercise the relational core the way a
+warehouse actually does — 3-to-6-way joins where join ORDER and build-side
+choice decide the runtime, left entirely to Catalyst/AQE (no hints except
+provably-dimension broadcasts):
+
+- ``q_shipping_priority`` (TPC-H Q3 shape): selective dim filter →
+  fact join → grouped top-k.
+- ``q_local_supplier_volume`` (TPC-H Q5 shape): 6-way snowflake with a
+  same-nation join predicate BETWEEN two dimension branches.
+- ``e_attribution``: last-touch marketing attribution — every purchase
+  credited to the user's latest preceding non-purchase event within a
+  horizon; the event-log cousin of the as-of join (operators/asof.py).
+
+All money sums run in integer cents (the a_groupsum_pricing rule) so the
+DuckDB twins hash-match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .testdata import load_table
+
+# ---------------------------------------------------------------------------
+# q_shipping_priority — TPC-H Q3 shape: filter → 3-way join → top-k
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT_MOD = 3  # stand-in for c_mktsegment: customers with key%5==3
+Q3_CUTOFF = "1996-01-01"
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str, top_k: int = 10) -> DataFrame:
+    """Unshipped-revenue priority list: for a customer segment and a date
+    cutoff, the top orders by discounted revenue of their pre-cutoff
+    lineitems. The classic selective-dimension → fact pattern.
+
+    Scale shape: the customer filter prunes ~1/5 of a DIMENSION, so that
+    side broadcasts (AQE decides — the segment size is data-dependent and
+    a mandatory hint would be the r3 retention-cohorts bug again); orders
+    and lineitem join shuffle-to-shuffle on their natural keys; the
+    grouped top-k is a hash-agg followed by TakeOrdered, never a global
+    window. Predicate pushdown carries both date cutoffs into the
+    parquet scans (asserted in tests/test_plans.py patterns).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 5 == Q3_SEGMENT_MOD
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.sum(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(rev_cents.alias("revenue_cents"))
+        .orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+        .limit(top_k)
+    )
+
+
+Q_SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey,
+       o.o_orderdate,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 5 = {Q3_SEGMENT_MOD}
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, l.l_orderkey ASC
+LIMIT 10
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# q_local_supplier_volume — TPC-H Q5 shape: 6-way snowflake join
+# ---------------------------------------------------------------------------
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation from orders where the SUPPLIER sits in the same
+    nation as the CUSTOMER — the 6-way snowflake (region → nation →
+    {customer, supplier} → orders → lineitem) whose distinguishing
+    feature is the cross-branch equality ``c_nationkey = s_nationkey``.
+
+    Scale shape: region/nation/supplier/customer are dimensions (AQE
+    broadcasts the small ones); the only big-big join is
+    lineitem ⋈ orders on orderkey. The same-nation predicate lands on
+    the customer-supplier pair AFTER both are attached, as a cheap
+    post-join filter on broadcast columns — Catalyst pushes it into the
+    join condition. Join re-order is left to the optimizer: with
+    statistics it starts from the filtered-smallest branch.
+    """
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev_cents = F.sum(
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("s_nationkey") == nation["n_nationkey"])
+        .join(region, nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(rev_cents.alias("revenue_cents"), F.count("*").alias("n_lineitems"))
+        .orderBy("r_name", F.desc("revenue_cents"), "n_name")
+    )
+
+
+Q_LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT r.r_name,
+       n.n_name,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY r.r_name, n.n_name
+ORDER BY r.r_name, revenue_cents DESC, n.n_name
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# e_attribution — last-touch attribution over the event log
+# ---------------------------------------------------------------------------
+
+ATTRIB_HORIZON_US = 7 * 24 * 3600 * 1_000_000  # 7 days in microseconds
+
+
+def e_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the same
+    user's LATEST preceding non-purchase event within 7 days (ties on
+    timestamp broken by event_id); purchases with no touch in the
+    horizon land in the 'direct' bucket. Output: credited counts and
+    integer-cents revenue per touch type.
+
+    Scale shape: this is the as-of join expressed as a per-user window —
+    ONE shuffle on user_id, then a running 'last touch' computed with
+    last_value(ignoreNulls) over the user's time-ordered events; no
+    self-join, no interval explode. The window partitions by user (tiny
+    per-user event lists), never globally. The horizon check is integer
+    microseconds — no timezone or FP boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    typed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.struct("t_us", "event_type"))
+    attributed = (
+        typed.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value_cents",
+            F.when(
+                F.col("last_touch").isNotNull()
+                & (F.col("t_us") - F.col("last_touch.t_us") <= ATTRIB_HORIZON_US),
+                F.col("last_touch.event_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("touch_type"),
+        )
+    )
+    return attributed.groupBy("touch_type").agg(
+        F.count("*").alias("n_purchases"),
+        F.sum("value_cents").alias("revenue_cents"),
+    )
+
+
+E_ATTRIBUTION_SQL = f"""
+WITH typed AS (
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS t_us,
+           CAST(FLOOR(value * 100) AS BIGINT) AS value_cents
+    FROM events
+),
+tagged AS (
+    SELECT *,
+           LAST_VALUE(
+               CASE WHEN event_type <> 'purchase'
+                    THEN struct_pack(t_us := t_us, event_type := event_type)
+               END IGNORE NULLS
+           ) OVER (
+               PARTITION BY user_id ORDER BY t_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS last_touch
+    FROM typed
+)
+SELECT CASE WHEN last_touch IS NOT NULL
+             AND t_us - last_touch.t_us <= {ATTRIB_HORIZON_US}
+            THEN last_touch.event_type ELSE 'direct' END AS touch_type,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(value_cents) AS BIGINT) AS revenue_cents
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY 1
+""".strip()
