@@ -63,9 +63,13 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oldest-attested entries (r3-only, never re-checked since). Everything else
 # follows after slot 50; rows-only entries last. After r5 this makes
 # cumulative driver-confirmed coverage 104/104 of the pre-r5 oracle set;
-# the 9 oracle queries ADDED during r5 (e_peak_concurrency …
-# t_dsir_resample, registered after the slot-50 marker) are locally
-# verified at sf0.001/sf0.01/sf0.1 and rotate into the r6 front.
+# the oracle queries ADDED during r5 (e_peak_concurrency … t_dsir_resample
+# from the first half; t_ccnet_buckets, t_line_dedup, a_mad_outliers,
+# w_pareto_share, g_triangle_count, a_winsorize, s_embedding_drift,
+# x_skew_report, q_shipping_priority, q_local_supplier_volume,
+# e_attribution from round-5b — all registered after the slot-50 marker)
+# are locally verified at sf0.001/sf0.01/sf0.1 and rotate into the r6
+# front, oldest-first.
 
 # --- (a) never driver-checked: the 12 post-r4-freeze oracle queries --------
 for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():

@@ -327,11 +327,18 @@ def w_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         long_range_bucket(keyed, F.col("__k")),
         out="cum_cents",
     ).drop("__k")
+    # degenerate contract: an all-zero-revenue input has no shares to
+    # apportion — cum_share pins to 0.0 (ANSI division would throw),
+    # is_top80 to false ((cum−rev)·10 < 0 is false); found by
+    # tests/test_properties_curation.py.
+    share = F.when(
+        F.col("t") > 0, F.col("cum_cents").cast("double") / F.col("t")
+    ).otherwise(F.lit(0.0))
     return cum.join(F.broadcast(total)).select(
         "o_custkey",
         "rev_cents",
         "cum_cents",
-        (F.col("cum_cents").cast("double") / F.col("t")).alias("cum_share"),
+        share.alias("cum_share"),
         ((F.col("cum_cents") - F.col("rev_cents")) * 10 < F.col("t") * 8).alias(
             "is_top80"
         ),
@@ -355,7 +362,9 @@ c AS (
     FROM rev
 )
 SELECT o_custkey, rev_cents, cum_cents,
-       CAST(cum_cents AS DOUBLE) / (SELECT t FROM tot) AS cum_share,
+       CASE WHEN (SELECT t FROM tot) > 0
+            THEN CAST(cum_cents AS DOUBLE) / (SELECT t FROM tot)
+            ELSE 0.0 END AS cum_share,
        ((cum_cents - rev_cents) * 10 < (SELECT t FROM tot) * 8) AS is_top80
 FROM c
 """.strip()
