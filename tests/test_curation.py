@@ -253,3 +253,94 @@ def test_hll_partial_merge_associative_and_bounded(spark, sf_dir):
     }
     for k, est in merged.items():
         assert abs(est - exact[k]) <= max(0.05 * exact[k], 2)
+
+
+def test_round5b_queries_survive_empty_tables(spark):
+    """Empty-input battery for the round-5b batch: every query must plan
+    and return empty (or a defined degenerate result) on zero-row tables."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    events_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    emb_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    orders_schema = "o_custkey long, o_totalprice double"
+    li_schema = (
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_extendedprice double, l_discount double"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([], events_schema).write.parquet(f"{d}/events.parquet")
+        spark.createDataFrame([], docs_schema).write.parquet(f"{d}/documents.parquet")
+        spark.createDataFrame([], emb_schema).write.parquet(f"{d}/embeddings.parquet")
+        spark.createDataFrame([], orders_schema).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame([], li_schema).write.parquet(f"{d}/lineitem.parquet")
+        for fn in (
+            curation.t_ccnet_buckets,
+            curation.t_line_dedup,
+            curation.a_mad_outliers,
+            curation.w_pareto_share,
+            curation.a_winsorize,
+            curation.x_skew_report,
+            curation.a_hll_partial_merge,
+            curation.s_embedding_drift,
+            curation.g_triangle_count,
+        ):
+            out = fn(spark, d).collect()
+            if fn is curation.g_triangle_count:
+                # counts-of-nothing: one row of zeros is the defined result
+                assert [tuple(r) for r in out] == [(0, 0, 0)], out
+            else:
+                assert out == [], fn.__name__
+
+
+def test_warehouse_queries_survive_empty_tables(spark):
+    import tempfile
+
+    from good_enough_timecamp_data_pipeline_spark.plans import warehouse
+
+    schemas = {
+        "customer": "c_custkey long, c_name string, c_nationkey long",
+        "supplier": "s_suppkey long, s_name string, s_nationkey long",
+        "nation": "n_nationkey long, n_name string, n_regionkey long",
+        "region": "r_regionkey long, r_name string",
+        "orders": "o_orderkey long, o_custkey long, o_totalprice double, o_orderdate timestamp",
+        "lineitem": (
+            "l_orderkey long, l_partkey long, l_suppkey long, "
+            "l_extendedprice double, l_discount double"
+        ),
+        "events": (
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        ),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        for name, sch in schemas.items():
+            spark.createDataFrame([], sch).write.parquet(f"{d}/{name}.parquet")
+        assert warehouse.q_shipping_priority(spark, d).collect() == []
+        assert warehouse.q_local_supplier_volume(spark, d).collect() == []
+        assert warehouse.e_attribution(spark, d).collect() == []
