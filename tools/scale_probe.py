@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from good_enough_timecamp_data_pipeline_spark.operators import dedup, similarity
 from good_enough_timecamp_data_pipeline_spark.operators.graph import connected_components, pagerank
-from good_enough_timecamp_data_pipeline_spark.plans import advanced, reports
+from good_enough_timecamp_data_pipeline_spark.plans import advanced, curation, reports
 from good_enough_timecamp_data_pipeline_spark.session import get_spark
 
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -80,8 +80,19 @@ def scaled_dir(spark, factor: int) -> str:
     for p in parts[1:]:
         out_docs = out_docs.unionByName(p)
     out_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    # lineitem unused by the probes; symlink for completeness
-    os.symlink(f"{BASE}/lineitem.parquet", f"{out}/lineitem.parquet")
+    # lineitem: scaled with ALL keys shifted per copy → the co-purchase
+    # graph gains DISJOINT copies (edges, wedges and triangles all scale
+    # linearly) — measures the triangle join machinery, not graph
+    # densification
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    li_scaled = li
+    for k in range(1, factor):
+        li_scaled = li_scaled.unionByName(
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 100_000_000))
+            .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 100_000_000))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(k * 100_000_000))
+        )
+    li_scaled.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
     return out
 
 
@@ -197,6 +208,22 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     t0 = time.time()
     pagerank(edges, num_iter=8).write.format("noop").mode("overwrite").save()
     res["pagerank"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # C4 line dedup: corpus doubles → lines double, distinct lines double
+    # (scaled doc copies are dissimilar by construction); ideal is linear
+    # in the one line-keyed shuffle + survivor reassembly
+    t0 = time.time()
+    curation.t_line_dedup(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    res["line_dedup"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # triangle counting: scaled lineitem carries DISJOINT graph copies
+    # (keys shifted per copy), so edges/wedges/triangles all grow with
+    # the factor; ideal is linear in the two equi-joins
+    t0 = time.time()
+    curation.g_triangle_count(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    res["triangle_count"] = time.time() - t0
     spark.catalog.clearCache()
     return res
 
