@@ -210,3 +210,41 @@ def test_quality_gate_is_single_stage_projection(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.lstrip().startswith("*(1) Project")  # codegen'd single stage
+
+
+def test_q3_pushdown_and_hint_free_joins(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans import warehouse
+
+    df = warehouse.q_shipping_priority(spark, sf_dir)
+    plan = plan_of(df)
+    # the date cutoff reaches the orders scan; the segment scan prunes to
+    # the key column only
+    order_scans = [s for s in scans(plan) if "orders.parquet" in s]
+    assert order_scans and "LessThan(o_orderdate" in order_scans[0]
+    cust_scans = [s for s in scans(plan) if "customer.parquet" in s]
+    m = re.search(r"ReadSchema: struct<([^>]*)", cust_scans[0])
+    assert m.group(1).split(",") == ["c_custkey:bigint"]
+    # no mandatory broadcast hints in the LOGICAL plan — AQE decides
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in logical
+
+
+def test_q5_snowflake_no_cartesian(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans import warehouse
+
+    plan = plan_of(warehouse.q_local_supplier_volume(spark, sf_dir))
+    # six tables, zero cartesian products; the same-nation predicate folds
+    # into a join, not a filter over a cross product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.plans import warehouse
+
+    plan = plan_of(warehouse.e_attribution(spark, sf_dir))
+    # the window partitions by user — no empty-partition global window
+    assert "WindowExec" not in plan or "user_id" in plan
+    # exactly one exchange before the window (user shuffle), one for the
+    # final tiny agg
+    assert plan.count("Exchange hashpartitioning") <= 2
