@@ -253,6 +253,7 @@ register(
     warehouse.Q_LOCAL_SUPPLIER_VOLUME_SQL,
 )
 register("e_attribution", warehouse.e_attribution, warehouse.E_ATTRIBUTION_SQL)
+register("t_bm25_topk", curation.t_bm25_topk, curation.T_BM25_TOPK_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

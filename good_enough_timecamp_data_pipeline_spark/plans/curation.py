@@ -714,3 +714,115 @@ def a_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# t_bm25_topk — BM25 corpus ranking for a fixed query
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "table", "merge")  # fixed demo query over testdata vocab
+
+
+def t_bm25_topk(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
+    """Top-k documents by BM25 for a fixed query — the retrieval scorer
+    every corpus-inspection and RAG-indexing pipeline needs next to the
+    embedding ANN tier (similarity.py): lexical ranking with document-
+    length normalization (Robertson & Spärck Jones; the Okapi BM25 form).
+
+    Scale shape: tokenization explodes once; tf is ONE combinable
+    hash-agg on (doc_id, term) FILTERED to the query's terms first (the
+    per-term posting lists, not the whole corpus vocabulary); df and
+    avgdl are B-row/1-row aggregates broadcast back. Nothing scales with
+    vocabulary — only with the query's posting lists, exactly how a
+    search engine shards. ln() appears once per (doc, term); the score
+    rounds to 4dp (the t_lm_perplexity precedent — ln is IEEE-identical
+    for identical inputs, the rounding absorbs summation-order ulps).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
+    lens = d.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    terms = d.select(
+        "doc_id", F.explode("t").alias("term")
+    ).filter(F.col("term").isin(*BM25_QUERY))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * (BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + BM25_K1
+                * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 4).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(top_k)
+    )
+
+
+T_BM25_TOPK_SQL = f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x <> '') AS t
+    FROM documents
+),
+dd AS (SELECT doc_id, t FROM d WHERE len(t) >= 1),
+lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM dd),
+stats AS (
+    SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM lens
+),
+terms AS (
+    SELECT doc_id, unnest(t) AS term FROM dd
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM terms
+    WHERE term IN ('spark', 'table', 'merge')
+    GROUP BY doc_id, term
+),
+df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+    SELECT tf.doc_id,
+           ln((stats.n_docs - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * (tf.tf * ({BM25_K1!r} + 1))
+           / (tf.tf + {BM25_K1!r} * (1 - {BM25_B!r} + {BM25_B!r} * lens.dl / stats.avgdl))
+               AS w
+    FROM tf
+    JOIN df_t ON tf.term = df_t.term
+    JOIN lens ON tf.doc_id = lens.doc_id
+    CROSS JOIN stats
+)
+SELECT doc_id,
+       ROUND(SUM(w), 4) AS bm25,
+       COUNT(*) AS n_terms_hit
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""".strip()

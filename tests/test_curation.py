@@ -344,3 +344,46 @@ def test_warehouse_queries_survive_empty_tables(spark):
         assert warehouse.q_shipping_priority(spark, d).collect() == []
         assert warehouse.q_local_supplier_volume(spark, d).collect() == []
         assert warehouse.e_attribution(spark, d).collect() == []
+
+
+def test_bm25_matches_reference_formula(spark):
+    """Constructed corpus checked against a sequential BM25 implementation."""
+    import math
+    import os
+    import tempfile
+
+    corpus = {
+        1: "spark table merge spark spark",
+        2: "table table table other words here",
+        3: "merge of the table",
+        4: "nothing relevant at all",
+        5: "spark",
+    }
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: (r.bm25, r.n_terms_hit) for r in curation.t_bm25_topk(spark, d).collect()}
+
+    toks = {k: v.split() for k, v in corpus.items()}
+    lens = {k: len(v) for k, v in toks.items()}
+    n_docs = len(toks)
+    avgdl = sum(lens.values()) / n_docs
+    q = ("spark", "table", "merge")
+    df_t = {t: sum(1 for v in toks.values() if t in v) for t in q}
+    k1, b = curation.BM25_K1, curation.BM25_B
+    expect = {}
+    for doc, tl in toks.items():
+        s, hits = 0.0, 0
+        for t in q:
+            tf = tl.count(t)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * lens[doc] / avgdl))
+        if hits:
+            expect[doc] = (round(s, 4), hits)
+    assert got == expect
+    # the all-terms doc must outrank the single-term docs
+    assert got[1][0] == max(v[0] for v in got.values())
