@@ -140,3 +140,37 @@ def _exists(spark: SparkSession, path: str) -> bool:
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)  # type: ignore[union-attr]
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())  # type: ignore[union-attr]
     return bool(fs.exists(jvm_path))
+
+
+def incremental_task_totals(
+    closure: DataFrame, entries_delta: DataFrame, state: DataFrame | None = None
+) -> DataFrame:
+    """Incrementally maintain the flagship report's per-ancestor totals:
+    aggregate ONLY the arriving entries batch through the closure
+    (O(delta) — the broadcast-closure join + hash-agg shape of
+    plans/reports.py), then merge with the persisted state by summing.
+    SUM is the merge operator, so corrections arrive as negative-duration
+    rows and cancel exactly; history is never rescanned.
+
+    This extends the reference's incremental FETCH patterns (S12/S13
+    above — dlt_fetch_timecamp.py:194-217's immutable-past horizon) to
+    the QUERY surface: at 100 TB the daily report costs the day's batch,
+    not six years of entries. Equality with the full recompute (both
+    halves + a retraction round-trip) is pinned in
+    tests/test_sources.py::test_incremental_task_totals*.
+    """
+    delta_agg = (
+        entries_delta.join(
+            F.broadcast(closure),
+            entries_delta["task_id"] == closure["descendant_id"],
+        )
+        .groupBy("ancestor_id")
+        .agg(F.sum("duration").alias("cumulative_seconds"))
+    )
+    if state is None:
+        return delta_agg
+    return (
+        state.unionByName(delta_agg)
+        .groupBy("ancestor_id")
+        .agg(F.sum("cumulative_seconds").alias("cumulative_seconds"))
+    )

@@ -394,3 +394,46 @@ def test_cli_rejects_unknown_dataset_and_missing_key(tmp_path, monkeypatch):
     monkeypatch.delenv("TIMECAMP_API_KEY", raising=False)
     rc = cli.main(["--output", str(tmp_path), "--datasets", "tasks"])
     assert rc == 2  # no API key and not offline-demo
+
+
+def test_incremental_task_totals_matches_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators.hierarchy import (
+        transitive_closure,
+    )
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import (
+        entries_df,
+        tasks_df,
+    )
+    from good_enough_timecamp_data_pipeline_spark.sources.incremental import (
+        incremental_task_totals,
+    )
+
+    closure = transitive_closure(tasks_df(spark, sf_dir), strategy="unroll", max_depth=3)
+    entries = entries_df(spark, sf_dir)
+    h1 = entries.filter(F.col("entry_id").cast("long") % 2 == 0)
+    h2 = entries.filter(F.col("entry_id").cast("long") % 2 == 1)
+
+    state1 = incremental_task_totals(closure, h1)
+    state2 = incremental_task_totals(closure, h2, state=state1)
+    got = {r.ancestor_id: r.cumulative_seconds for r in state2.collect()}
+
+    full = (
+        entries.join(closure, entries["task_id"] == closure["descendant_id"])
+        .groupBy("ancestor_id")
+        .agg(F.sum("duration").alias("s"))
+    )
+    expect = {r.ancestor_id: r.s for r in full.collect()}
+    assert got == expect
+
+    # retraction: replaying a batch negated returns to the prior state
+    neg = h2.withColumn("duration", -F.col("duration"))
+    reverted = incremental_task_totals(closure, neg, state=state2)
+    back = {
+        r.ancestor_id: r.cumulative_seconds
+        for r in reverted.collect()
+        if r.cumulative_seconds != 0
+    }
+    base = {r.ancestor_id: r.cumulative_seconds for r in state1.collect() if r.cumulative_seconds != 0}
+    assert back == base
