@@ -70,9 +70,6 @@ crumb AS (
 # ---------------------------------------------------------------------------
 
 def report_task_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tasks = tasks_df(spark, sf_dir)
-    entries = entries_df(spark, sf_dir)
-
     # The synthesized tree (plans/testdata.py) is exactly 3 levels, so the
     # lazy unroll beats the native recursive CTE here: 3 broadcast-join
     # rounds inline into the consumer job with ZERO extra scheduling,
@@ -81,7 +78,20 @@ def report_task_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     # twice does not (measured medians at sf0.1: unroll-no-persist 2.6 s
     # vs CTE+persist 3.6 s for the whole report). h_closure_pairs keeps
     # exercising the native-CTE strategy for unbounded-depth parity.
-    closure = transitive_closure(tasks, strategy="unroll", max_depth=3)
+    return task_budget_report(
+        tasks_df(spark, sf_dir), entries_df(spark, sf_dir), max_depth=3
+    )
+
+
+def task_budget_report(
+    tasks: DataFrame, entries: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """DataFrame-level Budget-vs-Tracked report over ANY (tasks, entries)
+    pair with the FIXTURES.md §A contract — the reusable core
+    `report_task_budget` binds to testdata, and the golden-parity test
+    (tests/test_reports.py) binds to the reference's published sample
+    table (SAMPLE-REPORTS.md:126-137)."""
+    closure = transitive_closure(tasks, strategy="unroll", max_depth=max_depth)
     tracked = (
         entries.join(
             F.broadcast(closure),
