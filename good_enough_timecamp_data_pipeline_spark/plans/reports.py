@@ -178,13 +178,21 @@ ORDER BY cumulative_seconds DESC, t.task_id ASC
 # ---------------------------------------------------------------------------
 
 def report_project_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tasks = tasks_df(spark, sf_dir)
-    entries = entries_df(spark, sf_dir)
+    return project_budget_report(
+        tasks_df(spark, sf_dir), entries_df(spark, sf_dir), max_depth=3
+    )
 
+
+def project_budget_report(
+    tasks: DataFrame, entries: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """DataFrame-level Project-Cumulative-vs-Budgeted core (see
+    task_budget_report); golden-parity bound to
+    SAMPLE-PROJECT-BUDGET-REPORT.md:133-143 in tests/test_reports.py."""
     # same strategy call as report_task_budget (see comment there); the
     # pairs set is cheap to recompute lazily for both SUM consumers —
     # persist's blocking materialization job costs more than the rebuild
-    closure = transitive_closure(tasks, strategy="unroll", max_depth=3)
+    closure = transitive_closure(tasks, strategy="unroll", max_depth=max_depth)
     projects = tasks.filter(F.col("parent_id").isNull()).select(
         F.col("task_id").alias("project_id"), F.col("name").alias("project_name")
     )

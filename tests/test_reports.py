@@ -160,3 +160,112 @@ FROM report ORDER BY cumulative_seconds DESC
         assert ours[name] == ref_rows[name], (name, ours[name], ref_rows[name])
         # engine-vs-published-golden-literals
         assert ours[name][1:] == golden[name], (name, ours[name])
+
+
+def test_golden_parity_project_budget_sample(spark):
+    """Verbatim parity with the reference's published project-budget
+    sample (/root/reference/SAMPLE-PROJECT-BUDGET-REPORT.md:133-143):
+    fixture through the reference's own DuckDB SQL (verbatim shape,
+    :20-121) AND our Spark report; formatted decimal hours must match
+    both ways, including the repeating-decimal row (164.3333)."""
+    import duckdb
+    import json
+    import tempfile
+
+    from good_enough_timecamp_data_pipeline_spark.plans.reports import (
+        project_budget_report,
+    )
+
+    tasks = [
+        (1, 0, "[MAR] Marketing", 1800000),   # 500h
+        (2, 1, "SEO", 720000),                # 200h  → tree 700h
+        (3, 0, "Jira", 360000),               # 100h
+        (4, 3, "TimeCamp DEV", 1260000),      # 350h  → tree 450h
+        (5, 0, "[ORG] Organization", 144000), # 40h
+    ]
+    entries = [
+        (1, 1080000),   # 300h on Marketing root
+        (2, 765000),    # 212.5h on SEO → tree 512.5h
+        (4, 1512900),   # 420.25h on TimeCamp DEV
+        (5, 591600),    # 164h20m → 164.3333h repeating
+    ]
+    golden = {
+        "[MAR] Marketing": ("512.5000", "700.0000"),
+        "Jira": ("420.2500", "450.0000"),
+        "[ORG] Organization": ("164.3333", "40.0000"),
+    }
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/tasks.jsonl", "w") as f:
+            for tid, pid, name, budget in tasks:
+                f.write(json.dumps({"task_id": tid, "parent_id": pid,
+                                    "name": name, "budgeted": budget}) + "\n")
+        with open(f"{d}/entries.jsonl", "w") as f:
+            for tid, dur in entries:
+                f.write(json.dumps({"task_id": tid, "duration": dur}) + "\n")
+        ref_sql = f"""
+CREATE OR REPLACE MACRO format_hours(seconds) AS printf('%.4f', seconds / 3600.0);
+WITH RECURSIVE
+tasks AS (
+    SELECT CAST(task_id AS VARCHAR) AS task_id,
+           CASE WHEN parent_id IS NULL
+                     OR CAST(parent_id AS VARCHAR) IN ('', '0')
+                THEN NULL ELSE CAST(parent_id AS VARCHAR) END AS parent_id,
+           name, COALESCE(CAST(budgeted AS INTEGER), 0) AS budgeted
+    FROM read_json_auto('{d}/tasks.jsonl')
+),
+entries AS (
+    SELECT CAST(task_id AS VARCHAR) AS task_id,
+           CAST(duration AS INTEGER) AS duration
+    FROM read_json_auto('{d}/entries.jsonl')
+),
+task_hierarchy AS (
+    SELECT task_id AS descendant_id, task_id AS ancestor_id FROM tasks
+    UNION ALL
+    SELECT th.descendant_id, t.parent_id AS ancestor_id
+    FROM task_hierarchy th JOIN tasks t ON th.ancestor_id = t.task_id
+    WHERE t.parent_id IS NOT NULL
+),
+projects AS (SELECT task_id, name FROM tasks WHERE parent_id IS NULL),
+project_descendants AS (
+    SELECT p.task_id AS project_id, p.name AS project_name, th.descendant_id
+    FROM projects p JOIN task_hierarchy th ON th.ancestor_id = p.task_id
+),
+tracked_cumulative AS (
+    SELECT pd.project_id, SUM(e.duration) AS cumulative_seconds
+    FROM project_descendants pd JOIN entries e ON e.task_id = pd.descendant_id
+    GROUP BY pd.project_id
+),
+budgeted_total AS (
+    SELECT pd.project_id, SUM(t.budgeted) AS budgeted_seconds
+    FROM project_descendants pd JOIN tasks t ON t.task_id = pd.descendant_id
+    GROUP BY pd.project_id
+)
+SELECT p.name,
+       format_hours(COALESCE(tc.cumulative_seconds, 0)) AS cumulative,
+       format_hours(COALESCE(bt.budgeted_seconds, 0)) AS budgeted
+FROM projects p
+LEFT JOIN tracked_cumulative tc ON p.task_id = tc.project_id
+LEFT JOIN budgeted_total bt ON p.task_id = bt.project_id
+ORDER BY COALESCE(tc.cumulative_seconds, 0) DESC
+"""
+        ref_rows = {r[0]: (r[1], r[2]) for r in duckdb.sql(ref_sql).fetchall()}
+
+    tasks_sdf = spark.createDataFrame(
+        [
+            (str(tid), None if pid == 0 else str(pid), name, budget)
+            for tid, pid, name, budget in tasks
+        ],
+        "task_id string, parent_id string, name string, budgeted long",
+    )
+    entries_sdf = spark.createDataFrame(
+        [(str(i), str(tid), dur) for i, (tid, dur) in enumerate(entries)],
+        "entry_id string, task_id string, duration long",
+    )
+    ours = {
+        r.project_name: (r.cumulative_hours, r.budgeted_hours)
+        for r in project_budget_report(tasks_sdf, entries_sdf).collect()
+    }
+    assert set(ours) == set(ref_rows) == set(golden)
+    for name in golden:
+        assert ours[name] == ref_rows[name] == golden[name], (name, ours[name])
