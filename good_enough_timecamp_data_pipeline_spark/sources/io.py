@@ -396,3 +396,77 @@ def read_with_lineage(spark: SparkSession, path: str, fmt: str = "parquet") -> D
         F.col("_metadata.file_size").alias("_source_bytes"),
         F.col("_metadata.file_modification_time").alias("_source_mtime"),
     )
+
+
+def write_sqlite(
+    df: DataFrame,
+    db_path: str,
+    table: str,
+    staging_dir: str | None = None,
+    mode: str = "overwrite",
+    batch_rows: int = 10_000,
+) -> int:
+    """S10: SQLite destination (a dlt-claimed target of the reference,
+    `/root/reference/README.md:3`) — stdlib-only, so it RUNS here, unlike
+    the jar-bound JDBC path (write_jdbc is the cluster-grade route to
+    MySQL/Postgres).
+
+    Spark-first staging, bounded driver: land parquet (distributed
+    write), then stream it into SQLite with pyarrow record batches +
+    ``executemany`` — driver memory is O(batch_rows), never O(table).
+    SQLite itself is single-writer single-file, so a driver-side funnel
+    is the honest shape (the reference's dlt sqlite destination is the
+    same); one transaction per file keeps the load atomic per shard.
+    Returns the row count written.
+    """
+    import glob as _glob
+    import json as _json
+    import sqlite3
+
+    import pyarrow.parquet as _pq
+
+    staging = staging_dir or f"{db_path}.staging/{table}"
+    df.write.mode("overwrite").parquet(staging)
+
+    def _sql_type(t) -> str:
+        import pyarrow as pa
+
+        if pa.types.is_integer(t) or pa.types.is_boolean(t):
+            return "INTEGER"
+        if pa.types.is_floating(t):
+            return "REAL"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return "BLOB"
+        return "TEXT"  # strings, timestamps, dates, nested (JSON text)
+
+    files = sorted(_glob.glob(f"{staging}/part-*.parquet"))
+    schema = _pq.read_schema(files[0])
+    cols = ", ".join(f'"{f.name}" {_sql_type(f.type)}' for f in schema)
+    placeholders = ", ".join("?" for _ in schema)
+    con = sqlite3.connect(db_path)
+    n = 0
+    try:
+        if mode == "overwrite":
+            con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}" ({cols})')
+        for path in files:
+            pf = _pq.ParquetFile(path)
+            with con:  # one transaction per staged file
+                for batch in pf.iter_batches(batch_size=batch_rows):
+                    rows = []
+                    for row in batch.to_pylist():
+                        rows.append(
+                            tuple(
+                                _json.dumps(v)
+                                if isinstance(v, (list, dict))
+                                else (v.isoformat() if hasattr(v, "isoformat") else v)
+                                for v in (row[f.name] for f in schema)
+                            )
+                        )
+                    con.executemany(
+                        f'INSERT INTO "{table}" VALUES ({placeholders})', rows
+                    )
+                    n += len(rows)
+    finally:
+        con.close()
+    return n

@@ -269,3 +269,48 @@ def test_range_sorted_layout_disjoint_files(spark, tmp_path):
     assert hit <= 2, (hit, total)
     # layout preserves data
     assert spark.read.parquet(path).count() == n
+
+
+def test_write_sqlite_roundtrip(spark, sf_dir, tmp_path):
+    """S10 SQLite destination: overwrite + append roundtrip, typed
+    columns, timestamps as ISO text, bounded-batch load."""
+    import sqlite3
+
+    from good_enough_timecamp_data_pipeline_spark.sources.io import write_sqlite
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    db = str(tmp_path / "wh.db")
+    n = write_sqlite(nation, db, "nation", batch_rows=7)
+    assert n == nation.count()
+
+    con = sqlite3.connect(db)
+    try:
+        rows = con.execute(
+            "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+        ).fetchall()
+        expect = [
+            (r.n_nationkey, r.n_name)
+            for r in nation.orderBy("n_nationkey").collect()
+        ]
+        assert rows == expect
+        # append doubles the count
+        write_sqlite(nation, db, "nation", mode="append", batch_rows=7)
+        assert con.execute("SELECT COUNT(*) FROM nation").fetchone()[0] == 2 * n
+        # typed storage: ints are INTEGER, names TEXT
+        kinds = {
+            r[1]: r[2]
+            for r in con.execute("PRAGMA table_info(nation)").fetchall()
+        }
+        assert kinds["n_nationkey"] == "INTEGER" and kinds["n_name"] == "TEXT"
+    finally:
+        con.close()
+
+    # timestamps land as ISO text (orders has o_orderdate)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(20)
+    write_sqlite(orders, db, "orders")
+    con = sqlite3.connect(db)
+    try:
+        (val,) = con.execute("SELECT o_orderdate FROM orders LIMIT 1").fetchone()
+        assert isinstance(val, str) and val[:4].isdigit()
+    finally:
+        con.close()
