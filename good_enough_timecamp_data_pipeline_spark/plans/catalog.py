@@ -254,6 +254,12 @@ register(
 )
 register("e_attribution", warehouse.e_attribution, warehouse.E_ATTRIBUTION_SQL)
 register("t_bm25_topk", curation.t_bm25_topk, curation.T_BM25_TOPK_SQL)
+register(
+    "e_markov_transitions",
+    warehouse.e_markov_transitions,
+    warehouse.E_MARKOV_TRANSITIONS_SQL,
+)
+register("a_gini", warehouse.a_gini, warehouse.A_GINI_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

@@ -224,3 +224,138 @@ FROM tagged
 WHERE event_type = 'purchase'
 GROUP BY 1
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# e_markov_transitions — first-order event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+def e_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types per user
+    journey — the sequence-model statistic behind next-action prediction
+    and funnel-anomaly detection. Output: (prev_type, next_type, n,
+    share_ppm) where share_ppm is the integer-ppm row-conditional
+    probability P(next|prev).
+
+    Scale shape: ONE shuffle on user_id for the per-user lag window
+    (tiny per-user partitions), then a combinable hash-agg on the 5×5
+    type-pair space; the conditional share divides two exact longs
+    inside a B-row table. No self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("prev_type"), "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("CAST((n * 1000000) DIV t AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+E_MARKOV_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+           ) AS next_type
+    FROM events
+),
+pairs AS (
+    SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+),
+totals AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+SELECT p.prev_type, p.next_type, p.n,
+       CAST((p.n * 1000000) // totals.t AS BIGINT) AS share_ppm
+FROM pairs p JOIN totals ON p.prev_type = totals.prev_type
+ORDER BY p.prev_type, p.next_type
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_gini — Gini concentration index over customer revenue
+# ---------------------------------------------------------------------------
+
+
+def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    single-number companion to w_pareto_share's curve (0 = equal, →1 =
+    winner-take-all); the statistic mixture designers track when one
+    source starts dominating a corpus.
+
+    Formula (sorted ascending, 1-based rank i):
+        G = (2·Σ i·xᵢ) / (n·Σ xᵢ) − (n+1)/n
+    Scale shape: revenue in exact integer cents; the global rank comes
+    from operators/order.py::global_row_number (bucketed range partition
+    + per-bucket window + broadcast offsets — no single-partition
+    window); Σ i·xᵢ accumulates in DECIMAL(38,0) so a billion-customer
+    fact cannot overflow; the two final divisions are double ops on
+    exactly-representable inputs, bit-identical cross-engine.
+    """
+    from ..operators.order import global_row_number, long_range_bucket
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("x")
+    )
+    # unique ascending sort key: (x, custkey) packed into one long
+    key = F.col("x") * F.lit(1 << 24) + F.col("o_custkey")
+    keyed = rev.withColumn("__k", key)
+    ranked = global_row_number(
+        keyed, F.col("__k"), long_range_bucket(keyed, F.col("__k")), out="i"
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sum_cents"),
+        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("rank_weighted"),
+    ).select(
+        "n_customers",
+        F.col("sum_cents").cast("long").alias("sum_cents"),
+        # each factor is cast to double BEFORE multiplying (both engines
+        # then round the exact product of two exact doubles identically;
+        # a long×long product would overflow past ~10^18 under ANSI)
+        F.round(
+            (F.lit(2.0) * F.col("rank_weighted").cast("double"))
+            / (
+                F.col("n_customers").cast("double")
+                * F.col("sum_cents").cast("double")
+            )
+            - (F.col("n_customers") + 1).cast("double") / F.col("n_customers"),
+            6,
+        ).alias("gini"),
+    )
+
+
+A_GINI_SQL = """
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY x * (1 << 24) + o_custkey) AS i
+    FROM rev
+)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(x) AS BIGINT) AS sum_cents,
+       ROUND(
+           (2.0 * CAST(SUM(CAST(i AS HUGEINT) * x) AS DOUBLE))
+           / (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+           - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*),
+           6
+       ) AS gini
+FROM ranked
+""".strip()

@@ -46,3 +46,41 @@ def test_attribution_partitions_purchases(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r.revenue_cents for r in rows) == total
+
+
+def test_markov_rows_partition_and_shares(spark, sf_dir):
+    rows = warehouse.e_markov_transitions(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    # every event except each user's last contributes exactly one transition
+    assert sum(r.n for r in rows) == n_events - n_users
+    # per-prev shares sum to ~1e6 (integer-ppm floor loses < n_types ppm)
+    from collections import defaultdict
+
+    per_prev = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.share_ppm <= 1_000_000
+        per_prev[r.prev_type] += r.share_ppm
+    assert all(1_000_000 - 10 <= s <= 1_000_000 for s in per_prev.values())
+
+
+def test_gini_bounds_and_reference(spark, sf_dir):
+    row = warehouse.a_gini(spark, sf_dir).collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    # sequential reference on the same integer cents
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = sorted(
+        (r.x, r.o_custkey)
+        for r in o.groupBy("o_custkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("x"))
+        .collect()
+    )
+    n = len(rev)
+    s = sum(x for x, _ in rev)
+    rw = sum(i * x for i, (x, _) in enumerate(rev, start=1))
+    expect = round((2.0 * float(rw)) / (float(n) * float(s)) - float(n + 1) / n, 6)
+    assert row.gini == expect and row.n_customers == n and row.sum_cents == s
