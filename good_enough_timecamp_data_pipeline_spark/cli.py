@@ -50,6 +50,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--datasets", default="entries",
                    help=f"Comma-separated datasets. Available: {', '.join(DATASETS)}. "
                         "Default: entries")
+    p.add_argument("--resume", action="store_true",
+                   help="Skip steps already completed for this window/format "
+                        "(consults _run_ledger.json in the output dir)")
     p.add_argument("--offline-demo", action="store_true",
                    help="Use the built-in fixture workspace instead of the API")
     p.add_argument("--api-key", default=None,
@@ -101,9 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         dates=dates,
         datasets=datasets,
         fmt=args.output_format,
+        resume=args.resume,
     )
     for name, path in res.paths.items():
-        print(f"{name}: {res.tables[name].count()} rows -> {path}")
+        tag = " (resumed)" if name in res.skipped else ""
+        print(f"{name}: {res.tables[name].count()} rows -> {path}{tag}")
     return 0
 
 

@@ -437,3 +437,58 @@ def test_incremental_task_totals_matches_full_recompute(spark, sf_dir):
     }
     base = {r.ancestor_id: r.cumulative_seconds for r in state1.collect() if r.cumulative_seconds != 0}
     assert back == base
+
+
+def test_run_pipeline_resume_skips_completed_steps(spark, tmp_path):
+    """Crash-resume parity with dlt pipeline state: a rerun with
+    resume=True refetches nothing; wiping one table's ledger entry
+    refetches only that table."""
+    import json
+    import shutil
+
+    def recording_transport():
+        inner = demo_transport()
+        calls: list[tuple[str, str, dict]] = []
+
+        def send(method, url, params):
+            calls.append((method, url, dict(params)))
+            return inner(method, url, params)
+
+        send.requests = calls  # type: ignore[attr-defined]
+        return send
+
+    out = str(tmp_path / "run")
+    t1 = recording_transport()
+    run_pipeline(spark, t1, out, "2025-01-01", "2026-02-01",
+                 dates=["2026-01-05"], datasets=("tasks", "users"))
+    assert t1.requests, "first run must hit the transport"
+
+    # full resume: zero transport traffic, same tables read back
+    t2 = recording_transport()
+    res = run_pipeline(spark, t2, out, "2025-01-01", "2026-02-01",
+                       dates=["2026-01-05"], datasets=("tasks", "users"),
+                       resume=True)
+    assert t2.requests == []
+    assert sorted(res.skipped) == ["tasks", "users"]
+    assert res.tables["tasks"].count() > 0
+
+    # invalidate one step (simulates crash between write and mark):
+    # only that dataset refetches
+    ledger_path = f"{out}/_run_ledger.json"
+    ledger = json.load(open(ledger_path))
+    ledger.pop(next(k for k in ledger if k.startswith("users|")))
+    json.dump(ledger, open(ledger_path, "w"))
+    shutil.rmtree(f"{out}/users", ignore_errors=True)
+    t3 = recording_transport()
+    res3 = run_pipeline(spark, t3, out, "2025-01-01", "2026-02-01",
+                        dates=["2026-01-05"], datasets=("tasks", "users"),
+                        resume=True)
+    assert res3.skipped == ["tasks"]
+    assert any("/users" in u for _, u, _ in t3.requests)
+    assert not any("/tasks" in u for _, u, _ in t3.requests)
+    # window change invalidates the signature: everything refetches
+    t4 = recording_transport()
+    res4 = run_pipeline(spark, t4, out, "2025-06-01", "2026-02-01",
+                        dates=["2026-01-05"], datasets=("tasks", "users"),
+                        resume=True)
+    assert res4.skipped == []
