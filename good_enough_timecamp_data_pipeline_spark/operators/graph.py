@@ -283,3 +283,70 @@ def cluster_sizes(labels: DataFrame) -> DataFrame:
     return labels.join(sizes, "cluster_id").select(
         "node", "cluster_id", "cluster_size"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation: every node
+    repeatedly adopts the most frequent label among its neighbors (ties →
+    smallest label). Returns (node, community).
+
+    Complements the other graph operators: `connected_components` finds
+    REACHABILITY clusters (any path joins them), LPA finds DENSITY
+    communities (a bridge edge between two cliques does not merge them)
+    — the right grouping when near-dup graphs are chained by borderline
+    pairs, or when ranking crawl sources by community rather than host.
+
+    Same loop discipline as the module's other iterative operators: per
+    round ONE neighbor join (shuffle keyed by node) feeding two
+    COMBINABLE hash-aggs ((node, label) count → per-node argmax via
+    max_by with a deterministic tie-break), ranks localCheckpoint-ed so
+    the plan never deepens, previous round's blocks freed after the next
+    materializes. Synchronous updates on a bipartite graph can 2-cycle
+    (labels oscillate) — the fixed ``max_iter`` bounds that by design,
+    and determinism is preserved either way (no convergence compare).
+    """
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    e = _sized_for_loop(und)
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("community", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    freeable: DataFrame | None = None
+    for _ in range(max_iter):
+        labels.count()  # materialize this round's checkpoint
+        if freeable is not None:
+            _unpersist_checkpoint_blocks(freeable)
+        neigh = (
+            e.join(labels, e["u"] == labels["node"])
+            .select(F.col("v").alias("node"), "community")
+            .groupBy("node", "community")
+            .agg(F.count("*").alias("cnt"))
+        )
+        freeable = labels
+        labels = (
+            neigh.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("community")).alias("nc"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nc")).alias("community"))
+            .localCheckpoint(eager=False)
+        )
+    labels.count()
+    if freeable is not None:
+        _unpersist_checkpoint_blocks(freeable)
+    und.unpersist()
+    return labels

@@ -280,4 +280,6 @@ register("s_stream_upsert", northstar.s_stream_upsert)
 register("s_stream_incremental_dedup", northstar.s_stream_incremental_dedup)
 register("s_stream_deadletter", northstar.s_stream_deadletter)
 register("a_hll_partial_merge", curation.a_hll_partial_merge)
+register("g_communities", curation.g_communities)
+register("s_pq_codes", curation.s_pq_codes)
 register("s_kmeans", northstar.s_kmeans)

@@ -826,3 +826,62 @@ GROUP BY doc_id
 ORDER BY bm25 DESC, doc_id ASC
 LIMIT 20
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# g_communities — label-propagation communities on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def g_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the (sampled) part co-purchase
+    graph — density grouping where d_cc_clusters gives reachability
+    grouping (operators/graph.py::label_propagation). rows-only
+    (iterative, not SQL-expressible); bridge-splitting and determinism
+    invariants in tests/test_curation.py. Output: community size
+    histogram (size → how many communities)."""
+    from ..operators.graph import label_propagation
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_partkey") % 4 == 0)
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    labels = label_propagation(edges, max_iter=5)
+    sizes = labels.groupBy("community").agg(F.count("*").alias("size"))
+    return sizes.groupBy("size").agg(F.count("*").alias("n_communities")).orderBy("size")
+
+
+# ---------------------------------------------------------------------------
+# s_pq_codes — product-quantization compression audit
+# ---------------------------------------------------------------------------
+
+
+def s_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize the embedding corpus (8 subspaces × 16 codewords
+    → 32× compression of 64-dim float32) and report the per-subspace
+    codeword-usage entropy proxy plus corpus-level reconstruction error
+    — the audit that decides whether a PQ index keeps enough recall
+    (operators/clustering.py::product_quantize). rows-only; exactness
+    and error-bound invariants in tests/test_curation.py."""
+    from ..operators.clustering import product_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, codebook = product_quantize(emb, n_subspaces=8, n_centroids=16, n_iter=3)
+    usage = (
+        codes.select(F.posexplode("code").alias("subspace", "centroid_id"))
+        .groupBy("subspace")
+        .agg(
+            F.count_distinct("centroid_id").alias("codewords_used"),
+            F.count("*").alias("n_vectors"),
+        )
+        .orderBy("subspace")
+    )
+    return usage
