@@ -172,73 +172,139 @@ def product_quantize(
     codes = (id, code array<int>), codebook = (subspace, centroid_id,
     centroid array<double>).
 
-    Scale shape: subspace slicing is a codegen projection; each
-    subspace's k-means is the module's distributed Lloyd loop
-    (mapInPandas partial sums, (partitions×k)-bounded driver traffic);
-    encoding is one broadcast of the (n_subspaces×n_centroids) codebook
-    + an expression-level argmin — no shuffle at all on the encode pass.
+    Scale shape: ALL subspaces train in one joint Lloyd loop — each
+    round is a single Arrow ``mapInPandas`` scan that assigns every
+    subspace slice and emits (subspace × centroid) partial sums per
+    partition, so a full PQ codebook costs n_iter+1 data passes total
+    (the naive per-subspace layout costs n_subspaces × n_iter). Driver
+    traffic is (partitions × subspaces × centroids) tiny rows/round.
+    Encoding is `pq_encode`: broadcast codebook + numpy argmin, zero
+    shuffle.
     """
-    from pyspark.sql import functions as F
-
-    d = emb.select(id_col, vec_col)
-    dim = len(d.select(vec_col).first()[0])
+    spark = emb.sparkSession
+    data = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    first = data.select("v").first()
+    if first is None:
+        data.unpersist()
+        raise ValueError("product_quantize: input has no vectors")
+    dim = len(first[0])
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
     width = dim // n_subspaces
 
-    books = []
-    for s in range(n_subspaces):
-        sub = d.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), s * width + 1, width).alias("embedding"),
-        )
-        assign, _ = kmeans(sub, k=n_centroids, max_iter=n_iter)
-        # codewords = per-cluster dimension means of the final assignment
-        # (one combinable hash-agg; n_centroids × width scalars collected)
-        cent_rows = (
-            assign.join(sub, "vec_id")
-            .select("cluster", F.posexplode("embedding").alias("p", "x"))
-            .groupBy("cluster", "p")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
-            .collect()
-        )
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in cent_rows:
-            by_cid.setdefault(r.cluster, {})[r.p] = r.m
-        # renumber codewords densely (an empty cluster would leave a gap,
-        # and code ids are POSITIONS in the per-subspace codeword list)
-        for new_cid, cid in enumerate(sorted(by_cid)):
-            dims = by_cid[cid]
-            books.append((s, new_cid, [dims[p] for p in range(width)]))
-    spark = emb.sparkSession
+    # deterministic init: subspace slices of the first n_centroids vectors
+    init = [list(r["v"]) for r in data.orderBy("vec_id").limit(n_centroids).collect()]
+    k = min(n_centroids, len(init))
+    C = np.array(
+        [[v[s * width : (s + 1) * width] for v in init] for s in range(n_subspaces)]
+    )  # (S, k, w)
+
+    # n_iter assignment rounds; one extra pass so the shipped codewords are
+    # the means of the FINAL assignment (and its counts drive the dense
+    # renumbering of empty codewords below)
+    counts = np.zeros((n_subspaces, k), dtype=np.int64)
+    for _ in range(n_iter + 1):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            Cb = bc.value
+            S_, k_, w_ = Cb.shape
+            sums = np.zeros((S_, k_, w_))
+            cnt = np.zeros((S_, k_), dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].to_numpy()).reshape(len(pdf), S_, w_)
+                for s in range(S_):
+                    a, _sq = _nearest(X[:, s, :], Cb[s])
+                    for j in range(k_):
+                        m = a == j
+                        if m.any():
+                            sums[s, j] += X[m, s, :].sum(axis=0)
+                            cnt[s, j] += int(m.sum())
+            yield pd.DataFrame(
+                {
+                    "subspace": np.repeat(np.arange(S_, dtype=np.int32), k_),
+                    "cluster": np.tile(np.arange(k_, dtype=np.int32), S_),
+                    "sx": [sums[s, j].tolist() for s in range(S_) for j in range(k_)],
+                    "n": cnt.reshape(-1),
+                }
+            )
+
+        grid = data.mapInPandas(
+            partials, "subspace int, cluster int, sx array<double>, n bigint"
+        ).collect()  # (#partitions × S × k) tiny rows
+
+        sums = np.zeros_like(C)
+        counts = np.zeros((n_subspaces, k), dtype=np.int64)
+        for r in grid:
+            sums[r["subspace"], r["cluster"]] += np.asarray(r["sx"])
+            counts[r["subspace"], r["cluster"]] += r["n"]
+        moved = counts > 0  # empty codewords keep their centroid
+        C = C.copy()
+        C[moved] = sums[moved] / counts[moved][:, None]
+
+    # drop empty codewords and renumber densely (code ids are POSITIONS in
+    # the per-subspace codeword list)
+    books = [
+        (s, new_cid, C[s, j].tolist())
+        for s in range(n_subspaces)
+        for new_cid, j in enumerate(np.nonzero(counts[s] > 0)[0])
+    ]
     codebook = spark.createDataFrame(
         books, "subspace int, centroid_id int, centroid array<double>"
     )
-
-    # encode: broadcast codebook as a literal expression table — argmin of
-    # squared distance per subspace, all inside codegen
-    by_sub: dict[int, list[list[float]]] = {}
-    for s, cid, c in books:
-        by_sub.setdefault(s, []).append(c)
-
-    def code_expr(s: int):
-        sub = F.slice(F.col(vec_col), s * width + 1, width)
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    sub,
-                    F.array(*[F.lit(x) for x in cent]),
-                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            for cent in by_sub[s]
-        ])
-        return F.array_position(dists, F.array_min(dists)).cast("int") - 1
-
-    codes = d.select(
-        F.col(id_col),
-        F.array(*[code_expr(s) for s in range(n_subspaces)]).alias("code"),
-    )
+    # training is done with the cache; the encode pass is a single scan, so
+    # release executor storage rather than leak max_iter-old blocks
+    data.unpersist()
+    codes = pq_encode(emb, codebook, vec_col=vec_col, id_col=id_col)
     return codes, codebook
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors against an EXISTING PQ codebook (train/encode
+    split: codebooks train on a corpus sample — `product_quantize` — and
+    this pass encodes everything, including vectors that arrive later).
+
+    One broadcast of the (n_subspaces × n_centroids × width) codebook +
+    an Arrow ``mapInPandas`` numpy argmin per subspace — zero shuffle,
+    embarrassingly parallel at any corpus size. Ties break to the lowest
+    codeword id (same as ``_nearest``)."""
+    spark = emb.sparkSession
+    rows = codebook.collect()  # n_subspaces × n_centroids — tiny by contract
+    by_sub: dict[int, list[list[float]]] = {}
+    for r in sorted(rows, key=lambda r: (r.subspace, r.centroid_id)):
+        by_sub.setdefault(r.subspace, []).append(list(r.centroid))
+    n_subspaces = len(by_sub)
+    width = len(next(iter(by_sub.values()))[0])
+    # subspaces may have differing live-codeword counts after empty-cluster
+    # renumbering — keep a ragged list, not one dense array
+    bc = spark.sparkContext.broadcast([np.array(by_sub[s]) for s in range(n_subspaces)])
+
+    id_type = dict(emb.dtypes)[id_col]
+    data = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cs = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].to_numpy()).reshape(len(pdf), n_subspaces, width)
+            codes = np.stack(
+                [_nearest(X[:, s, :], Cs[s])[0] for s in range(n_subspaces)], axis=1
+            ).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "code": list(codes)})
+
+    return data.mapInPandas(encode, f"vec_id {id_type}, code array<int>").withColumnRenamed(
+        "vec_id", id_col
+    )

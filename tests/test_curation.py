@@ -452,5 +452,22 @@ def test_g_communities_and_pq_catalog_entries_run(spark, sf_dir):
     sizes = curation.g_communities(spark, sf_dir).collect()
     assert sizes and all(r.size >= 1 and r.n_communities >= 1 for r in sizes)
     usage = curation.s_pq_codes(spark, sf_dir).collect()
-    assert len(usage) == 8
+    assert len(usage) == 4
     assert all(1 <= r.codewords_used <= 16 for r in usage)
+
+
+def test_pq_encode_matches_train_time_assignment(spark, sf_dir):
+    """pq_encode against an existing codebook must reproduce the
+    nearest-centroid assignment product_quantize itself computed for the
+    training vectors (same codebook ⇒ same codes)."""
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import (
+        pq_encode,
+        product_quantize,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    codes, book = product_quantize(emb, n_subspaces=4, n_centroids=8, n_iter=2)
+    re_encoded = pq_encode(emb, book)
+    train = {r.vec_id: list(r.code) for r in codes.collect()}
+    probe = {r.vec_id: list(r.code) for r in re_encoded.collect()}
+    assert probe == train
