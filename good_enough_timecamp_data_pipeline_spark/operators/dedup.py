@@ -89,15 +89,19 @@ def exact_dedup(
     )
 
 
-def shingle_pairs_jaccard(
+def _shingle_pair_counts(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 5,
-    threshold: float = 0.6,
-    max_shingle_df: int | None = 1000,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_df: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t)."""
+    """Shared pair-counting core of the exact near-dup family:
+    (id_a, id_b, n_inter, n_a, n_b) for every doc pair sharing ≥ 1
+    n-gram shingle. One shingle self-join + one hash-agg; the optional
+    ``max_shingle_df`` cap drops stop-shingles before the join (the
+    prefix-filter move — skew-safe, but it CHANGES the pair set, so
+    oracle-twinned callers pass None)."""
     sh = _pin(shingle_rows(df, text_col, id_col, n))
     if max_shingle_df is not None:
         # no broadcast hint: the hot-shingle set is bounded by
@@ -116,6 +120,20 @@ def shingle_pairs_jaccard(
     return (
         inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+    )
+
+
+def shingle_pairs_jaccard(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t)."""
+    return (
+        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -123,6 +141,35 @@ def shingle_pairs_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.9,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs: containment = |A∩B| / min(|A|, |B|).
+
+    Jaccard misses subset duplication — a 40% excerpt of a document has
+    jaccard ≈ 0.4 against its source but containment 1.0. Containment is
+    the measure for quote/excerpt/boilerplate-inclusion detection
+    (Broder's resemblance-vs-containment distinction, "On the
+    resemblance and containment of documents", SEQUENCES 1997). Same
+    one-self-join + one-hash-agg shape as `shingle_pairs_jaccard`; only
+    the denominator differs (min of the two shingle-set sizes, so the
+    smaller side's coverage decides)."""
+    return (
+        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df)
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")
     )
 
 

@@ -66,6 +66,47 @@ def long_range_bucket(df: DataFrame, key: Column, n_buckets: int = 256) -> Colum
     return ((key - F.lit(int(lo))) / F.lit(width)).cast("int")
 
 
+def global_cumsum_multi(
+    df: DataFrame,
+    key: Column,
+    vals: dict[str, Column],
+    bucket: Column,
+) -> DataFrame:
+    """Running SUM over the total order of ``key`` (inclusive frame) for
+    SEVERAL value columns at once — one bucketed window pass and one
+    totals scan regardless of how many sums ride along (a two-sample
+    ECDF needs two). ``vals`` maps output column name → value expression;
+    ``bucket`` must be monotone in ``key`` (see module docstring)."""
+    names = list(vals)
+    d = df.withColumn("__b", bucket)
+    for nm in names:
+        d = d.withColumn(f"__v_{nm}", vals[nm])
+    w_in = Window.partitionBy("__b").orderBy(key).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    totals = d.groupBy("__b").agg(
+        *[F.sum(f"__v_{nm}").alias(f"__t_{nm}") for nm in names]
+    )
+    # prefix-sum over the totals table: ≤ n_buckets rows, so the
+    # unpartitioned window here is a deliberate, bounded exception.
+    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(
+        "__b",
+        *[
+            F.coalesce(F.sum(f"__t_{nm}").over(w_b), F.lit(0)).alias(f"__off_{nm}")
+            for nm in names
+        ],
+    )
+    out = d.join(F.broadcast(offs), "__b")
+    for nm in names:
+        out = out.withColumn(
+            nm, (F.sum(f"__v_{nm}").over(w_in) + F.col(f"__off_{nm}")).cast("long")
+        )
+    return out.drop(
+        "__b", *[f"__v_{nm}" for nm in names], *[f"__off_{nm}" for nm in names]
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     key: Column,
@@ -76,22 +117,7 @@ def global_cumsum(
     """Running SUM(val) over the total order of ``key`` (inclusive frame),
     distributed via ``bucket`` (must be monotone in ``key``; see module
     docstring). Adds column ``out``; keeps all input columns."""
-    d = df.withColumn("__b", bucket).withColumn("__v", val)
-    w_in = Window.partitionBy("__b").orderBy(key).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    totals = d.groupBy("__b").agg(F.sum("__v").alias("__t"))
-    # prefix-sum over the totals table: ≤ n_buckets rows, so the
-    # unpartitioned window here is a deliberate, bounded exception.
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.select(
-        "__b", F.coalesce(F.sum("__t").over(w_b), F.lit(0)).alias("__off")
-    )
-    return (
-        d.join(F.broadcast(offs), "__b")
-        .withColumn(out, (F.sum("__v").over(w_in) + F.col("__off")).cast("long"))
-        .drop("__b", "__v", "__off")
-    )
+    return global_cumsum_multi(df, key, {out: val}, bucket)
 
 
 def global_row_number(

@@ -22,6 +22,7 @@ from . import (
     relational,
     reports,
     round5,
+    round5d,
     training,
     warehouse,
 )
@@ -67,7 +68,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from the first half; t_ccnet_buckets, t_line_dedup, a_mad_outliers,
 # w_pareto_share, g_triangle_count, a_winsorize, s_embedding_drift,
 # x_skew_report, q_shipping_priority, q_local_supplier_volume,
-# e_attribution from round-5b — all registered after the slot-50 marker)
+# e_attribution from round-5b; t_hashed_classifier, d_containment,
+# a_ks_test, e_interval_coverage from round-5d — all registered after the
+# slot-50 marker)
 # are locally verified at sf0.001/sf0.01/sf0.1 and rotate into the r6
 # front, oldest-first.
 
@@ -254,6 +257,14 @@ register(
 )
 register("e_attribution", warehouse.e_attribution, warehouse.E_ATTRIBUTION_SQL)
 register("t_bm25_topk", curation.t_bm25_topk, curation.T_BM25_TOPK_SQL)
+register(
+    "t_hashed_classifier", round5d.t_hashed_classifier, round5d.T_HASHED_CLASSIFIER_SQL
+)
+register("d_containment", round5d.d_containment, round5d.D_CONTAINMENT_SQL)
+register("a_ks_test", round5d.a_ks_test, round5d.A_KS_TEST_SQL)
+register(
+    "e_interval_coverage", round5d.e_interval_coverage, round5d.E_INTERVAL_COVERAGE_SQL
+)
 register(
     "e_markov_transitions",
     warehouse.e_markov_transitions,

@@ -1,0 +1,399 @@
+"""Round-5d batch: model-inference scoring, asymmetric containment
+dedup, distribution-drift testing, and merged-interval coverage.
+
+Four operators a production corpus pipeline reaches for that the catalog
+did not yet cover:
+
+- ``t_hashed_classifier`` — a fasttext-shaped hashed-bag-of-words linear
+  classifier evaluated as a pure codegen scan: the model-based quality
+  filter every modern curation stack runs (CCNet's LM filter, DCLM's
+  fasttext classifier) reduced to its distributed essentials — hash
+  tokens into V buckets, sum per-bucket weights, threshold the mean.
+  Weights here are md5-derived so the DuckDB twin computes the identical
+  model; swapping in real trained weights is a broadcast join / literal
+  map with the same plan shape. Zero shuffle: score every document at
+  scan speed.
+- ``d_containment`` — asymmetric shingle containment (|A∩B|/min(|A|,|B|),
+  Broder 1997): catches excerpt/quote/boilerplate subset-duplication
+  that symmetric Jaccard structurally misses (a 40% excerpt scores
+  jaccard ≈ 0.4, containment 1.0).
+- ``a_ks_test`` — exact two-sample Kolmogorov–Smirnov statistic between
+  two event-type value distributions, the nonparametric drift test for
+  "did this feed's distribution change". D = max |c1·n2 − c2·n1|/(n1·n2)
+  evaluated entirely in integers until one final division.
+- ``e_interval_coverage`` — merged-interval time coverage per user
+  (gaps-and-islands): the time-tracking engine's core question — total
+  tracked time WITHOUT double-counting overlapping timers (the
+  reference's entries are exactly such intervals,
+  /root/reference/dlt_fetch_timecamp.py fetches start/end timer rows).
+
+Cross-engine exactness: every comparison/aggregation stays in integer or
+exactly-representable-double domain until a single final division (the
+a_gini rule); no ``rand()``, no floating accumulation order dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import containment_pairs
+from ..operators.order import global_cumsum_multi, long_range_bucket
+from ..operators.text import tokenize
+from .northstar import TOKS_SQL, _shingles_sql
+from .round5 import MAX_SESSION_US, _session_bounds
+from .testdata import load_table
+
+# ---------------------------------------------------------------------------
+# t_hashed_classifier — model inference as a codegen scan
+# ---------------------------------------------------------------------------
+
+HASH_BUCKETS = 1024  # V: feature-hash vocabulary size
+WEIGHT_MOD = 2001  # weights are integers in [-1000, 1000] (milli-units)
+
+
+def _bucket_expr(tok) -> F.Column:
+    """Feature hash: first 8 hex digits of md5(token) mod V — identical
+    arithmetic in both engines (the t_balanced_sample hash contract)."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % HASH_BUCKETS
+
+
+def _weight_expr(tok) -> F.Column:
+    """Deterministic per-bucket weight in [-1000, 1000]: md5('w' || bucket).
+    Stand-in for trained weights; INTEGER so per-document sums are exact
+    regardless of token order (float weights would make the sum depend on
+    Spark's partition-local accumulation order and break the oracle)."""
+    b = _bucket_expr(tok)
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("w"), b.cast("string"))), 1, 8), 16, 10
+        ).cast("long")
+        % WEIGHT_MOD
+    ) - 1000
+
+
+def t_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score every document with a hashed linear classifier and flag the
+    keepers — the model-based quality-filter tier (beyond t_quality's
+    hand heuristics) run the way it must run at 100 TB: as a pure
+    projection, no shuffle, no Python.
+
+    Scale shape: tokenize → per-token weight lookup → integer fold, all
+    inside one ``transform``/``aggregate`` expression per row — the scan
+    IS the inference pass. A trained model swaps `_weight_expr` for a
+    literal array lookup (`F.element_at` on a broadcast V-vector) with
+    the same plan. Score = mean token weight in [-1, 1]; keep = score>0.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("__toks", tokenize(F.col("text")))
+    score_raw = F.aggregate(
+        F.transform(F.col("__toks"), lambda t: _weight_expr(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size("__toks").cast("int").alias("n_tokens"),
+            score_raw.alias("score_raw"),
+        )
+        .withColumn(
+            "score",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("score_raw").cast("double")
+                / (F.col("n_tokens").cast("double") * 1000.0),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("keep", F.col("score") > 0)
+    )
+
+
+_BUCKET_SQL = "(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024)"
+_WEIGHT_SQL = (
+    "((CAST(('0x' || substr(md5('w' || CAST("
+    + _BUCKET_SQL
+    + " AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000)"
+)
+
+T_HASHED_CLASSIFIER_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+s AS (
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks, t -> {_WEIGHT_SQL})), 0)
+                AS BIGINT) AS score_raw
+    FROM t
+)
+SELECT doc_id, n_tokens, score_raw,
+       CASE WHEN n_tokens > 0
+            THEN CAST(score_raw AS DOUBLE) / (n_tokens * 1000.0)
+            ELSE 0.0 END AS score,
+       (CASE WHEN n_tokens > 0
+             THEN CAST(score_raw AS DOUBLE) / (n_tokens * 1000.0)
+             ELSE 0.0 END) > 0 AS keep
+FROM s
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# d_containment — asymmetric subset-duplication pairs
+# ---------------------------------------------------------------------------
+
+EXCERPT_MOD = 23  # 1-in-23 docs get an excerpt twin injected
+EXCERPT_ID_OFFSET = 2_000_000
+
+
+def _docs_with_excerpts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus + injected EXCERPT twins: a 40%-prefix slice of every 23rd
+    document (min 5 tokens, so each excerpt has ≥ 1 5-gram shingle).
+    Prefix slices make containment exactly 1.0 against the source while
+    jaccard sits near 0.4 — the case the symmetric measure misses.
+    Integer arithmetic ((2·len) div 5) so both engines cut identically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(F.col("text"))
+    k = F.greatest(F.floor((F.size(toks) * 2) / F.lit(5)).cast("int"), F.lit(5))
+    exc = docs.filter(F.col("doc_id") % EXCERPT_MOD == 0).select(
+        (F.col("doc_id") + EXCERPT_ID_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), k)).alias("text"),
+    )
+    return docs.unionByName(exc)
+
+
+DOCS_WITH_EXCERPTS_SQL = f"""
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + {EXCERPT_ID_OFFSET} AS doc_id,
+       array_to_string(list_slice(toks, 1, GREATEST((len(toks) * 2) // 5, 5)), ' ') AS text
+FROM (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE doc_id % {EXCERPT_MOD} = 0)
+""".strip()
+
+
+def d_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment ≥ 0.9 pairs over the excerpt-injected corpus.
+
+    max_shingle_df=None because the oracle enumerates the exact pair
+    set; production passes the default cap (the stop-shingle
+    prefix-filter) — same plan, bounded join width."""
+    return containment_pairs(
+        _docs_with_excerpts(spark, sf_dir), n=5, threshold=0.9, max_shingle_df=None
+    )
+
+
+D_CONTAINMENT_SQL = f"""
+WITH d AS ({DOCS_WITH_EXCERPTS_SQL}),
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM d),
+sh AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.9
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_ks_test — exact two-sample Kolmogorov–Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+KS_TYPE_A = "view"
+KS_TYPE_B = "click"
+KS_ALPHA_C = 1.358  # c(α) for α = 0.05 in the large-sample KS rejection rule
+
+
+def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D = sup_x |F_a(x) − F_b(x)| between the `value` distributions of
+    two event types, plus the α=0.05 large-sample significance verdict
+    (reject iff D > c(α)·√((n1+n2)/(n1·n2))).
+
+    Exactness: D is maximized as the INTEGER |c1·n2 − c2·n1| (DECIMAL(38)
+    products — a trillion-row sample cannot overflow), divided by n1·n2
+    once at the end; ECDF steps only move at distinct values, so the
+    input first compresses to one row per distinct value (groupBy — at
+    unbounded value cardinality you'd bin first, trading exactness for a
+    bounded grid).
+
+    Scale shape: the cumulative counts come from ONE bucketed
+    global-cumsum pass (`operators/order.py` — range-partitioned
+    windows + broadcast bucket offsets, never a single-partition
+    window), carrying both samples' sums in the same pass.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    g = ev.groupBy("value").agg(
+        F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("d2"),
+    )
+    cum = global_cumsum_multi(
+        g,
+        F.col("value"),
+        {"c1": F.col("d1"), "c2": F.col("d2")},
+        long_range_bucket(g, F.col("value")),
+    )
+    stats = g.agg(
+        F.sum("d1").cast("long").alias("n1"), F.sum("d2").cast("long").alias("n2")
+    )
+    dec = "decimal(38,0)"
+    diff = F.abs(
+        F.col("c1").cast(dec) * F.col("n2") - F.col("c2").cast(dec) * F.col("n1")
+    )
+    res = (
+        cum.crossJoin(F.broadcast(stats))  # 1-row stats side
+        .agg(
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+            F.max(diff).alias("max_diff"),
+        )
+        .select(
+            "n1",
+            "n2",
+            (
+                F.col("max_diff").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+        )
+    )
+    crit = F.lit(KS_ALPHA_C) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return res.withColumn("significant", F.col("ks_stat") > crit)
+
+
+A_KS_TEST_SQL = f"""
+WITH ev AS (
+    SELECT value, event_type FROM events
+    WHERE value IS NOT NULL AND event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+g AS (
+    SELECT value,
+           SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS d1,
+           SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS d2
+    FROM ev GROUP BY value
+),
+cum AS (
+    SELECT value,
+           CAST(SUM(d1) OVER (ORDER BY value) AS BIGINT) AS c1,
+           CAST(SUM(d2) OVER (ORDER BY value) AS BIGINT) AS c2
+    FROM g
+),
+tot AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2 FROM g),
+m AS (
+    SELECT MIN(n1) AS n1, MIN(n2) AS n2,
+           MAX(ABS(CAST(c1 AS DECIMAL(38,0)) * n2
+                   - CAST(c2 AS DECIMAL(38,0)) * n1)) AS max_diff
+    FROM cum CROSS JOIN tot
+),
+r AS (
+    SELECT n1, n2,
+           CAST(max_diff AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+    FROM m
+)
+SELECT n1, n2, ks_stat,
+       ks_stat > {KS_ALPHA_C} * SQRT(CAST(n1 + n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS significant
+FROM r
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# e_interval_coverage — merged-interval billable time (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+
+def e_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user TRUE tracked time: total coverage of the union of the
+    user's session intervals — overlapping timers counted once (the
+    time-tracking engine's billable-hours invariant; naive SUM(duration)
+    double-bills every overlap).
+
+    Gaps-and-islands: order a user's intervals by start, an interval
+    opens a new island iff it starts at/after the running max end of
+    everything before it (half-open [s, e)), islands aggregate to
+    max(end) − min(start), users sum their islands. Two user-partitioned
+    windows + two hash-aggs — one shuffle on user_id, all integer µs.
+    Identical-row ties order arbitrarily but compute identically (the
+    tied rows carry equal (s, e)), so the result is deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    start_us, end_us = _session_bounds()
+    s = ev.select(F.col("user_id"), start_us.alias("s_us"), end_us.alias("e_us"))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max("e_us").over(w_prev)
+    flagged = s.withColumn(
+        "new_isl",
+        F.when(prev_end.isNull() | (F.col("s_us") >= prev_end), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flagged.withColumn("island", F.sum("new_isl").over(w_run))
+    per_isl = isl.groupBy("user_id", "island").agg(
+        (F.max("e_us") - F.min("s_us")).alias("cov_us"),
+        F.count("*").alias("n_sessions"),
+    )
+    return per_isl.groupBy("user_id").agg(
+        F.sum("n_sessions").cast("long").alias("n_sessions"),
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum("cov_us").cast("long").alias("covered_us"),
+    )
+
+
+E_INTERVAL_COVERAGE_SQL = f"""
+WITH s AS (
+    SELECT user_id,
+           epoch_us(ts) AS s_us,
+           epoch_us(ts)
+             + LEAST(GREATEST(CAST(FLOOR(value * 60000000) AS BIGINT), 1),
+                     {MAX_SESSION_US}) AS e_us
+    FROM events
+),
+flagged AS (
+    SELECT user_id, s_us, e_us,
+           CASE WHEN MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) IS NULL
+                OR s_us >= MAX(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, e_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                )
+           THEN 1 ELSE 0 END AS new_isl
+    FROM s
+),
+isl AS (
+    SELECT user_id, s_us, e_us,
+           SUM(new_isl) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS island
+    FROM flagged
+),
+per_isl AS (
+    SELECT user_id, island,
+           MAX(e_us) - MIN(s_us) AS cov_us,
+           COUNT(*) AS n_sessions
+    FROM isl GROUP BY user_id, island
+)
+SELECT user_id,
+       CAST(SUM(n_sessions) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(cov_us) AS BIGINT) AS covered_us
+FROM per_isl GROUP BY user_id
+""".strip()
