@@ -350,3 +350,80 @@ def label_propagation(
         _unpersist_checkpoint_blocks(freeable)
     und.unpersist()
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_iter: int = 200,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: (node, core_degree) for
+    every node of the maximal subgraph in which ALL nodes have degree ≥ k.
+
+    The density filter of graph-shaped curation: in a link/citation/
+    co-occurrence graph the k-core is the standard "keep the structurally
+    embedded part" cut (peripheral one-off nodes peel away; spam farms
+    that only link outward peel with them). Matula & Beck's peeling
+    algorithm distributed: each round is one degree hash-agg + two
+    semi-joins (drop every edge with a sub-k endpoint) — no per-node
+    messaging, no window. Rounds needed = peeling depth, typically a
+    handful; each round strictly shrinks the edge set, so the loop
+    provably terminates in ≤ |V| rounds. Same loop discipline as
+    `connected_components`: lazy ``localCheckpoint`` per round so the
+    plan never deepens, the convergence count is the round's ONE job,
+    previous round's blocks freed right after, and a loud raise if
+    ``max_iter`` fires first (truncated peeling returns a SUPERSET of
+    the k-core — silently wrong).
+
+    ``edges`` may list each undirected pair once in either orientation.
+    Degree counts parallel edges once (distinct applied).
+    """
+    und_pinned = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))  # self-loops never count toward degree
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    und = _sized_for_loop(und_pinned)
+    cur = und.localCheckpoint(eager=False)
+    n_prev = cur.count()
+    freeable: DataFrame | None = None
+    converged = n_prev == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        keep = (
+            cur.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        nxt = (
+            cur.join(keep, "u", "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()  # materializes the checkpoint AND decides the loop
+        if freeable is not None:
+            _unpersist_checkpoint_blocks(freeable)
+        freeable = cur
+        cur = nxt
+        converged = n_next == n_prev
+        n_prev = n_next
+    if not converged:
+        raise RuntimeError(
+            f"kcore did not reach a fixpoint within max_iter={max_iter} rounds; "
+            "the surviving edge set is a superset of the true k-core"
+        )
+    out = cur.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )
+    # the final degree agg still reads `cur`; leave its blocks to the final
+    # consumer and free only the superseded round + the pinned input
+    if freeable is not None:
+        _unpersist_checkpoint_blocks(freeable)
+    und_pinned.unpersist()
+    return out

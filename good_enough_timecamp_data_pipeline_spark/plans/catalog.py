@@ -23,6 +23,7 @@ from . import (
     reports,
     round5,
     round5d,
+    round5e,
     training,
     warehouse,
 )
@@ -271,6 +272,12 @@ register(
     warehouse.E_MARKOV_TRANSITIONS_SQL,
 )
 register("a_gini", warehouse.a_gini, warehouse.A_GINI_SQL)
+register("t_source_caps", round5e.t_source_caps, round5e.T_SOURCE_CAPS_SQL)
+register(
+    "t_temperature_mix", round5e.t_temperature_mix, round5e.T_TEMPERATURE_MIX_SQL
+)
+register("a_chi_square", round5e.a_chi_square, round5e.A_CHI_SQUARE_SQL)
+register("e_ewma_anomaly", round5e.e_ewma_anomaly, round5e.E_EWMA_ANOMALY_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)
@@ -294,3 +301,4 @@ register("a_hll_partial_merge", curation.a_hll_partial_merge)
 register("g_communities", curation.g_communities)
 register("s_pq_codes", curation.s_pq_codes)
 register("s_kmeans", northstar.s_kmeans)
+register("g_kcore", round5e.g_kcore)
