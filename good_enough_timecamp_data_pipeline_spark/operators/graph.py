@@ -67,13 +67,19 @@ def _unpersist_checkpoint_blocks(df: DataFrame) -> None:
         pass
 
 
-def _sized_for_loop(df: DataFrame, rows_per_partition: int = 1_000_000) -> DataFrame:
+def _sized_for_loop(df: DataFrame, rows_per_partition: int = 75_000) -> DataFrame:
     """Coalesce an iterative loop's edge set to its measured size.
 
     A 32-partition shuffle per round over a few thousand edges is pure
     task-scheduling overhead (measured ~2× the whole CC loop on
     testdata); big inputs keep their natural partitioning. The count is
     an aggregate the surrounding persist needs anyway.
+
+    rows_per_partition balances the two regimes: tiny test graphs still
+    collapse to 1 partition, but a mid-size graph keeps enough
+    partitions to use the machine — the original 1M threshold ran the
+    whole 591k-edge sf0.1 PageRank loop single-threaded (measured
+    13.8 s → 8.7 s for 8 rounds after this change).
 
     NOTE for callers: coalesce returns a NEW DataFrame — unpersist must
     target the original persisted one, not the rebound variable (a
