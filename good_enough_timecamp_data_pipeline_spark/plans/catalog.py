@@ -24,6 +24,7 @@ from . import (
     round5,
     round5d,
     round5e,
+    round5f,
     training,
     warehouse,
 )
@@ -278,6 +279,13 @@ register(
 )
 register("a_chi_square", round5e.a_chi_square, round5e.A_CHI_SQUARE_SQL)
 register("e_ewma_anomaly", round5e.e_ewma_anomaly, round5e.E_EWMA_ANOMALY_SQL)
+register(
+    "a_source_lang_entropy",
+    round5f.a_source_lang_entropy,
+    round5f.A_SOURCE_LANG_ENTROPY_SQL,
+)
+register("d_threshold_curve", round5f.d_threshold_curve, round5f.D_THRESHOLD_CURVE_SQL)
+register("t_ngram_novelty", round5f.t_ngram_novelty, round5f.T_NGRAM_NOVELTY_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

@@ -1,0 +1,198 @@
+"""Round-5f batch: corpus-diversity and dedup-calibration queries.
+
+- ``a_source_lang_entropy`` — per-source Shannon entropy (nats) of the
+  language mix: the diversity monitor a multilingual corpus runs per
+  domain/source (a source that collapses to one language is a crawl or
+  routing regression). Exactness: the only order-sensitive float
+  reduction (Σ c·ln c over a source's languages) runs as an ordered
+  sequential fold by language on both engines.
+- ``d_threshold_curve`` — the dedup CALIBRATION query: one exact
+  n-gram-Jaccard pair computation swept across thresholds
+  (0.5 → 1.0 in 0.1 buckets). Choosing a near-dup threshold is the
+  first decision of every dedup rollout; computing the pair set once
+  and bucketing beats re-running the pipeline per candidate threshold.
+  Bucket edges are exact: jaccard is one double division, identical in
+  both engines, and floor(j·10) moves only at representable points.
+- ``t_ngram_novelty`` — per-document novelty: the fraction of a
+  document's 5-gram shingles that no LOWER-id document contains
+  (first-occurrence scoring, the streaming-ingest view of duplication:
+  late near-copies score low). One shingle hash-agg for first-seen +
+  one join back — no pair enumeration at all, so it scales where the
+  pairwise queries need LSH.
+
+Scale notes: entropy folds over the language enum (bounded), the
+threshold curve reuses the capped shingle self-join machinery of
+`operators/dedup.py` (the oracle pins the uncapped exact variant), and
+novelty is join-shaped (fact ⋈ shingle-dimension), never pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import shingle_pairs_jaccard, shingle_rows
+from .northstar import TOKS_SQL, _shingles_sql
+from .testdata import load_table
+
+# ---------------------------------------------------------------------------
+# a_source_lang_entropy — language-mix diversity per source
+# ---------------------------------------------------------------------------
+
+
+def a_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language-mix entropy in nats:
+    H = ln(n) − (Σ_l c_l·ln c_l)/n over the source's language counts.
+
+    The fact-table touch is one (source, lang) hash-agg; everything
+    after runs on the (source × lang) dimension. The Σ c·ln c fold is
+    ordered by language so both engines fold identically — but ln()
+    itself is NOT correctly rounded (JVM Math.log and libm disagree by
+    1 ulp on some inputs, observed at src0/sf0.01), so the final
+    statistic rounds to 4 decimals, the t_token_kl_drift convention.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").cast("long").alias("c"))
+    return (
+        cells.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_docs"),
+            F.count("*").cast("int").alias("n_langs"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("lang", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["c"].cast("double") * F.log(x["c"].cast("double")),
+            ).alias("_fold"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            F.round(
+                F.log(F.col("n_docs").cast("double"))
+                - F.col("_fold") / F.col("n_docs").cast("double"),
+                4,
+            ).alias("entropy"),
+        )
+    )
+
+
+A_SOURCE_LANG_ENTROPY_SQL = """
+WITH cells AS (
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents GROUP BY 1, 2
+),
+g AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS INTEGER) AS n_langs,
+           list_reduce(
+               list_transform(list(c ORDER BY lang, c),
+                              x -> CAST(x AS DOUBLE) * ln(CAST(x AS DOUBLE))),
+               (a, b) -> a + b
+           ) AS fold
+    FROM cells GROUP BY source
+)
+SELECT source, n_docs, n_langs,
+       ROUND(ln(CAST(n_docs AS DOUBLE)) - fold / CAST(n_docs AS DOUBLE), 4)
+         AS entropy
+FROM g
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# d_threshold_curve — dedup-threshold calibration sweep
+# ---------------------------------------------------------------------------
+
+CURVE_FLOOR = 0.5  # compute pairs once at the loosest threshold under study
+
+
+def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts bucketed by Jaccard decile (0.5 … 1.0):
+    the calibration sweep behind "which threshold do we dedup at".
+    The pair set is computed ONCE at the loosest threshold; each row is
+    (bucket, n_pairs) where bucket = floor(jaccard·10)/10.
+
+    Oracle-twinned with ``max_shingle_df=None`` (exact pair set);
+    production passes the stop-shingle cap for skew safety — the sweep
+    logic is unchanged."""
+    pairs = shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"),
+        threshold=CURVE_FLOOR,
+        max_shingle_df=None,
+    )
+    return (
+        pairs.withColumn("bucket", F.floor(F.col("jaccard") * 10) / 10.0)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_pairs"))
+        .orderBy("bucket")
+    )
+
+
+D_THRESHOLD_CURVE_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM t),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {CURVE_FLOOR}
+)
+SELECT FLOOR(jaccard * 10) / 10.0 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# t_ngram_novelty — first-occurrence shingle scoring (no pair enumeration)
+# ---------------------------------------------------------------------------
+
+
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of the doc's distinct 5-gram shingles
+    whose FIRST occurrence (min doc_id) is this document. A late
+    near-copy scores near 0, original content near 1 — duplication
+    signal without any pairwise join: one shingle hash-agg (first-seen)
+    plus one join back to the doc's shingles. Docs with fewer than 5
+    tokens have no shingles and no row (consistent with the twin)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, text_col="text", id_col="doc_id", n=5)
+    first = sh.groupBy("sh").agg(F.min("doc").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novelty",
+            F.col("n_novel").cast("double") / F.col("n_sh").cast("double"),
+        )
+    )
+
+
+T_NGRAM_NOVELTY_SQL = f"""
+WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM t),
+first_ AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY sh)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sh,
+       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(SUM(CASE WHEN first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty
+FROM sh JOIN first_ USING (sh)
+GROUP BY sh.doc_id
+""".strip()

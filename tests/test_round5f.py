@@ -1,0 +1,97 @@
+"""Sequential-reference tests for the round-5f batch (plans/round5f.py):
+language-mix entropy, dedup threshold curve, n-gram novelty."""
+
+import collections
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark.plans import round5f
+
+
+def test_lang_entropy_matches_python(spark, sf_dir):
+    out = {r.source: r for r in round5f.a_source_lang_entropy(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    cells = collections.Counter(zip(docs.source, docs.lang))
+    by_src = collections.defaultdict(dict)
+    for (s, l), c in cells.items():
+        by_src[s][l] = c
+    for s, langs in by_src.items():
+        n = sum(langs.values())
+        fold = 0.0
+        for l in sorted(langs):  # the engine folds in lang order
+            fold += float(langs[l]) * math.log(float(langs[l]))
+        r = out[s]
+        assert r.n_docs == n and r.n_langs == len(langs)
+        assert r.entropy == round(math.log(float(n)) - fold / n, 4), s
+
+
+def test_lang_entropy_degenerate_is_zero(spark):
+    """A single-language source must score exactly 0 (and n·ln(n) terms
+    must cancel, not leave float residue)."""
+    df = spark.createDataFrame(
+        [(i, "only", "en") for i in range(7)], "doc_id long, source string, lang string"
+    )
+    import good_enough_timecamp_data_pipeline_spark.plans.round5f as m
+
+    orig = m.load_table
+    try:
+        m.load_table = lambda spark, sf_dir, name: df
+        (r,) = m.a_source_lang_entropy(spark, "unused").collect()
+    finally:
+        m.load_table = orig
+    assert r.entropy == 0.0 and r.n_langs == 1 and r.n_docs == 7
+
+
+def test_threshold_curve_buckets_partition_the_pairs(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.operators.dedup import (
+        shingle_pairs_jaccard,
+    )
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    curve = round5f.d_threshold_curve(spark, sf_dir).collect()
+    pairs = shingle_pairs_jaccard(
+        load_table(spark, sf_dir, "documents"),
+        threshold=round5f.CURVE_FLOOR,
+        max_shingle_df=None,
+    ).collect()
+    # bucket counts must partition the pair set computed independently
+    ref = collections.Counter(math.floor(p.jaccard * 10) / 10.0 for p in pairs)
+    assert {r.bucket: r.n_pairs for r in curve} == dict(ref)
+    assert sum(r.n_pairs for r in curve) == len(pairs)
+    assert all(round5f.CURVE_FLOOR <= r.bucket <= 1.0 for r in curve)
+
+
+def test_ngram_novelty_matches_python(spark):
+    """Hand graph: doc 1 original, doc 2 a full copy (novelty 0), doc 3
+    half-overlapping, doc 4 too short for any shingle (absent)."""
+    base = " ".join(f"w{i}" for i in range(10))  # 6 shingles
+    half = " ".join(f"w{i}" for i in range(5, 15))  # shares shingle w5..w9
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, half), (4, "too short text")],
+        "doc_id long, text string",
+    )
+    import good_enough_timecamp_data_pipeline_spark.plans.round5f as m
+
+    orig = m.load_table
+    try:
+        m.load_table = lambda spark, sf_dir, name: df
+        out = {r.doc_id: r for r in m.t_ngram_novelty(spark, "unused").collect()}
+    finally:
+        m.load_table = orig
+    assert set(out) == {1, 2, 3}
+    assert out[1].novelty == 1.0 and out[1].n_sh == 6
+    assert out[2].novelty == 0.0  # every shingle first seen in doc 1
+    # doc 3: 6 shingles, exactly one ("w5 w6 w7 w8 w9") already in doc 1
+    assert out[3].n_sh == 6 and out[3].n_novel == 5
+    assert out[3].novelty == 5.0 / 6.0
+
+
+def test_ngram_novelty_testdata_bounds(spark, sf_dir):
+    rows = round5f.t_ngram_novelty(spark, sf_dir).collect()
+    assert rows
+    assert all(0.0 <= r.novelty <= 1.0 and r.n_novel <= r.n_sh for r in rows)
+    # lowest doc_id with shingles is all-novel by construction
+    first = min(rows, key=lambda r: r.doc_id)
+    assert first.novelty == 1.0
