@@ -71,8 +71,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # w_pareto_share, g_triangle_count, a_winsorize, s_embedding_drift,
 # x_skew_report, q_shipping_priority, q_local_supplier_volume,
 # e_attribution from round-5b; t_hashed_classifier, d_containment,
-# a_ks_test, e_interval_coverage from round-5d — all registered after the
-# slot-50 marker)
+# a_ks_test, e_interval_coverage from round-5d; t_source_caps,
+# t_temperature_mix, a_chi_square, e_ewma_anomaly from round-5e;
+# a_source_lang_entropy, d_threshold_curve, t_ngram_novelty from
+# round-5f — all registered after the slot-50 marker)
 # are locally verified at sf0.001/sf0.01/sf0.1 and rotate into the r6
 # front, oldest-first.
 
