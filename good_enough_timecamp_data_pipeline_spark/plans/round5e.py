@@ -187,8 +187,15 @@ def a_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark DECIMAL(38,0) / DuckDB HUGEINT — room for a trillion-row
     table); squaring and dividing run in correctly-rounded double, so
     both engines emit the same bits. The ≤ (types × 2)-term sum folds
-    in (event_type, wk) order. Fact-table cost: ONE hash-agg; the
-    contingency table, margins, and fold are all enum-sized.
+    in (event_type, wk) order.
+
+    Plan shape: the fact is scanned ONCE into the partial/final
+    contingency hash-agg, then the whole enum-sized table collects into
+    one sorted array row and margins/N/dof/χ² are nested higher-order
+    folds over that array — zero joins, zero fact re-scans (the naive
+    cells→margins→totals join formulation re-scanned the fact 5×:
+    derived aggregates over an unmaterialized frame don't hit
+    ReuseExchange because each consumer's partial-agg differs).
     """
     ev = load_table(spark, sf_dir, "events")
     cells = (
@@ -199,42 +206,46 @@ def a_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "wk")
         .agg(F.count("*").cast("long").alias("o"))
     )
-    rows = cells.groupBy("event_type").agg(F.sum("o").cast("long").alias("r"))
-    cols = cells.groupBy("wk").agg(F.sum("o").cast("long").alias("c"))
-    tot = cells.agg(F.sum("o").cast("long").alias("n"))
+    one = cells.agg(
+        F.array_sort(F.collect_list(F.struct("event_type", "wk", "o"))).alias("arr")
+    )
+    arr = F.col("arr")
+    long0 = F.lit(0).cast("long")
+    n_expr = F.aggregate(arr, long0, lambda a, x: a + x["o"])
     dec = "decimal(38,0)"
-    num = F.col("o").cast(dec) * F.col("n") - F.col("r").cast(dec) * F.col("c")
-    # num is EXACT in 128-bit integer domain (≤ ~1e24 at a trillion rows);
-    # the square runs in double — squaring and the divisions are correctly
-    # rounded from identical inputs, so both engines emit the same bits,
-    # and the square cannot overflow any fixed-width integer type.
-    num_d = num.cast("double")
-    term = (num_d * num_d) / (
-        F.col("n").cast("double") * F.col("r").cast("double") * F.col("c").cast("double")
-    )
-    terms = (
-        cells.join(rows, "event_type")
-        .join(F.broadcast(cols), "wk")
-        .crossJoin(F.broadcast(tot))
-        .select("event_type", "wk", term.alias("term"))
-    )
-    return (
-        terms.crossJoin(F.broadcast(tot))
-        .groupBy()
-        .agg(
-            F.min("n").alias("n"),
-            (
-                (F.count_distinct(F.col("event_type")) - 1)
-                * (F.count_distinct(F.col("wk")) - 1)
-            )
-            .cast("int")
-            .alias("dof"),
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("event_type", "wk", "term"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["term"],
-            ).alias("chi2"),
+
+    def margin(x, field):
+        # row/column total for x's category: an inner fold over the same
+        # tiny array (nested lambda — x is captured from the outer scope)
+        return F.aggregate(
+            arr,
+            long0,
+            lambda a, y: a
+            + F.when(y[field] == x[field], y["o"]).otherwise(long0),
         )
+
+    def term(x):
+        num = (
+            x["o"].cast(dec) * F.col("n")
+            - margin(x, "event_type").cast(dec) * margin(x, "wk")
+        ).cast("double")
+        return (num * num) / (
+            F.col("n").cast("double")
+            * margin(x, "event_type").cast("double")
+            * margin(x, "wk").cast("double")
+        )
+
+    return (
+        one.withColumn("n", n_expr)
+        .withColumn(
+            "dof",
+            (
+                (F.size(F.array_distinct(F.transform(arr, lambda x: x["event_type"]))) - 1)
+                * (F.size(F.array_distinct(F.transform(arr, lambda x: x["wk"]))) - 1)
+            ).cast("int"),
+        )
+        .withColumn("chi2", F.aggregate(arr, F.lit(0.0), lambda a, x: a + term(x)))
+        .select("n", "dof", "chi2")
     )
 
 

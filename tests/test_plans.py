@@ -248,3 +248,48 @@ def test_attribution_single_user_shuffle(spark, sf_dir):
     # exactly one exchange before the window (user shuffle), one for the
     # final tiny agg
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_source_caps_single_window_pruned_scan(spark, sf_dir):
+    """Host balancing: one window partitioned by source, scan pruned to
+    (doc_id, source), no joins anywhere."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round5e
+
+    plan = plan_of(round5e.t_source_caps(spark, sf_dir))
+    doc_scans = [s for s in scans(plan) if "documents.parquet" in s]
+    m = re.search(r"ReadSchema: struct<([^>]*)", doc_scans[0])
+    assert m.group(1).split(",") == ["doc_id:bigint", "source:string"]
+    assert plan.count("Window [") == 1
+    assert "Join" not in plan
+    wm = re.search(r"Window \[[^\n]*\], \[source", plan)
+    assert wm, "window must be partitioned by source"
+
+
+def test_chi_square_single_scan_no_joins(spark, sf_dir):
+    """The contingency test must scan the fact ONCE (pruned to ts +
+    event_type) and compute margins as array folds — the naive
+    cells→margins→totals join formulation re-scanned the fact 5×."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round5e
+
+    df = round5e.a_chi_square(spark, sf_dir)
+    df.collect()
+    # the AQE final-plan string appends an "== Initial Plan ==" section
+    # that repeats the whole subtree — count scans in the final part only
+    plan = plan_of(df).split("== Initial Plan ==")[0]
+    ev_scans = [s for s in scans(plan) if "events.parquet" in s]
+    assert len(ev_scans) == 1, plan
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)", ev_scans[0])
+    assert sorted(m.group(1).split(",")) == ["event_type:string", "ts:timestamp_ntz"]
+
+
+def test_ngram_novelty_no_pairwise_join(spark, sf_dir):
+    """Novelty is join-shaped (shingles x first-seen dim) — never a
+    shingle SELF-join pair enumeration and never a window."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round5f
+
+    plan = plan_of(round5f.t_ngram_novelty(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    # exactly one join: doc-shingles against the first-seen aggregate
+    assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)) == 1
