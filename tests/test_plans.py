@@ -293,3 +293,30 @@ def test_ngram_novelty_no_pairwise_join(spark, sf_dir):
     assert "Window" not in plan
     # exactly one join: doc-shingles against the first-seen aggregate
     assert len(re.findall(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)) == 1
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
+    """Scale feature the engine gets for free from Catalyst: when a
+    selective dim filters a shuffled fact join, Spark injects a runtime
+    BLOOM FILTER on the fact's join key (semi-join reduction before the
+    shuffle). The application-side threshold (default 10 GB) is tuned
+    for clusters — local testdata never crosses it, so the test lowers
+    it to prove the machinery fires; at 100 TB it fires on defaults."""
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        part = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_size = 1")
+        j = li.join(part, li.l_partkey == part.p_partkey).groupBy().count()
+        plan = plan_of(j)
+        assert "might_contain" in plan.lower(), plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
