@@ -359,3 +359,154 @@ SELECT COUNT(*) AS n_customers,
        ) AS gini
 FROM ranked
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# q_nation_trade — TPC-H Q7 shape: bilateral trade volume between two nations
+# ---------------------------------------------------------------------------
+
+TRADE_NATION_A = "NATION_1"
+TRADE_NATION_B = "NATION_2"
+
+
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral supplier-nation ↔ customer-nation revenue by ship year
+    (the TPC-H Q7 "volume shipping" shape): lineitem ⋈ orders ⋈ customer
+    ⋈ supplier plus the nation dim joined in TWO roles, restricted to
+    one nation pair in either direction.
+
+    Scale shape: both nation roles broadcast (25-row dim) with the
+    IN-pair predicate pushed into each role's scan BEFORE the join; the
+    pair-direction condition is a residual on the already-joined row.
+    The fact side shuffles only on its natural keys (orderkey/custkey/
+    suppkey) and carries no hint — AQE picks sides. Revenue accumulates
+    in exact integer cents (the a_gini/Q3 discipline) so a trillion-row
+    SUM hashes identically cross-engine."""
+    names = [TRADE_NATION_A, TRADE_NATION_B]
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.filter(F.col("n_name").isin(names)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(names)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(n1, supp["s_nationkey"] == F.col("n1_key"))
+        .join(n2, cust["c_nationkey"] == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))  # both directions
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q_NATION_TRADE_SQL = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+  AND n2.n_name IN ('{TRADE_NATION_A}', '{TRADE_NATION_B}')
+  AND n1.n_name <> n2.n_name
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# a_benford — first-digit distribution vs Benford's law (fraud/quality gate)
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+#: exact double literals computed ONCE in python and inlined into BOTH
+#: engines — log10 is not cross-engine bit-stable, a shared literal is
+_BENFORD_EXPECTED = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def a_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the classic scale-free fraud/synthetic-data smell
+    test for financial facts.
+
+    Exactness: the first digit comes from the INTEGER cents string
+    (substring of a BIGINT's decimal rendering — identical across
+    engines; floating log10 extraction would wobble at power-of-ten
+    boundaries), and the expected shares are python-computed literals
+    inlined into both engines. One fact hash-agg; the 9-digit table is
+    expression math after."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    counts = (
+        o.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    total = Window.partitionBy()  # 9-row frame: bounded, not fact-sized
+    expected = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(k) for k in _BENFORD_EXPECTED]),
+            F.array(*[F.lit(v) for v in _BENFORD_EXPECTED.values()]),
+        ),
+        F.col("digit"),
+    )
+    return (
+        counts.withColumn("share", F.col("n") / F.sum("n").over(total))
+        .withColumn("expected", expected)
+        .withColumn("abs_dev", F.abs(F.col("share") - F.col("expected")))
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {k} THEN {v!r}" for k, v in _BENFORD_EXPECTED.items()
+)
+
+A_BENFORD_SQL = f"""
+WITH counts AS (
+    SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+    WHERE cents > 0
+    GROUP BY 1
+)
+SELECT digit, n,
+       n / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+       CASE digit {_BENFORD_CASE} END AS expected,
+       ABS(n / CAST(SUM(n) OVER () AS DOUBLE)
+           - CASE digit {_BENFORD_CASE} END) AS abs_dev
+FROM counts
+ORDER BY digit
+""".strip()

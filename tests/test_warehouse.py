@@ -84,3 +84,67 @@ def test_gini_bounds_and_reference(spark, sf_dir):
     rw = sum(i * x for i, (x, _) in enumerate(rev, start=1))
     expect = round((2.0 * float(rw)) / (float(n) * float(s)) - float(n + 1) / n, 6)
     assert row.gini == expect and row.n_customers == n and row.sum_cents == s
+
+
+def test_nation_trade_bilateral_reconciles(spark):
+    """Hand-built 2-nation workspace: revenue must land in the right
+    (supp_nation, cust_nation, year) cell and both directions appear."""
+    import good_enough_timecamp_data_pipeline_spark.plans.warehouse as m
+
+    nation = spark.createDataFrame(
+        [(1, "NATION_1"), (2, "NATION_2"), (3, "NATION_3")],
+        "n_nationkey long, n_name string",
+    )
+    supp = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "s_suppkey long, s_nationkey long"
+    )
+    cust = spark.createDataFrame(
+        [(20, 1), (21, 2)], "c_custkey long, c_nationkey long"
+    )
+    orders = spark.createDataFrame(
+        [(100, 20), (101, 21)], "o_orderkey long, o_custkey long"
+    )
+    li = spark.createDataFrame(
+        [
+            # (orderkey, suppkey, shipdate, price, discount)
+            (100, 11, "1995-06-01", 100.0, 0.1),  # N2 supp -> N1 cust: 9000 cents
+            (101, 10, "1995-07-01", 200.0, 0.0),  # N1 supp -> N2 cust: 20000 cents
+            (101, 11, "1995-07-02", 50.0, 0.0),   # N2 supp -> N2 cust: same-nation, excluded
+            (100, 12, "1995-08-01", 70.0, 0.0),   # N3 supp: outside the pair, excluded
+        ],
+        "l_orderkey long, l_suppkey long, ship string, l_extendedprice double, l_discount double",
+    ).select("l_orderkey", "l_suppkey", F.col("ship").cast("timestamp").alias("l_shipdate"),
+             "l_extendedprice", "l_discount")
+    tables = {"nation": nation, "supplier": supp, "customer": cust,
+              "orders": orders, "lineitem": li}
+    orig = m.load_table
+    try:
+        m.load_table = lambda spark, sf_dir, name: tables[name]
+        rows = {(r.supp_nation, r.cust_nation, r.l_year): r for r in
+                m.q_nation_trade(spark, "unused").collect()}
+    finally:
+        m.load_table = orig
+    assert set(rows) == {("NATION_2", "NATION_1", 1995), ("NATION_1", "NATION_2", 1995)}
+    assert rows[("NATION_2", "NATION_1", 1995)].revenue_cents == 9000
+    assert rows[("NATION_1", "NATION_2", 1995)].revenue_cents == 20000
+
+
+def test_benford_distribution_properties(spark, sf_dir):
+    import math
+
+    rows = warehouse.a_benford(spark, sf_dir).collect()
+    assert [r.digit for r in rows] == list(range(1, 10))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.expected == math.log10(1 + 1 / r.digit)
+        assert r.abs_dev == abs(r.share - r.expected)
+    # counts reconcile with a direct digit count
+    import pandas as pd
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    import collections
+
+    ref = collections.Counter(
+        int(str(int(math.floor(p * 100)))[0]) for p in o.o_totalprice if math.floor(p * 100) > 0
+    )
+    assert {r.digit: r.n for r in rows} == dict(ref)
