@@ -314,3 +314,12 @@ register("g_communities", curation.g_communities)
 register("s_pq_codes", curation.s_pq_codes)
 register("s_kmeans", northstar.s_kmeans)
 register("g_kcore", round5e.g_kcore)
+
+
+def _s_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import s_stream_ewma
+
+    return s_stream_ewma(spark, sf_dir)
+
+
+register("s_stream_ewma", _s_stream_ewma)

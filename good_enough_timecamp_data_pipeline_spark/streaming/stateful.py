@@ -171,3 +171,148 @@ def streaming_sessionize(
     # the memory sink keeps the rows in the session; hand the table straight
     # to the caller instead of round-tripping 10^5 rows through the driver
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Second custom stateful operator: per-user streaming EWMA + anomaly emission
+# ---------------------------------------------------------------------------
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("anomaly", T.BooleanType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("ewma", T.DoubleType()), T.StructField("n", T.LongType())]
+)
+
+
+def _ewma_user(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user λ=½ EWMA carried ACROSS micro-batches: the monitoring
+    twin of `_sessionize_user` — state is two numbers per key, each
+    event is scored against the smoothed history (ratio rule, matching
+    plans/round5e.py::e_ewma_anomaly) and emitted with its running
+    mean. Arithmetic is `0.5*x + 0.5*prev` in IEEE doubles — the exact
+    sequence the batch twin `batch_ewma_final` folds, so streaming and
+    batch agree BIT-exactly per user."""
+    (user_id,) = key
+    if state.exists:
+        ewma, n = state.get
+    else:
+        ewma, n = None, 0
+
+    rows: list[tuple[int, int, int, float, float, bool]] = []
+    for pdf in pdfs:
+        ordered = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, eid, v in zip(ordered["ts_us"], ordered["event_id"], ordered["value"]):
+            v = float(v)
+            prev = ewma
+            ewma = v if ewma is None else 0.5 * v + 0.5 * ewma
+            n += 1
+            anomaly = prev is not None and (v > 2.0 * prev or 2.0 * v < prev)
+            rows.append((int(user_id), int(ts_us), int(eid), v, ewma, anomaly))
+
+    if n:
+        state.update((float(ewma), int(n)))
+    yield pd.DataFrame(
+        rows, columns=["user_id", "ts_us", "event_id", "value", "ewma", "anomaly"]
+    )
+
+
+def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+    """Per-event EWMA scores over events as a multi-batch stream; the
+    state handoff between micro-batches is the point (one big batch
+    would make the carry trivially correct)."""
+    import shutil
+
+    src = _chunked_events_dir(spark, sf_dir, n_chunks)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col("user_id"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("event_id"),
+            F.col("value"),
+        )
+    )
+    scored = stream.groupBy("user_id").applyInPandasWithState(
+        _ewma_user,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = "stream_ewma_out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    with tempfile.TemporaryDirectory() as ckpt:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                scored.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            shutil.rmtree(src, ignore_errors=True)
+    return spark.table(name)
+
+
+def s_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry (rows-only): per-user summary of the streamed EWMA —
+    event count, anomaly count, and the final smoothed value (which the
+    batch twin must reproduce bit-exactly — asserted in
+    tests/test_multimodal_streaming.py::test_stream_ewma_matches_batch_fold)."""
+    scored = streaming_ewma(spark, sf_dir)
+    return scored.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("anomaly").cast("int")).cast("long").alias("n_anomalies"),
+        F.max_by("ewma", F.struct("ts_us", "event_id")).alias("final_ewma"),
+    )
+
+
+def batch_ewma_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin: per-user FINAL λ=½ EWMA as one ordered fold over the
+    user's (ts, event_id)-sorted values — same IEEE sequence the
+    streaming operator executes, so equality is exact, not approximate.
+    The per-user collect_list is bounded by per-user activity (the same
+    contract as x_ordered_paths); the fold itself is expression-level."""
+    ensure_events_read_conf(spark)
+    ev = (
+        normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            "value",
+        )
+    )
+    arr = F.array_sort(F.collect_list(F.struct("ts_us", "event_id", "value")))
+    fold = F.aggregate(
+        arr,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x["value"]).otherwise(
+            F.lit(0.5) * x["value"] + F.lit(0.5) * acc
+        ),
+    )
+    return ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"), fold.alias("final_ewma")
+    )

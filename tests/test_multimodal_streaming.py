@@ -280,3 +280,44 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_ewma_matches_batch_fold(spark, sf_dir):
+    """The per-user EWMA carried across micro-batches must equal the
+    batch-side ordered fold BIT-exactly (same IEEE sequence), and event
+    counts must reconcile — the state handoff is what's under test."""
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        batch_ewma_final,
+        s_stream_ewma,
+    )
+
+    got = {r.user_id: r for r in s_stream_ewma(spark, sf_dir).collect()}
+    want = {r.user_id: r for r in batch_ewma_final(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g.n_events == w.n_events, uid
+        assert g.final_ewma == w.final_ewma, (uid, g.final_ewma, w.final_ewma)
+
+
+def test_stream_ewma_anomaly_rule(spark, sf_dir):
+    """Anomalies obey the ratio rule against the PRE-update smoothed
+    value, recomputed sequentially in python for a sample of users."""
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        streaming_ewma,
+    )
+
+    rows = streaming_ewma(spark, sf_dir).collect()
+    by_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts_us, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for uid in list(by_user)[:5]:
+        ewma = None
+        for r in by_user[uid]:
+            expect_anom = ewma is not None and (
+                r.value > 2.0 * ewma or 2.0 * r.value < ewma
+            )
+            assert r.anomaly == expect_anom, (uid, r.event_id)
+            ewma = r.value if ewma is None else 0.5 * r.value + 0.5 * ewma
+            assert r.ewma == ewma, (uid, r.event_id)

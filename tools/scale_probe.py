@@ -225,6 +225,24 @@ def probe(spark, sf_dir: str) -> dict[str, float]:
     curation.g_triangle_count(spark, sf_dir).write.format("noop").mode("overwrite").save()
     res["triangle_count"] = time.time() - t0
     spark.catalog.clearCache()
+
+    # k-core peeling: disjoint scaled graph copies keep degrees (and so
+    # the peeling DEPTH) constant while edges grow with the factor;
+    # ideal is linear in the per-round degree agg + semi-joins
+    from good_enough_timecamp_data_pipeline_spark.plans import round5e, round5f
+
+    t0 = time.time()
+    round5e.g_kcore(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    res["kcore"] = time.time() - t0
+    spark.catalog.clearCache()
+
+    # n-gram novelty: scaled docs are dissimilar by construction, so
+    # shingle rows AND distinct shingles both grow with the factor;
+    # ideal is linear in the first-seen hash-agg + join-back
+    t0 = time.time()
+    round5f.t_ngram_novelty(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    res["ngram_novelty"] = time.time() - t0
+    spark.catalog.clearCache()
     return res
 
 
