@@ -320,3 +320,44 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
         conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         )
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The session enables AQE skew-join handling (session.py); this pins
+    that it actually FIRES: a 2000:1 hot-key join, thresholds lowered to
+    local data sizes (defaults are cluster-scale: 256 MB), must show the
+    skewed sort-merge join split at runtime — SortMergeJoin(skew=true)
+    in the final adaptive plan. At 100 TB the same machinery splits hot
+    keys on default thresholds; salting (j_salted_skew_join) remains for
+    the aggregation-side skew AQE does not cover."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        big = (
+            spark.range(200_000)
+            .select(F.lit(1).alias("k"), F.col("id").alias("payload"))
+            .unionByName(
+                spark.range(100).select(
+                    (F.col("id") % 50 + 2).alias("k"), F.col("id").alias("payload")
+                )
+            )
+        )
+        dim = spark.range(52).select(F.col("id").alias("k"), (F.col("id") * 2).alias("p2"))
+        j = big.join(dim, "k").groupBy().count()
+        assert j.collect()[0]["count"] == 200_100
+        plan = plan_of(j)
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        ):
+            conf.unset(k)
