@@ -291,6 +291,7 @@ register("d_threshold_curve", round5f.d_threshold_curve, round5f.D_THRESHOLD_CUR
 register("t_ngram_novelty", round5f.t_ngram_novelty, round5f.T_NGRAM_NOVELTY_SQL)
 register("q_nation_trade", warehouse.q_nation_trade, warehouse.Q_NATION_TRADE_SQL)
 register("a_benford", warehouse.a_benford, warehouse.A_BENFORD_SQL)
+register("d_lsh_quality", round5f.d_lsh_quality, round5f.D_LSH_QUALITY_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

@@ -196,3 +196,75 @@ SELECT sh.doc_id,
 FROM sh JOIN first_ USING (sh)
 GROUP BY sh.doc_id
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# d_lsh_quality — recall/precision audit of banded LSH vs exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def d_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation QUALITY audit: run the exact shingle-Jaccard
+    pair enumeration AND the banded MinHash-LSH pipeline over the same
+    near-dup corpus (the `d_ngram_jaccard`/`d_minhash_lsh` pair, same
+    parameters: n=5, 64 hashes, 32 bands, τ=0.5) and report
+    recall / precision of the LSH pair set against ground truth — the
+    measurement a dedup rollout runs before trusting banding at scale.
+
+    The oracle encodes the CONTRACT, not a re-derivation: at 32×2
+    banding a τ=0.5 pair is missed with prob ≈1e-4, and the fixed hash
+    seeds make the outcome deterministic — so expected recall is exactly
+    1.0 (and precision is 1.0 by construction: candidates are
+    exact-verified). A banding regression (fewer bands, broken hash
+    family, dropped candidate) surfaces as recall < 1.0 → hash mismatch
+    at the driver gate. Both pair sets are already computed by their own
+    catalog entries; this query full-outer-joins them (pair-keyed
+    shuffle) and folds ONE summary row.
+    """
+    from ..operators.dedup import minhash_lsh_pairs, shingle_pairs_jaccard
+    from .northstar import _docs_near_dup
+
+    docs = _docs_near_dup(spark, sf_dir)
+    exact = shingle_pairs_jaccard(docs, n=5, threshold=0.5, max_shingle_df=None).select(
+        "id_a", "id_b", F.lit(1).alias("in_exact")
+    )
+    lsh = minhash_lsh_pairs(
+        docs, n=5, num_hashes=64, bands=32, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("in_lsh", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_common"),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_common",
+        (F.col("n_common").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
+        (F.col("n_common").cast("double") / F.col("n_lsh").cast("double")).alias(
+            "precision"
+        ),
+    )
+
+
+def _d_lsh_quality_sql() -> str:
+    from .northstar import D_NGRAM_JACCARD_SQL
+
+    return f"""
+WITH truth AS ({D_NGRAM_JACCARD_SQL})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_lsh,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       1.0 AS recall,
+       1.0 AS precision
+FROM truth
+""".strip()
+
+
+D_LSH_QUALITY_SQL = _d_lsh_quality_sql()

@@ -95,3 +95,31 @@ def test_ngram_novelty_testdata_bounds(spark, sf_dir):
     # lowest doc_id with shingles is all-novel by construction
     first = min(rows, key=lambda r: r.doc_id)
     assert first.novelty == 1.0
+
+
+def test_lsh_quality_perfect_at_pinned_settings(spark, sf_dir):
+    (r,) = round5f.d_lsh_quality(spark, sf_dir).collect()
+    assert r.n_exact > 0  # the injected near-dup corpus guarantees pairs
+    assert r.n_exact == r.n_lsh == r.n_common
+    assert r.recall == 1.0 and r.precision == 1.0
+
+
+def test_lsh_quality_detects_degraded_banding(spark):
+    """Sanity that the audit CAN fail: with far fewer bands the borderline
+    pair (jaccard ≈ 0.5) is likely missed and recall drops below 1 —
+    recomputed here directly through the operators at 2 bands."""
+    from good_enough_timecamp_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        shingle_pairs_jaccard,
+    )
+
+    # ~0.5-jaccard pair: 15 shared tokens, 8 unique tail each
+    a = " ".join(f"w{i}" for i in range(15)) + " " + " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"w{i}" for i in range(15)) + " " + " ".join(f"b{i}" for i in range(8))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    exact = shingle_pairs_jaccard(df, threshold=0.4, max_shingle_df=None).count()
+    assert exact == 1
+    weak = minhash_lsh_pairs(df, num_hashes=4, bands=2, threshold=0.4).count()
+    strong = minhash_lsh_pairs(df, num_hashes=64, bands=32, threshold=0.4).count()
+    assert strong == 1  # the pinned settings catch it
+    assert weak <= strong  # degraded banding can only lose pairs
