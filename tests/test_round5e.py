@@ -221,3 +221,62 @@ def test_g_kcore_matches_bruteforce_on_testdata(spark, sf_dir):
     edges = {(int(p), int(s) + 10_000_000) for p, s in zip(li.l_partkey, li.l_suppkey)}
     assert got == _py_kcore(sorted(edges), round5e.KCORE_K)
     assert all(d >= round5e.KCORE_K for d in got.values())
+
+
+# ---------------------------------------------------------------------------
+# empty-input robustness for the round-5e/5f catalog queries
+# ---------------------------------------------------------------------------
+
+
+def test_round5ef_queries_survive_empty_tables(spark):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from good_enough_timecamp_data_pipeline_spark.plans import round5f
+
+    events_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    li_schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_suppkey", T.LongType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([], events_schema).write.parquet(f"{d}/events.parquet")
+        spark.createDataFrame([], docs_schema).write.parquet(f"{d}/documents.parquet")
+        spark.createDataFrame([], li_schema).write.parquet(f"{d}/lineitem.parquet")
+        # empty → empty result set, never a crash
+        for fn in (
+            round5e.t_source_caps,
+            round5e.e_ewma_anomaly,
+            round5e.g_kcore,
+            round5f.d_threshold_curve,
+            round5f.t_ngram_novelty,
+            round5f.a_source_lang_entropy,
+            round5e.t_temperature_mix,
+        ):
+            assert fn(spark, d).collect() == [], fn.__name__
+        # the chi-square summary row degenerates cleanly: 0 observations,
+        # 0-term fold → chi2 exactly 0.0 (and trivially non-significant)
+        (r,) = round5e.a_chi_square(spark, d).collect()
+        assert r.n == 0 and r.chi2 == 0.0
