@@ -268,3 +268,44 @@ FROM truth
 
 
 D_LSH_QUALITY_SQL = _d_lsh_quality_sql()
+
+
+# ---------------------------------------------------------------------------
+# t_train_classifier — distributed training of the quality classifier
+# ---------------------------------------------------------------------------
+
+
+def t_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the hashed bag-of-words quality classifier END-TO-END on the
+    corpus via DISTANT SUPERVISION (the standard quality-filter
+    bootstrap: label a corpus by a cheap rule, train a hashed linear
+    model that generalizes the rule) and return the per-iteration
+    training curve (iteration, loss, accuracy) — rows-only: gradient
+    descent is iterative, and the loss is a float reduction whose
+    exactness contract is per-run determinism, not cross-engine
+    equality. The weak rule here is token-presence ('customer' —
+    synthetic testdata carries no language signal in the text itself,
+    so a lexical rule is the honest separable task); the trainer must
+    recover it from the 1024-bucket hashed features, driving accuracy
+    from the ~0.5 zero-model baseline toward 1 (floor-asserted in
+    tests/test_round5f.py).
+
+    Scale shape (`operators/classifier.py`): ONE featurize pass
+    persisted, then per iteration one Arrow `mapInPandas` pass emitting
+    (partitions × V)-float partial gradients — driver traffic is
+    independent of corpus size. The learned weights drop into the same
+    zero-shuffle scoring scan as `t_hashed_classifier`
+    (`score_with_model`)."""
+    from ..operators.classifier import train_logreg_hashed
+    from ..operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "text",
+        F.array_contains(tokenize(F.col("text")), "customer").cast("int").alias("label"),
+    )
+    model = train_logreg_hashed(labeled, n_iter=15)
+    return spark.createDataFrame(
+        [(i, float(l), float(a)) for i, l, a in model.history],
+        "iteration int, loss double, accuracy double",
+    )
