@@ -378,3 +378,78 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     ids = sorted(r.id for r in rows)
     assert ids == list(range(15)), "restart must process exactly the new file"
     assert all(r.doubled == r.id * 2 for r in rows)
+
+
+def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
+    """Pins the watermark SEMANTICS the windowed streaming aggs rely on:
+    an event arriving in a later micro-batch, with an event time behind
+    the advanced watermark, is dropped from state — the finalized
+    append-mode window does NOT count it (while an on-time event in the
+    same batch does land in its own open window)."""
+    import glob as g
+    import os
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+
+    def land(k, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts_s string").select(
+            "event_id", F.col("ts_s").cast("timestamp").alias("ts")
+        ).coalesce(1)
+        stage = str(tmp_path / f"stage{k}")
+        df.write.mode("overwrite").parquet(stage)
+        (part,) = g.glob(f"{stage}/part-*.parquet")
+        dst = f"{feed}/b{k}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (_time.time() - 3600 + k * 10,) * 2)
+
+    # batch 0: three events in the 10:00 window + one at 12:00 that
+    # advances the watermark (30 min) to 11:30
+    land(0, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:10:00"),
+             (3, "2024-01-01 10:20:00"), (4, "2024-01-01 12:00:00")])
+    # batch 1: on-time 13:00 — batch 1 runs under wm 11:30, which
+    # finalizes+emits the 10:00 window (count 3) and advances wm to 12:30.
+    # (Spark's late filter uses the watermark as of the batch's START, so
+    # an event must arrive ≥2 batches late to be dropped — measured.)
+    land(1, [(5, "2024-01-01 13:00:00")])
+    # batch 2: a LATE event for the long-finalized 10:00 window — behind
+    # the 12:30 watermark, must be dropped (no retro-count, no duplicate
+    # append emission) — plus an on-time 14:30 event
+    land(2, [(6, "2024-01-01 10:30:00"), (7, "2024-01-01 14:30:00")])
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("start"), "n")
+    )
+    import tempfile
+
+    name = "wm_drop_out"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    rows = spark.table(name).collect()
+    ten = [r.n for r in rows if r.start == "2024-01-01 10:00:00"]
+    # the 10:00 window finalized ONCE with THREE events: the late 10:30
+    # arrival (event 6) was dropped — neither retro-counted nor emitted
+    # as a duplicate append row for the same window
+    assert ten == [3], rows
