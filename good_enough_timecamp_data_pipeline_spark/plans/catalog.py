@@ -25,6 +25,7 @@ from . import (
     round5d,
     round5e,
     round5f,
+    round5g,
     training,
     warehouse,
 )
@@ -292,6 +293,7 @@ register("t_ngram_novelty", round5f.t_ngram_novelty, round5f.T_NGRAM_NOVELTY_SQL
 register("q_nation_trade", warehouse.q_nation_trade, warehouse.Q_NATION_TRADE_SQL)
 register("a_benford", warehouse.a_benford, warehouse.A_BENFORD_SQL)
 register("d_lsh_quality", round5f.d_lsh_quality, round5f.D_LSH_QUALITY_SQL)
+register("x_geo_grid_join", round5g.x_geo_grid_join, round5g.X_GEO_GRID_JOIN_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

@@ -1,0 +1,133 @@
+"""Round-5g batch: spatial grid-blocked proximity join.
+
+``x_geo_grid_join`` — all point pairs within radius r, computed the way
+a 100 TB spatial join must be: grid-cell blocking turns the distance
+predicate into an EQUI-join (cell size = r, one side exploded to its
+3×3 neighborhood, the other at its home cell), then the exact distance
+filter runs as a residual — the 2-D analog of `x_range_join_bucketed`'s
+time-bucket move, and the standard spatial-join shape (grid / geohash
+partitioning) on any distributed engine. Never an all-pairs product:
+candidate width is bounded by cell occupancy.
+
+Exactness: coordinates derive from md5(custkey) — exact integers scaled
+by an exact power-of-ten division — and the squared-distance residual
+is +/−/× on doubles (correctly rounded, identical in both engines), so
+even boundary pairs (dist² == r² exactly) agree cross-engine. Distance
+is reported SQUARED to keep sqrt out of the hashed columns (sqrt is
+correctly rounded too, but the squared form is the join's native
+currency). Flat-plane geometry: the synthetic points live on a
+1 km × 1 km plane; production geo data swaps in a geohash/S2 cell key
+and a haversine residual — same plan shape (haversine's sin/cos are
+NOT cross-engine bit-stable, which is exactly why the oracle-twinned
+variant pins the plane case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .testdata import load_table
+
+GEO_RADIUS = 5.0  # meters; also the grid cell size
+GEO_SPAN_MM = 1_000_000  # points live in [0, 1000) m, millimeter grid
+
+
+def _coord(key: F.Column, salt: str) -> F.Column:
+    """Deterministic coordinate in [0, 1000) m with mm resolution:
+    md5 → first 8 hex digits → mod 10^6 mm → ÷1000. Exact: the integer
+    is exact, 10^3 division is one correctly-rounded double op."""
+    h = F.conv(F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return (h.cast("long") % GEO_SPAN_MM).cast("double") / 1000.0
+
+
+def geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("id"),
+        _coord(F.col("c_custkey"), "x").alias("x"),
+        _coord(F.col("c_custkey"), "y").alias("y"),
+    )
+
+
+def x_geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point pairs within ``GEO_RADIUS`` meters (id_a < id_b, squared
+    distance), via 3×3 grid-neighborhood equi-join + exact residual.
+
+    Cell side == radius guarantees every qualifying pair shares a
+    (home, neighbor) cell combination exactly once: the left row is
+    exploded to the 9 cells around its home, the right row sits at its
+    home cell — a pair is found iff b's home is in a's neighborhood
+    (always true at dist ≤ r√2 ≥ r), and found ONCE because b has one
+    home. Shuffle key = cell id — parallelism grows with the occupied
+    area, hot cells bounded by density × r²."""
+    pts = geo_points(spark, sf_dir)
+    cell_x = F.floor(F.col("x") / GEO_RADIUS).cast("long")
+    cell_y = F.floor(F.col("y") / GEO_RADIUS).cast("long")
+    homed = pts.select("id", "x", "y", cell_x.alias("cx"), cell_y.alias("cy"))
+    probe = (
+        homed.select(
+            "id", "x", "y",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+            "cx", "cy",
+        )
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+            "cy",
+        )
+        .select("id", "x", "y", "cx", (F.col("cy") + F.col("dy")).alias("cy"))
+    )
+    a, b = probe.alias("a"), homed.alias("b")
+    # explicit multiplies, not **2: pow() routes through Math.pow and is
+    # not guaranteed bit-equal to x*x, while * is IEEE-exact both sides
+    ddx = F.col("a.x") - F.col("b.x")
+    ddy = F.col("a.y") - F.col("b.y")
+    dist2 = ddx * ddx + ddy * ddy
+    return (
+        a.join(
+            b,
+            (F.col("a.cx") == F.col("b.cx"))
+            & (F.col("a.cy") == F.col("b.cy"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            dist2.alias("dist2"),
+        )
+        .filter(F.col("dist2") <= F.lit(GEO_RADIUS * GEO_RADIUS))
+        .orderBy("id_a", "id_b")
+    )
+
+
+X_GEO_GRID_JOIN_SQL = f"""
+WITH pts AS (
+    SELECT c_custkey AS id,
+           CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 8))
+                AS BIGINT) % {GEO_SPAN_MM} AS DOUBLE) / 1000.0 AS x,
+           CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))
+                AS BIGINT) % {GEO_SPAN_MM} AS DOUBLE) / 1000.0 AS y
+    FROM customer
+),
+homed AS (
+    SELECT id, x, y,
+           CAST(FLOOR(x / {GEO_RADIUS}) AS BIGINT) AS cx,
+           CAST(FLOOR(y / {GEO_RADIUS}) AS BIGINT) AS cy
+    FROM pts
+),
+probe AS (
+    SELECT id, x, y, cx + dx.g AS cx, cy + dy.g AS cy
+    FROM homed,
+         (SELECT unnest(generate_series(-1, 1)) AS g) dx,
+         (SELECT unnest(generate_series(-1, 1)) AS g) dy
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+FROM probe a
+JOIN homed b ON a.cx = b.cx AND a.cy = b.cy AND a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {GEO_RADIUS * GEO_RADIUS}
+ORDER BY id_a, id_b
+""".strip()

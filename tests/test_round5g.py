@@ -1,0 +1,62 @@
+"""Brute-force parity for the grid-blocked spatial proximity join."""
+
+import hashlib
+
+import pandas as pd
+
+from good_enough_timecamp_data_pipeline_spark.plans import round5g
+
+
+def _coord(key: int, salt: str) -> float:
+    h = int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16)
+    return (h % round5g.GEO_SPAN_MM) / 1000.0
+
+
+def test_geo_grid_join_matches_bruteforce(spark, sf_dir):
+    """Every pair the O(n²) scan finds, the grid join finds — same ids,
+    same squared distances bit-exactly — and nothing extra."""
+    got = {
+        (r.id_a, r.id_b): r.dist2
+        for r in round5g.x_geo_grid_join(spark, sf_dir).collect()
+    }
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    pts = [(int(k), _coord(int(k), "x"), _coord(int(k), "y")) for k in cust.c_custkey]
+    want = {}
+    r2 = round5g.GEO_RADIUS * round5g.GEO_RADIUS
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (ia, xa, ya), (ib, xb, yb) = pts[i], pts[j]
+            if ia > ib:
+                (ia, xa, ya), (ib, xb, yb) = pts[j], pts[i]
+            d2 = (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+            if d2 <= r2:
+                want[(ia, ib)] = d2
+    assert got == want
+
+
+def test_geo_grid_join_finds_cross_cell_pairs(spark):
+    """Points on opposite sides of a cell boundary (and diagonal
+    neighbors) must still pair — the 3×3 neighborhood explode is what
+    makes blocking complete, not just fast."""
+    import good_enough_timecamp_data_pipeline_spark.plans.round5g as m
+    from pyspark.sql import functions as F
+
+    # craft custkeys irrelevant — monkeypatch geo_points directly
+    pts = spark.createDataFrame(
+        [
+            (1, 4.9, 2.0),   # cell (0,0)
+            (2, 5.1, 2.0),   # cell (1,0) — 0.2 m away, across the boundary
+            (3, 4.9, 4.9),   # cell (0,0)
+            (4, 5.1, 5.1),   # cell (1,1) — diagonal neighbor, ~0.28 m
+            (5, 50.0, 50.0), # far away
+        ],
+        "id long, x double, y double",
+    )
+    orig = m.geo_points
+    try:
+        m.geo_points = lambda spark, sf_dir: pts
+        got = {(r.id_a, r.id_b) for r in m.x_geo_grid_join(spark, "unused").collect()}
+    finally:
+        m.geo_points = orig
+    assert (1, 2) in got and (3, 4) in got
+    assert all(5 not in p for p in got)
