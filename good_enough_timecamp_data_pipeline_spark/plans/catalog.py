@@ -294,6 +294,7 @@ register("q_nation_trade", warehouse.q_nation_trade, warehouse.Q_NATION_TRADE_SQ
 register("a_benford", warehouse.a_benford, warehouse.A_BENFORD_SQL)
 register("d_lsh_quality", round5f.d_lsh_quality, round5f.D_LSH_QUALITY_SQL)
 register("x_geo_grid_join", round5g.x_geo_grid_join, round5g.X_GEO_GRID_JOIN_SQL)
+register("f_array_ops", round5g.f_array_ops, round5g.F_ARRAY_OPS_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

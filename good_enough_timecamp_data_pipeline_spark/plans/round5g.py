@@ -131,3 +131,59 @@ WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {GEO_RADIUS * GEO_RADIUS}
 ORDER BY id_a, id_b
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# f_array_ops — array set-algebra battery (union/intersect/except/sort)
+# ---------------------------------------------------------------------------
+
+
+def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-algebra over each document's token halves: sizes of
+    union/intersection/difference of the two distinct-token sets plus
+    the lexicographically-first token — the higher-order-function
+    coverage row for Spark's array algebra (`array_union` /
+    `array_intersect` / `array_except` / `array_sort`), all exercised
+    where results are ORDER-INSENSITIVE (sizes and a sorted head:
+    the engines' internal element orders differ, their set sizes
+    don't). Pure projection — zero shuffle, codegen end to end."""
+    from ..operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    half = (F.size(toks) / 2).cast("int")
+    a = F.array_distinct(F.slice(toks, F.lit(1), half))
+    b = F.array_distinct(F.slice(toks, half + 1, F.size(toks) - half))
+    return docs.select(
+        "doc_id",
+        F.size(a).cast("int").alias("n_a"),
+        F.size(b).cast("int").alias("n_b"),
+        F.size(F.array_union(a, b)).cast("int").alias("n_union"),
+        F.size(F.array_intersect(a, b)).cast("int").alias("n_inter"),
+        F.size(F.array_except(a, b)).cast("int").alias("n_except"),
+        F.element_at(F.array_sort(a), 1).alias("first_tok"),
+    )
+
+
+from .northstar import TOKS_SQL  # noqa: E402  (shared tokenizer contract)
+
+F_ARRAY_OPS_SQL = f"""
+WITH t AS (
+    SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+),
+halves AS (
+    SELECT doc_id,
+           list_distinct(list_slice(toks, 1, CAST(len(toks) // 2 AS INTEGER))) AS a,
+           list_distinct(list_slice(toks, CAST(len(toks) // 2 AS INTEGER) + 1,
+                                    len(toks))) AS b
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(a) AS INTEGER) AS n_a,
+       CAST(len(b) AS INTEGER) AS n_b,
+       CAST(len(list_distinct(list_concat(a, b))) AS INTEGER) AS n_union,
+       CAST(len(list_filter(a, x -> list_contains(b, x))) AS INTEGER) AS n_inter,
+       CAST(len(list_filter(a, x -> NOT list_contains(b, x))) AS INTEGER) AS n_except,
+       list_sort(a)[1] AS first_tok
+FROM halves
+""".strip()

@@ -60,3 +60,24 @@ def test_geo_grid_join_finds_cross_cell_pairs(spark):
         m.geo_points = orig
     assert (1, 2) in got and (3, 4) in got
     assert all(5 not in p for p in got)
+
+
+def test_array_ops_set_algebra_identities(spark, sf_dir):
+    """|A∪B| = |A| + |B| − |A∩B| and |A\\B| = |A| − |A∩B| must hold
+    row-by-row, and first_tok is the sorted head of the first half."""
+    rows = round5g.f_array_ops(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_union == r.n_a + r.n_b - r.n_inter, r
+        assert r.n_except == r.n_a - r.n_inter, r
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    by_id = {r.doc_id: r for r in rows}
+    for doc_id, text in list(zip(docs.doc_id, docs.text))[:25]:
+        toks = [t for t in text.strip().split() if t]
+        half = len(toks) // 2
+        a = list(dict.fromkeys(toks[:half]))
+        b = list(dict.fromkeys(toks[half:]))
+        r = by_id[doc_id]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert r.n_inter == len(set(a) & set(b))
+        assert r.first_tok == (min(a) if a else None)
