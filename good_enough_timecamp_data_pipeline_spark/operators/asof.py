@@ -35,14 +35,22 @@ def asof_join(
     by: str | list[str] = "key",
     value_cols: list[str] | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of join: for every left row, the latest right row with
-    ``right[on] <= left[on]`` within the same ``by`` group.
+    """Left as-of join: for every left row, the nearest right row within
+    the same ``by`` group — ``direction="backward"`` (default) matches
+    the latest right row with ``right[on] <= left[on]``;
+    ``direction="forward"`` the earliest right row with
+    ``right[on] >= left[on]`` (the same carry window run over the
+    reversed order — identical single-shuffle cost). For
+    nearest-either-side semantics see :func:`asof_join_nearest`.
 
     Right must be unique per (by, on) — pre-aggregate if not. Output =
     left columns + ``{on}{suffix}`` (matched right timestamp, NULL when no
-    earlier right row) + each value col as ``{col}{suffix}``.
+    match in the chosen direction) + each value col as ``{col}{suffix}``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     by_cols = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by_cols) | {on}
@@ -64,9 +72,13 @@ def asof_join(
     ).select(*lhs.columns)  # align column order
 
     unioned = lhs.unionByName(rhs)
+    # equal-timestamp reference rows must be visible to the probe row in
+    # EITHER direction (inclusive match) — _probe asc puts the reference
+    # first at ties under both orderings
+    on_order = F.col(on).asc() if direction == "backward" else F.col(on).desc()
     w = (
         Window.partitionBy(*by_cols)
-        .orderBy(F.col(on).asc(), F.col("_probe").asc())
+        .orderBy(on_order, F.col("_probe").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -79,3 +91,47 @@ def asof_join(
         ],
     )
     return carried.filter(F.col("_probe") == 1).drop("_probe")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | list[str] = "key",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Nearest-either-side as-of join: the right row minimizing
+    ``|right[on] − left[on]|`` within the group; exact ties in distance
+    resolve BACKWARD (the earlier row — reproducible, and the convention
+    that never reads the future when distances are equal).
+
+    Runs the backward and forward passes (two keyed shuffles — still no
+    range explosion) and picks per row. Timestamp distances compare in
+    integer microseconds, so the tie rule is exact."""
+    bwd = asof_join(left, right, on, by, value_cols, suffix="_bwd", direction="backward")
+    by_cols = [by] if isinstance(by, str) else list(by)
+    value_cols = value_cols or [
+        c for c in right.columns if c not in set(by_cols) | {on}
+    ]
+    fwd = asof_join(left, right, on, by, value_cols, suffix="_fwd", direction="forward")
+    join_keys = [c for c in left.columns]
+    both = bwd.join(fwd, join_keys)
+    d_b = F.abs(F.unix_micros(F.col(f"{on}_bwd")) - F.unix_micros(F.col(on)))
+    d_f = F.abs(F.unix_micros(F.col(f"{on}_fwd")) - F.unix_micros(F.col(on)))
+    use_bwd = F.col(f"{on}_bwd").isNotNull() & (
+        F.col(f"{on}_fwd").isNull() | (d_b <= d_f)
+    )
+    out = both.select(
+        *join_keys,
+        F.when(use_bwd, F.col(f"{on}_bwd")).otherwise(F.col(f"{on}_fwd")).alias(
+            f"{on}{suffix}"
+        ),
+        *[
+            F.when(use_bwd, F.col(f"{c}_bwd")).otherwise(F.col(f"{c}_fwd")).alias(
+                f"{c}{suffix}"
+            )
+            for c in value_cols
+        ],
+    )
+    return out

@@ -187,3 +187,102 @@ SELECT doc_id,
        list_sort(a)[1] AS first_tok
 FROM halves
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# x_asof_forward / x_asof_nearest — the remaining as-of directions
+# ---------------------------------------------------------------------------
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", cents.alias("purchase_cents")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max(cents).alias("view_cents"))
+    )
+    return purchases, views
+
+
+def x_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the user's NEXT (>=) view — the
+    forward direction of the as-of operator (`x_asof_join` pins
+    backward): the same carry window over the reversed order, one keyed
+    shuffle; DuckDB's native ASOF JOIN with `<=` is the oracle."""
+    from ..operators.asof import asof_join
+
+    purchases, views = _asof_inputs(spark, sf_dir)
+    return asof_join(
+        purchases, views, on="ts", by="user_id",
+        value_cols=["view_cents"], direction="forward",
+    )
+
+
+X_ASOF_FORWARD_SQL = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS purchase_cents
+    FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, ts, MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS view_cents
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id, l.ts, l.purchase_cents,
+       r.ts AS ts_asof, r.view_cents AS view_cents_asof
+FROM purchases l
+ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts <= r.ts
+""".strip()
+
+
+def x_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase enriched with the temporally CLOSEST view on either
+    side (ties resolve backward — never read the future on a coin
+    flip). Composition of both carry passes + an exact integer-µs
+    distance pick; the oracle composes DuckDB's two native ASOF
+    directions with the same tie rule."""
+    from ..operators.asof import asof_join_nearest
+
+    purchases, views = _asof_inputs(spark, sf_dir)
+    return asof_join_nearest(
+        purchases, views, on="ts", by="user_id", value_cols=["view_cents"]
+    )
+
+
+X_ASOF_NEAREST_SQL = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts, CAST(FLOOR(value * 100) AS BIGINT) AS purchase_cents
+    FROM events WHERE event_type = 'purchase'
+),
+views AS (
+    SELECT user_id, ts, MAX(CAST(FLOOR(value * 100) AS BIGINT)) AS view_cents
+    FROM events WHERE event_type = 'view'
+    GROUP BY user_id, ts
+),
+bwd AS (
+    SELECT l.event_id, r.ts AS ts_b, r.view_cents AS vc_b
+    FROM purchases l
+    ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts >= r.ts
+),
+fwd AS (
+    SELECT l.event_id, r.ts AS ts_f, r.view_cents AS vc_f
+    FROM purchases l
+    ASOF LEFT JOIN views r ON l.user_id = r.user_id AND l.ts <= r.ts
+)
+SELECT p.event_id, p.user_id, p.ts, p.purchase_cents,
+       CASE WHEN ts_b IS NOT NULL AND (ts_f IS NULL
+                 OR ABS(epoch_us(ts_b) - epoch_us(p.ts))
+                    <= ABS(epoch_us(ts_f) - epoch_us(p.ts)))
+            THEN ts_b ELSE ts_f END AS ts_asof,
+       CASE WHEN ts_b IS NOT NULL AND (ts_f IS NULL
+                 OR ABS(epoch_us(ts_b) - epoch_us(p.ts))
+                    <= ABS(epoch_us(ts_f) - epoch_us(p.ts)))
+            THEN vc_b ELSE vc_f END AS view_cents_asof
+FROM purchases p
+JOIN bwd USING (event_id)
+JOIN fwd USING (event_id)
+""".strip()

@@ -54,3 +54,89 @@ def test_fuzzy_join_blocked(spark):
     # the blocking trade: first-char edits escape the block (documented)
     assert not any(q == "xmall ring" for q, _, _ in got)
     assert not any(q == "nothing" for q, _, _ in got)
+
+
+def test_asof_forward_direction(spark):
+    from good_enough_timecamp_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 10, "a"), ("u1", 20, "b"), ("u1", 50, "c"), ("u2", 7, "d")],
+        "user string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 15, 150), ("u1", 40, 400)],
+        "user string, ts long, px long",
+    )
+    out = {
+        r.tag: (r.ts_asof, r.px_asof)
+        for r in asof_join(
+            left, right, on="ts", by="user", value_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert out["a"] == (10, 100)      # equal timestamp still inclusive
+    assert out["b"] == (40, 400)      # earliest LATER row wins
+    assert out["c"] == (None, None)   # nothing later
+    assert out["d"] == (None, None)   # no reference rows for the key
+
+
+def test_asof_nearest_prefers_closer_and_breaks_ties_backward(spark):
+    from good_enough_timecamp_data_pipeline_spark.operators.asof import (
+        asof_join_nearest,
+    )
+    from pyspark.sql import functions as F
+
+    def ts(us):
+        return us  # work in raw microseconds via timestamp casts below
+
+    left = spark.createDataFrame(
+        [("u1", 100, "mid"), ("u1", 6, "near_b"), ("u1", 1000, "only_b")],
+        "user string, us long, tag string",
+    ).select("user", F.timestamp_micros(F.col("us")).alias("ts"), "tag")
+    right = spark.createDataFrame(
+        [("u1", 90, 9), ("u1", 110, 11), ("u1", 4, 4)],
+        "user string, us long, px long",
+    ).select("user", F.timestamp_micros(F.col("us")).alias("ts"), "px")
+    out = {
+        r.tag: (r.ts_asof, r.px_asof)
+        for r in asof_join_nearest(
+            left, right, on="ts", by="user", value_cols=["px"]
+        ).collect()
+    }
+    # mid @100: bwd 90 (d=10) vs fwd 110 (d=10) — exact tie → backward
+    assert out["mid"][1] == 9
+    # near_b @6: bwd 4 (d=2) beats fwd 90 (d=84)
+    assert out["near_b"][1] == 4
+    # only_b @1000: nothing forward — backward 110 wins
+    assert out["only_b"][1] == 11
+
+
+def test_asof_nearest_bruteforce_random(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    rng = random.Random(7)
+    lrows = [("k%d" % rng.randrange(3), rng.randrange(1000), i) for i in range(60)]
+    rrows = {("k%d" % rng.randrange(3), rng.randrange(1000)) for _ in range(40)}
+    rrows = [(k, t, t * 7) for k, t in sorted(rrows)]
+    left = spark.createDataFrame(lrows, "k string, us long, row_id long").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "row_id", "us"
+    )
+    right = spark.createDataFrame(rrows, "k string, us long, v long").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "v"
+    )
+    got = {
+        r.row_id: r.v_asof
+        for r in asof_join_nearest(left, right, on="ts", by="k", value_cols=["v"]).collect()
+    }
+    for k, us, row_id in lrows:
+        cands = [(t, v) for (kk, t, v) in rrows if kk == k]
+        if not cands:
+            assert got[row_id] is None
+            continue
+        best = min(cands, key=lambda tv: (abs(tv[0] - us), tv[0] > us))
+        assert got[row_id] == best[1], (row_id, k, us, best)
