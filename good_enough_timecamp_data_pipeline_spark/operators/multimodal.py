@@ -515,3 +515,48 @@ def perturb_payloads(media: DataFrame, id_shift: int, delta: int = 7) -> DataFra
             F.lit("synthetic-twin").alias("source"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# files-from-disk ingestion (Spark binaryFile source)
+# ---------------------------------------------------------------------------
+
+MEDIA_EXT_MIME = {"ppm": PPM_MIME, "wav": WAV_MIME}
+
+
+def read_media_dir(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Real media-file ingestion via Spark's ``binaryFile`` source:
+    every file under ``path`` becomes (doc_id, payload, meta) in exactly
+    the shape `attach_synthetic_media` produces, so the downstream tier
+    (`extract_features` / `resize_images` / `sample_frames`) runs
+    unchanged on disk-born bytes.
+
+    Scale notes: binaryFile reads file contents ON THE EXECUTORS
+    (payloads never route through the driver); ``pathGlobFilter`` prunes
+    at listing time, and the source exposes (path, length,
+    modificationTime) for free — length lands in the meta struct without
+    touching the bytes. doc_id = the numeric file stem when the name is
+    ``<digits>.<ext>`` (the layout our writers produce), else a stable
+    hash of the full path."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    name = F.element_at(F.split(F.col("path"), "/"), -1)
+    stem = F.regexp_replace(name, r"\.[^.]+$", "")
+    ext = F.lower(F.regexp_extract(name, r"\.([^.]+)$", 1))
+    mime = F.lit("application/octet-stream")
+    for e, m in MEDIA_EXT_MIME.items():
+        mime = F.when(ext == e, F.lit(m)).otherwise(mime)
+    doc_id = F.when(
+        stem.rlike(r"^[0-9]+$"), stem.cast("bigint")
+    ).otherwise(F.xxhash64(F.col("path")))
+    return df.select(
+        doc_id.alias("doc_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.col("length").cast("bigint").alias("n_bytes"),
+            mime.alias("mime"),
+            F.lit("file").alias("source"),
+        ).alias("meta"),
+    )

@@ -453,3 +453,49 @@ def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
     # arrival (event 6) was dropped — neither retro-counted nor emitted
     # as a duplicate append row for the same window
     assert ten == [3], rows
+
+
+def test_read_media_dir_decodes_disk_files(spark, tmp_path):
+    """Files-from-disk path: payloads written as real .ppm/.wav files,
+    read back through the binaryFile source, and REAL-decoded — widths,
+    durations, byte counts all must match the synthesizers exactly."""
+    from good_enough_timecamp_data_pipeline_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        extract_features,
+        read_media_dir,
+        synthesize_ppm,
+        synthesize_wav,
+    )
+
+    media_dir = tmp_path / "media"
+    media_dir.mkdir()
+    want = {}
+    for key in (2, 4, 6):
+        b = synthesize_ppm(key, f"seed{key}")
+        (media_dir / f"{key}.ppm").write_bytes(b)
+        d = decode_ppm(b)
+        want[key] = ("image/x-portable-pixmap", len(b), d["width"], d["height"], None)
+    for key in (1, 3):
+        b = synthesize_wav(key)
+        (media_dir / f"{key}.wav").write_bytes(b)
+        d = decode_wav(b)
+        want[key] = ("audio/x-wav", len(b), None, None, d["duration_s"])
+    (media_dir / "notes.txt").write_bytes(b"not media")
+
+    media = read_media_dir(spark, str(media_dir), glob="*.{ppm,wav}")
+    rows = {r.doc_id: r for r in media.collect()}
+    assert set(rows) == set(want)
+    for k, (mime, n, *_rest) in want.items():
+        assert rows[k].meta.mime == mime and rows[k].meta.n_bytes == n
+        assert rows[k].meta.source == "file"
+
+    feats = {r.doc_id: r for r in extract_features(media, strict=True).collect()}
+    for k, (mime, n, w, h, dur) in want.items():
+        f = feats[k]
+        assert f.mime == mime and f.n_bytes == n
+        assert f.width == w and f.height == h
+        if dur is None:
+            assert f.duration_s is None
+        else:
+            assert abs(f.duration_s - dur) < 1e-9
