@@ -297,6 +297,7 @@ register("x_geo_grid_join", round5g.x_geo_grid_join, round5g.X_GEO_GRID_JOIN_SQL
 register("f_array_ops", round5g.f_array_ops, round5g.F_ARRAY_OPS_SQL)
 register("x_asof_forward", round5g.x_asof_forward, round5g.X_ASOF_FORWARD_SQL)
 register("x_asof_nearest", round5g.x_asof_nearest, round5g.X_ASOF_NEAREST_SQL)
+register("x_geo_knn", round5g.x_geo_knn, round5g.X_GEO_KNN_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)

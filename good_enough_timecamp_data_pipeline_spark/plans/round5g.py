@@ -286,3 +286,100 @@ FROM purchases p
 JOIN bwd USING (event_id)
 JOIN fwd USING (event_id)
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# x_geo_knn — bounded-radius k-nearest-neighbors over the grid
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def x_geo_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each point's K nearest neighbors AMONG candidates in its 3×3 cell
+    ring — bounded-radius kNN, the form spatial kNN takes at scale
+    (unbounded exact kNN needs expanding-ring search; bounding the
+    radius at one cell ring keeps it a single equi-join and is the
+    standard "neighbors within max distance" contract). Ranking is a
+    window PARTITIONED BY the query point — candidate lists are
+    ring-occupancy-bounded, so no hot partition. Deterministic ties:
+    (dist2, neighbor id)."""
+    from pyspark.sql import Window
+
+    pts = geo_points(spark, sf_dir)
+    cell_x = F.floor(F.col("x") / GEO_RADIUS).cast("long")
+    cell_y = F.floor(F.col("y") / GEO_RADIUS).cast("long")
+    homed = pts.select("id", "x", "y", cell_x.alias("cx"), cell_y.alias("cy"))
+    probe = (
+        homed.select(
+            "id", "x", "y",
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dx"),
+            "cx", "cy",
+        )
+        .select(
+            "id", "x", "y",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("dy"),
+            "cy",
+        )
+        .select("id", "x", "y", "cx", (F.col("cy") + F.col("dy")).alias("cy"))
+    )
+    a, b = probe.alias("a"), homed.alias("b")
+    ddx = F.col("a.x") - F.col("b.x")
+    ddy = F.col("a.y") - F.col("b.y")
+    cands = a.join(
+        b,
+        (F.col("a.cx") == F.col("b.cx"))
+        & (F.col("a.cy") == F.col("b.cy"))
+        & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("b.id").alias("neighbor_id"),
+        (ddx * ddx + ddy * ddy).alias("dist2"),
+    )
+    w = Window.partitionBy("id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    return (
+        cands.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= KNN_K)
+        .orderBy("id", "rk")
+    )
+
+
+X_GEO_KNN_SQL = f"""
+WITH pts AS (
+    SELECT c_custkey AS id,
+           CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'x'), 1, 8))
+                AS BIGINT) % {GEO_SPAN_MM} AS DOUBLE) / 1000.0 AS x,
+           CAST(CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || 'y'), 1, 8))
+                AS BIGINT) % {GEO_SPAN_MM} AS DOUBLE) / 1000.0 AS y
+    FROM customer
+),
+homed AS (
+    SELECT id, x, y,
+           CAST(FLOOR(x / {GEO_RADIUS}) AS BIGINT) AS cx,
+           CAST(FLOOR(y / {GEO_RADIUS}) AS BIGINT) AS cy
+    FROM pts
+),
+probe AS (
+    SELECT id, x, y, cx + dx.g AS cx, cy + dy.g AS cy
+    FROM homed,
+         (SELECT unnest(generate_series(-1, 1)) AS g) dx,
+         (SELECT unnest(generate_series(-1, 1)) AS g) dy
+),
+cands AS (
+    SELECT a.id AS id, b.id AS neighbor_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+    FROM probe a
+    JOIN homed b ON a.cx = b.cx AND a.cy = b.cy AND a.id <> b.id
+),
+ranked AS (
+    SELECT id, neighbor_id, dist2,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY id ORDER BY dist2 ASC, neighbor_id ASC
+           ) AS INTEGER) AS rk
+    FROM cands
+)
+SELECT id, neighbor_id, dist2, rk
+FROM ranked WHERE rk <= {KNN_K}
+ORDER BY id, rk
+""".strip()

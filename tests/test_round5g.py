@@ -81,3 +81,37 @@ def test_array_ops_set_algebra_identities(spark, sf_dir):
         assert r.n_a == len(a) and r.n_b == len(b)
         assert r.n_inter == len(set(a) & set(b))
         assert r.first_tok == (min(a) if a else None)
+
+
+def test_geo_knn_matches_ring_bruteforce(spark, sf_dir):
+    """kNN must equal the brute-force ranking restricted to the same
+    3x3 cell ring — ids, ranks, and squared distances bit-exactly."""
+    got = {}
+    for r in round5g.x_geo_knn(spark, sf_dir).collect():
+        got.setdefault(r.id, []).append((r.rk, r.neighbor_id, r.dist2))
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    pts = {int(k): (_coord(int(k), "x"), _coord(int(k), "y")) for k in cust.c_custkey}
+    R = round5g.GEO_RADIUS
+    cells = {}
+    for i, (x, y) in pts.items():
+        cells.setdefault((int(x // R), int(y // R)), []).append(i)
+    want = {}
+    for i, (x, y) in pts.items():
+        cx, cy = int(x // R), int(y // R)
+        cand = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for j in cells.get((cx + dx, cy + dy), []):
+                    if j == i:
+                        continue
+                    xj, yj = pts[j]
+                    cand.append(((x - xj) * (x - xj) + (y - yj) * (y - yj), j))
+        cand.sort()
+        if cand:
+            want[i] = [(rk + 1, j, d2) for rk, (d2, j) in enumerate(cand[: round5g.KNN_K])]
+    assert got == want
+    # ranks are contiguous from 1 and distances non-decreasing
+    for lst in got.values():
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        d = [d2 for _, _, d2 in lst]
+        assert d == sorted(d)
