@@ -75,8 +75,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a_ks_test, e_interval_coverage from round-5d; t_source_caps,
 # t_temperature_mix, a_chi_square, e_ewma_anomaly from round-5e;
 # a_source_lang_entropy, d_threshold_curve, t_ngram_novelty from
-# round-5f; q_nation_trade, a_benford from the warehouse tail — all
-# registered after the slot-50 marker)
+# round-5f; q_nation_trade, a_benford from the warehouse tail;
+# d_lsh_quality, t_train_classifier (rows-only), x_geo_grid_join,
+# f_array_ops, x_asof_forward/nearest, x_geo_knn, s_stream_ewma
+# (rows-only) from round-5g — all registered after the slot-50 marker)
 # are locally verified at sf0.001/sf0.01/sf0.1 and rotate into the r6
 # front, oldest-first.
 
