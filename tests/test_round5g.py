@@ -115,3 +115,42 @@ def test_geo_knn_matches_ring_bruteforce(spark, sf_dir):
         assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
         d = [d2 for _, _, d2 in lst]
         assert d == sorted(d)
+
+
+def test_round5g_queries_survive_empty_tables(spark):
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    cust_schema = T.StructType([T.StructField("c_custkey", T.LongType())])
+    events_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    docs_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([], cust_schema).write.parquet(f"{d}/customer.parquet")
+        spark.createDataFrame([], events_schema).write.parquet(f"{d}/events.parquet")
+        spark.createDataFrame([], docs_schema).write.parquet(f"{d}/documents.parquet")
+        for fn in (
+            round5g.x_geo_grid_join,
+            round5g.x_geo_knn,
+            round5g.f_array_ops,
+            round5g.x_asof_forward,
+            round5g.x_asof_nearest,
+        ):
+            assert fn(spark, d).collect() == [], fn.__name__
