@@ -37,6 +37,7 @@ monotonically non-increasing, every vector on its nearest centroid.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -307,4 +308,118 @@ def pq_encode(
 
     return data.mapInPandas(encode, f"vec_id {id_type}, code array<int>").withColumnRenamed(
         "vec_id", id_col
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over an embedding column
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PCAModel:
+    mean: "np.ndarray"  # (d,)
+    components: "np.ndarray"  # (k, d), orthonormal rows
+    explained_variance: "np.ndarray"  # (k,), descending
+    explained_variance_ratio: "np.ndarray"  # (k,)
+    n_rows: int
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "embedding", k: int = 8
+) -> PCAModel:
+    """Distributed PCA: the (d×d) scatter matrix accumulates in ONE
+    Arrow ``mapInPandas`` pass of per-partition partials (n, Σx, ΣxᵀX —
+    d and d² doubles, tiny vs the corpus), the driver reduces partials
+    in partition order and eigendecomposes the d×d covariance with
+    numpy — the same moments-then-small-eigenproblem layout every
+    distributed PCA uses (MLlib computes the Gramian the same way;
+    d is bounded by the embedding width, never the corpus).
+
+    Deterministic: partition-ordered reduce, LAPACK ``eigh`` on an
+    identical matrix, and a fixed sign convention (each component's
+    largest-|coordinate| entry is made positive — eigenvectors are
+    otherwise sign-ambiguous and reruns could flip them)."""
+    d_holder: list[int] = []
+
+    def partials(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        s = None
+        ss = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, schema="n bigint, s array<double>, ss array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    n = 0
+    s = None
+    ss = None
+    for r in rows:  # partition order — deterministic reduce
+        n += r["n"]
+        rs = np.asarray(r["s"], dtype=np.float64)
+        rss = np.asarray(r["ss"], dtype=np.float64)
+        s = rs if s is None else s + rs
+        ss = rss if ss is None else ss + rss
+    d = s.shape[0]
+    mean = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][: min(k, d)]
+    comps = evecs[:, order].T  # (k, d)
+    # sign convention: the largest-|coordinate| entry of each component
+    # is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = evals[order]
+    total = float(evals.sum()) or 1.0
+    return PCAModel(
+        mean=mean,
+        components=comps,
+        explained_variance=ev,
+        explained_variance_ratio=ev / total,
+        n_rows=int(n),
+    )
+
+
+def pca_transform(
+    df: DataFrame,
+    model: PCAModel,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pc",
+) -> DataFrame:
+    """Project vectors onto the fitted components: one broadcast of the
+    (k×d) matrix + an Arrow numpy pass — zero shuffle, the property that
+    matters when projecting 10^11 vectors."""
+    sc = df.sparkSession.sparkContext
+    b = sc.broadcast((model.mean, model.components))
+    id_type = dict(df.dtypes)[id_col]
+
+    def project(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mean, comps = b.value
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                yield pd.DataFrame({id_col: pdf[id_col], out_col: []})
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            z = (x - mean) @ comps.T
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(z)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )

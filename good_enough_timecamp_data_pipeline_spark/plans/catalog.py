@@ -334,3 +334,4 @@ def _s_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 register("s_stream_ewma", _s_stream_ewma)
 register("t_train_classifier", round5f.t_train_classifier)
+register("s_pca_spectrum", round5g.s_pca_spectrum)

@@ -383,3 +383,33 @@ SELECT id, neighbor_id, dist2, rk
 FROM ranked WHERE rk <= {KNN_K}
 ORDER BY id, rk
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# s_pca_spectrum — distributed PCA fit over the embedding corpus
+# ---------------------------------------------------------------------------
+
+PCA_K = 8
+
+
+def s_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit distributed PCA (k=8) on the embedding corpus and return the
+    spectrum (component, explained_variance, ratio) — the
+    dimensionality-reduction companion to product quantization in the
+    vector-compression family. rows-only: eigendecomposition is
+    iterative LAPACK, not SQL; determinism and numpy parity are pinned
+    in tests/test_round5g.py. Scale shape
+    (`operators/clustering.py::pca_fit`): moments in ONE Arrow pass
+    (d + d² doubles per partition), eigenproblem on the driver at d×d —
+    corpus size never touches the driver."""
+    from ..operators.clustering import pca_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, vec_col="embedding", k=PCA_K)
+    return spark.createDataFrame(
+        [
+            (i, float(model.explained_variance[i]), float(model.explained_variance_ratio[i]))
+            for i in range(model.components.shape[0])
+        ],
+        "component int, explained_variance double, variance_ratio double",
+    )

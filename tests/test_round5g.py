@@ -154,3 +154,62 @@ def test_round5g_queries_survive_empty_tables(spark):
             round5g.x_asof_nearest,
         ):
             assert fn(spark, d).collect() == [], fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# PCA (operators/clustering.py::pca_fit / pca_transform)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import pca_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, vec_col="embedding", k=8)
+    x = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v in
+         pd.read_parquet(f"{sf_dir}/embeddings.parquet").embedding]
+    )
+    assert model.n_rows == x.shape[0]
+    assert np.allclose(model.mean, x.mean(axis=0), atol=1e-10)
+    cov = np.cov(x, rowvar=False)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    assert np.allclose(model.explained_variance, evals[:8], atol=1e-8)
+    # components orthonormal and actually eigenvectors of the covariance
+    g = model.components @ model.components.T
+    assert np.allclose(g, np.eye(8), atol=1e-10)
+    for i in range(8):
+        v = model.components[i]
+        assert np.allclose(cov @ v, model.explained_variance[i] * v, atol=1e-8)
+    # ratios descending and ≤ 1
+    r = model.explained_variance_ratio
+    assert all(r[i] >= r[i + 1] for i in range(len(r) - 1)) and r.sum() <= 1 + 1e-12
+
+
+def test_pca_transform_variance_and_determinism(spark, sf_dir):
+    import numpy as np
+
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    m1 = pca_fit(emb, vec_col="embedding", k=4)
+    m2 = pca_fit(emb, vec_col="embedding", k=4)
+    assert (m1.components == m2.components).all()  # bit-deterministic rerun
+    z = {r.vec_id: r.pc for r in pca_transform(emb, m1).collect()}
+    zz = np.asarray([z[k] for k in sorted(z)])
+    # per-component sample variance of the projection equals the eigenvalue
+    assert np.allclose(zz.var(axis=0, ddof=1), m1.explained_variance, atol=1e-8)
+    # projections are centered
+    assert np.allclose(zz.mean(axis=0), 0.0, atol=1e-9)
+
+
+def test_pca_spectrum_entry_shape(spark, sf_dir):
+    rows = round5g.s_pca_spectrum(spark, sf_dir).collect()
+    assert [r.component for r in rows] == list(range(round5g.PCA_K))
+    vals = [r.explained_variance for r in rows]
+    assert vals == sorted(vals, reverse=True) and all(v >= 0 for v in vals)
