@@ -423,3 +423,85 @@ def pca_transform(
     return df.select(id_col, vec_col).mapInPandas(
         project, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy (farthest-point) diverse subset selection
+# ---------------------------------------------------------------------------
+
+
+def kcenter_greedy(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple]:
+    """Greedy k-center (farthest-point) selection: start from the
+    minimum-id vector, then repeatedly add the point FARTHEST from the
+    chosen set — the classic 2-approximation to the k-center cover and
+    the standard diversity-aware coreset selector for training-data
+    curation (pick prototypes that span the embedding space instead of
+    sampling the densest blob k times).
+
+    Returns [(id, covering_radius_before_pick), ...] of length ≤ k —
+    the radius column is the max-min-distance the pick eliminated, so
+    the sequence is non-increasing and IS the coverage curve.
+
+    Scale shape: centers (≤ k·d doubles) live on the driver and
+    broadcast each round; one Arrow pass per round emits per-partition
+    (best_dist, best_id, best_vec) candidates — collect is O(partitions)
+    rows. Distances recompute against all chosen centers each round
+    (O(k²·n·d/2) total flops — stateless passes beat k rounds of
+    checkpoint churn for per-row carried minima; at very large k,
+    persist the running min-dist column instead). Deterministic:
+    ties break on min id, partials reduce in partition order."""
+    sc = df.sparkSession.sparkContext
+    first = df.select(F.min(id_col).alias("i")).collect()[0]["i"]
+    if first is None:
+        raise ValueError("kcenter_greedy: empty input")
+    first_vec = np.asarray(
+        df.filter(F.col(id_col) == first).select(vec_col).collect()[0][0],
+        dtype=np.float64,
+    )
+    chosen: list[tuple] = [(first, float("inf"))]
+    centers = [first_vec]
+
+    data = df.select(id_col, vec_col)
+    for _ in range(k - 1):
+        c = np.asarray(centers)
+        b = sc.broadcast(c)
+
+        def far(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cen = b.value
+            best_d = -1.0
+            best_id = None
+            best_v = None
+            for pdf in pdfs:
+                if len(pdf) == 0:
+                    continue
+                x = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                ids = np.asarray(pdf[id_col], dtype=np.int64)
+                # min distance to any chosen center, per row
+                d2 = ((x[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2).min(axis=1)
+                j = int(np.lexsort((ids, -d2))[0])  # max dist, min id on ties
+                if d2[j] > best_d or (d2[j] == best_d and (best_id is None or ids[j] < best_id)):
+                    best_d = float(d2[j])
+                    best_id = int(ids[j])
+                    best_v = x[j]
+            if best_id is not None:
+                yield pd.DataFrame(
+                    {"d2": [best_d], "i": [best_id], "v": [best_v.tolist()]}
+                )
+
+        parts = data.mapInPandas(far, schema="d2 double, i bigint, v array<double>").collect()
+        b.unpersist()
+        if not parts:
+            break
+        best = max(parts, key=lambda r: (r["d2"], -r["i"]))
+        if best["d2"] <= 0.0:
+            break  # every remaining point coincides with a chosen center
+        chosen.append((best["i"], float(np.sqrt(best["d2"]))))
+        centers.append(np.asarray(best["v"], dtype=np.float64))
+    return chosen

@@ -335,3 +335,4 @@ def _s_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 register("s_stream_ewma", _s_stream_ewma)
 register("t_train_classifier", round5f.t_train_classifier)
 register("s_pca_spectrum", round5g.s_pca_spectrum)
+register("s_diverse_sample", round5g.s_diverse_sample)

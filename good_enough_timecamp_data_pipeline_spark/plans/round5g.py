@@ -413,3 +413,32 @@ def s_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "component int, explained_variance double, variance_ratio double",
     )
+
+
+# ---------------------------------------------------------------------------
+# s_diverse_sample — k-center greedy coreset over the embeddings
+# ---------------------------------------------------------------------------
+
+DIVERSE_K = 12
+
+
+def s_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diverse subset of the embedding corpus
+    (`operators/clustering.py::kcenter_greedy`): the diversity-aware
+    sampling tier — prototypes that SPAN the space instead of k draws
+    from the densest blob. Returns (pick_order, vec_id, radius) where
+    radius is the covering distance the pick eliminated (non-increasing
+    — the coverage curve; NULL for the seed pick). rows-only: greedy
+    farthest-point is iterative; python-greedy parity and monotone
+    coverage are pinned in tests/test_round5g.py."""
+    from ..operators.clustering import kcenter_greedy
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    picks = kcenter_greedy(emb, k=DIVERSE_K)
+    return spark.createDataFrame(
+        [
+            (i, int(vid), None if r == float("inf") else float(r))
+            for i, (vid, r) in enumerate(picks)
+        ],
+        "pick_order int, vec_id long, radius double",
+    )

@@ -213,3 +213,52 @@ def test_pca_spectrum_entry_shape(spark, sf_dir):
     assert [r.component for r in rows] == list(range(round5g.PCA_K))
     vals = [r.explained_variance for r in rows]
     assert vals == sorted(vals, reverse=True) and all(v >= 0 for v in vals)
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy (operators/clustering.py::kcenter_greedy)
+# ---------------------------------------------------------------------------
+
+
+def _py_kcenter(vecs, k):
+    import numpy as np
+
+    ids = sorted(vecs)
+    chosen = [(ids[0], float("inf"))]
+    centers = [np.asarray(vecs[ids[0]], dtype=float)]
+    for _ in range(k - 1):
+        best = None
+        for i in ids:
+            v = np.asarray(vecs[i], dtype=float)
+            d2 = min(float(((v - c) ** 2).sum()) for c in centers)
+            if best is None or d2 > best[0] or (d2 == best[0] and i < best[1]):
+                best = (d2, i, v)
+        if best[0] <= 0:
+            break
+        chosen.append((best[1], best[0] ** 0.5))
+        centers.append(best[2])
+    return chosen
+
+
+def test_kcenter_greedy_matches_python(spark, sf_dir):
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import (
+        kcenter_greedy,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = kcenter_greedy(emb, k=8)
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(i): list(v) for i, v in zip(pdf.vec_id, pdf.embedding)}
+    want = _py_kcenter(vecs, 8)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, rg), (_, rw) in zip(got[1:], want[1:]):
+        assert abs(rg - rw) < 1e-9
+
+
+def test_diverse_sample_coverage_curve(spark, sf_dir):
+    rows = round5g.s_diverse_sample(spark, sf_dir).collect()
+    assert [r.pick_order for r in rows] == list(range(len(rows)))
+    assert rows[0].radius is None
+    radii = [r.radius for r in rows[1:]]
+    assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
+    assert len({r.vec_id for r in rows}) == len(rows)  # picks are distinct
