@@ -505,3 +505,112 @@ def kcenter_greedy(
         chosen.append((best["i"], float(np.sqrt(best["d2"]))))
         centers.append(np.asarray(best["v"], dtype=np.float64))
     return chosen
+
+
+# ---------------------------------------------------------------------------
+# PQ recall audit — measure what the compression costs, don't guess
+# ---------------------------------------------------------------------------
+
+
+def pq_recall_audit(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    query_mod: int = 29,
+    top_k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Recall@k of PQ ASYMMETRIC distance against exact L2 over a
+    deterministic query sample (ids ≡ 0 mod ``query_mod``) — the
+    measurement that decides whether a PQ index keeps enough recall,
+    next to `s_pq_codes`' reconstruction error (aggregate distortion
+    says nothing about RANKING damage, which is what retrieval eats).
+
+    Scale shape: queries and the codebook broadcast (both tiny by
+    contract — recall audits run on samples everywhere); ONE Arrow pass
+    over the codes⋈vectors join emits (query, corpus, d_exact, d_pq)
+    candidate rows; two query-partitioned windows rank them; recall is
+    |top-k ∩ top-k| / k per query, averaged. Returns one row
+    (n_queries, k, mean_recall, min_recall). Deterministic: distances
+    in float64 with fixed formulas, rank ties on (distance, id)."""
+    from pyspark.sql import Window
+
+    q_rows = (
+        emb.filter((F.col(id_col) % query_mod) == 0)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv"))
+        .collect()
+    )
+    if not q_rows:
+        raise ValueError("pq_recall_audit: empty query sample")
+    queries = [(int(r["qid"]), np.asarray(r["qv"], dtype=np.float64)) for r in q_rows]
+
+    cb_rows = codebook.collect()
+    by_sub: dict[int, list[list[float]]] = {}
+    for r in sorted(cb_rows, key=lambda r: (r.subspace, r.centroid_id)):
+        by_sub.setdefault(r.subspace, []).append(list(r.centroid))
+    n_sub = len(by_sub)
+    cents = [np.asarray(by_sub[s], dtype=np.float64) for s in range(n_sub)]
+
+    spark = emb.sparkSession
+    bq = spark.sparkContext.broadcast(queries)
+    bc = spark.sparkContext.broadcast(cents)
+
+    joined = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).join(codes.select(F.col(id_col).alias("vec_id"), "code"), "vec_id")
+
+    def dists(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qs = bq.value
+        cen = bc.value
+        width = cen[0].shape[1]
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            codes_arr = np.asarray([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+            # reconstructed vectors from the codebook (asymmetric distance
+            # d(q, reconstruct(code)) — the standard ADC formulation)
+            recon = np.concatenate(
+                [cen[s][codes_arr[:, s]] for s in range(len(cen))], axis=1
+            )
+            out = {"qid": [], "vec_id": [], "d_exact": [], "d_pq": []}
+            for qid, qv in qs:
+                de = ((x - qv) ** 2).sum(axis=1)
+                dp = ((recon - qv) ** 2).sum(axis=1)
+                out["qid"].extend([qid] * len(ids))
+                out["vec_id"].extend(ids.tolist())
+                out["d_exact"].extend(de.tolist())
+                out["d_pq"].extend(dp.tolist())
+            yield pd.DataFrame(out)
+
+    cand = joined.mapInPandas(
+        dists, schema="qid bigint, vec_id bigint, d_exact double, d_pq double"
+    ).filter(F.col("qid") != F.col("vec_id"))  # a query always finds itself
+    w_e = Window.partitionBy("qid").orderBy(F.asc("d_exact"), F.asc("vec_id"))
+    w_p = Window.partitionBy("qid").orderBy(F.asc("d_pq"), F.asc("vec_id"))
+    ranked = cand.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(w_e).alias("rk_e"),
+        F.row_number().over(w_p).alias("rk_p"),
+    )
+    per_q = (
+        ranked.filter((F.col("rk_e") <= top_k) | (F.col("rk_p") <= top_k))
+        .groupBy("qid")
+        .agg(
+            (
+                F.sum(
+                    F.when((F.col("rk_e") <= top_k) & (F.col("rk_p") <= top_k), 1).otherwise(0)
+                ).cast("double")
+                / top_k
+            ).alias("recall")
+        )
+    )
+    return per_q.agg(
+        F.count("*").cast("int").alias("n_queries"),
+        F.lit(top_k).cast("int").alias("k"),
+        F.avg("recall").alias("mean_recall"),
+        F.min("recall").alias("min_recall"),
+    )

@@ -336,3 +336,4 @@ register("s_stream_ewma", _s_stream_ewma)
 register("t_train_classifier", round5f.t_train_classifier)
 register("s_pca_spectrum", round5g.s_pca_spectrum)
 register("s_diverse_sample", round5g.s_diverse_sample)
+register("s_pq_recall", round5g.s_pq_recall)

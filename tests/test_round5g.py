@@ -262,3 +262,42 @@ def test_diverse_sample_coverage_curve(spark, sf_dir):
     radii = [r.radius for r in rows[1:]]
     assert all(radii[i] >= radii[i + 1] for i in range(len(radii) - 1))
     assert len({r.vec_id for r in rows}) == len(rows)  # picks are distinct
+
+
+# ---------------------------------------------------------------------------
+# PQ recall audit
+# ---------------------------------------------------------------------------
+
+
+def test_pq_recall_perfect_on_codebook_representable_corpus(spark):
+    """Vectors drawn exactly from few prototypes are encodable with zero
+    error — PQ distances equal exact distances and recall@k is exactly
+    1.0. Proves the audit's metric, not just its plumbing."""
+    import numpy as np
+
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import (
+        pq_recall_audit,
+        product_quantize,
+    )
+
+    rng = np.random.RandomState(3)
+    protos = rng.randn(6, 16).round(2)
+    rows = [(i, [float(x) for x in protos[i % 6]]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, codebook = product_quantize(
+        emb, n_subspaces=4, n_centroids=8, n_iter=8
+    )
+    (r,) = pq_recall_audit(
+        emb, codes, codebook, query_mod=10, top_k=5
+    ).collect()
+    assert r.n_queries == 6 and r.k == 5
+    assert r.mean_recall == 1.0 and r.min_recall == 1.0
+
+
+def test_pq_recall_entry_bounds_and_determinism(spark, sf_dir):
+    a = round5g.s_pq_recall(spark, sf_dir).collect()
+    b = round5g.s_pq_recall(spark, sf_dir).collect()
+    assert a == b  # deterministic end to end
+    (r,) = a
+    assert r.n_queries > 0
+    assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
