@@ -614,3 +614,86 @@ def pq_recall_audit(
         F.avg("recall").alias("mean_recall"),
         F.min("recall").alias("min_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable PCA moments — incremental maintenance for the spectrum
+# ---------------------------------------------------------------------------
+
+
+def pca_moments(df: DataFrame, vec_col: str = "embedding") -> tuple:
+    """The sufficient statistics of PCA as a MERGEABLE artifact:
+    (n, Σx, ΣxᵀX) from one Arrow pass. Moments from disjoint batches ADD
+    — so a growing corpus maintains its spectrum at O(batch) per
+    arrival (persist the triple, add each new batch's triple, refit via
+    `pca_from_moments`), the same write-once/merge pattern as the HLL
+    partial-merge rollup and the incremental LSH index."""
+
+    def partials(pdfs: Iterator[pd.DataFrame]):
+        n = 0
+        s = None
+        ss = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            g = x.T @ x
+            ss = g if ss is None else ss + g
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "ss": [ss.reshape(-1).tolist()]}
+            )
+
+    rows = df.select(vec_col).mapInPandas(
+        partials, schema="n bigint, s array<double>, ss array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("pca_moments: empty input")
+    n = 0
+    s = None
+    ss = None
+    for r in rows:
+        n += r["n"]
+        rs = np.asarray(r["s"], dtype=np.float64)
+        rss = np.asarray(r["ss"], dtype=np.float64)
+        s = rs if s is None else s + rs
+        ss = rss if ss is None else ss + rss
+    return int(n), s, ss
+
+
+def pca_from_moments(moments: list[tuple], k: int = 8) -> PCAModel:
+    """Fit the PCA model from one or more moment triples (merged by
+    addition — the incremental path). `pca_fit(df)` ==
+    `pca_from_moments([pca_moments(df)])` up to the float addition
+    order of the merge, and batch-split vs whole-corpus moments agree
+    to ~1 ulp (tested)."""
+    if not moments:
+        raise ValueError("pca_from_moments: no moments")
+    n = 0
+    s = None
+    ss = None
+    for mn, ms, mss in moments:
+        n += mn
+        s = ms.copy() if s is None else s + ms
+        ss = mss.copy() if ss is None else ss + mss
+    d = s.shape[0]
+    mean = s / n
+    cov = (ss.reshape(d, d) - n * np.outer(mean, mean)) / max(n - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][: min(k, d)]
+    comps = evecs[:, order].T
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    ev = evals[order]
+    total = float(evals.sum()) or 1.0
+    return PCAModel(
+        mean=mean,
+        components=comps,
+        explained_variance=ev,
+        explained_variance_ratio=ev / total,
+        n_rows=int(n),
+    )

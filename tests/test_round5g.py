@@ -301,3 +301,26 @@ def test_pq_recall_entry_bounds_and_determinism(spark, sf_dir):
     (r,) = a
     assert r.n_queries > 0
     assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
+
+
+def test_pca_moments_merge_equals_whole_corpus_fit(spark, sf_dir):
+    """Batch-split moments merged by addition must reproduce the
+    whole-corpus spectrum — the O(batch) incremental-maintenance path."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import (
+        pca_fit,
+        pca_from_moments,
+        pca_moments,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    whole = pca_fit(emb, vec_col="embedding", k=6)
+    part1 = pca_moments(emb.filter(F.col("vec_id") % 2 == 0))
+    part2 = pca_moments(emb.filter(F.col("vec_id") % 2 == 1))
+    merged = pca_from_moments([part1, part2], k=6)
+    assert merged.n_rows == whole.n_rows
+    assert np.allclose(merged.mean, whole.mean, atol=1e-10)
+    assert np.allclose(merged.explained_variance, whole.explained_variance, atol=1e-8)
+    assert np.allclose(np.abs(merged.components), np.abs(whole.components), atol=1e-6)
