@@ -55,23 +55,7 @@ def asof_join(
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by_cols) | {on}
     ]
-
-    lhs = left.select(
-        *[F.col(c) for c in left.columns],
-        F.lit(1).alias("_probe"),
-        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
-    )
-    rhs = right.select(
-        *[F.col(c) for c in by_cols],
-        F.col(on),
-        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(by_cols) | {on}],
-        F.lit(0).alias("_probe"),
-        F.col(on).alias("_r_on"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-    ).select(*lhs.columns)  # align column order
-
-    unioned = lhs.unionByName(rhs)
+    unioned = _union_tagged(left, right, on, by_cols, value_cols)
     # equal-timestamp reference rows must be visible to the probe row in
     # EITHER direction (inclusive match) — _probe asc puts the reference
     # first at ties under both orderings
@@ -93,6 +77,34 @@ def asof_join(
     return carried.filter(F.col("_probe") == 1).drop("_probe")
 
 
+def _union_tagged(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by_cols: list[str],
+    value_cols: list[str],
+) -> DataFrame:
+    """Tag-and-union the probe and reference sides for the carry-forward
+    window: left rows with ``_probe=1`` and NULL reference slots, right
+    rows reshaped onto the left schema with their (on, value) payload in
+    ``_r_*`` slots."""
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("_probe"),
+        F.lit(None).cast(right.schema[on].dataType).alias("_r_on"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    rhs = right.select(
+        *[F.col(c) for c in by_cols],
+        F.col(on),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in set(by_cols) | {on}],
+        F.lit(0).alias("_probe"),
+        F.col(on).alias("_r_on"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).select(*lhs.columns)  # align column order
+    return lhs.unionByName(rhs)
+
+
 def asof_join_nearest(
     left: DataFrame,
     right: DataFrame,
@@ -106,24 +118,49 @@ def asof_join_nearest(
     resolve BACKWARD (the earlier row — reproducible, and the convention
     that never reads the future when distances are equal).
 
-    Runs the backward and forward passes (two keyed shuffles — still no
-    range explosion) and picks per row. Timestamp distances compare in
-    integer microseconds, so the tie rule is exact."""
-    bwd = asof_join(left, right, on, by, value_cols, suffix="_bwd", direction="backward")
+    Both directions are computed as two carry-forward windows over ONE
+    tagged union (one keyed shuffle, two per-partition sorts) and picked
+    per row — no recombine join, so left rows with NULLs or duplicate
+    left rows pass through exactly once (earlier versions re-joined the
+    two passes on all left columns, which dropped NULL-bearing rows under
+    null-unsafe equality and cross-multiplied duplicates). Timestamp
+    distances compare in integer microseconds, so the tie rule is exact."""
     by_cols = [by] if isinstance(by, str) else list(by)
     value_cols = value_cols or [
         c for c in right.columns if c not in set(by_cols) | {on}
     ]
-    fwd = asof_join(left, right, on, by, value_cols, suffix="_fwd", direction="forward")
-    join_keys = [c for c in left.columns]
-    both = bwd.join(fwd, join_keys)
+    unioned = _union_tagged(left, right, on, by_cols, value_cols)
+    w_bwd = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).asc(), F.col("_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(*by_cols)
+        .orderBy(F.col(on).desc(), F.col("_probe").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *[F.col(c) for c in left.columns],
+        F.col("_probe"),
+        F.last("_r_on", ignorenulls=True).over(w_bwd).alias(f"{on}_bwd"),
+        F.last("_r_on", ignorenulls=True).over(w_fwd).alias(f"{on}_fwd"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w_bwd).alias(f"{c}_bwd")
+            for c in value_cols
+        ],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w_fwd).alias(f"{c}_fwd")
+            for c in value_cols
+        ],
+    ).filter(F.col("_probe") == 1)
     d_b = F.abs(F.unix_micros(F.col(f"{on}_bwd")) - F.unix_micros(F.col(on)))
     d_f = F.abs(F.unix_micros(F.col(f"{on}_fwd")) - F.unix_micros(F.col(on)))
     use_bwd = F.col(f"{on}_bwd").isNotNull() & (
         F.col(f"{on}_fwd").isNull() | (d_b <= d_f)
     )
-    out = both.select(
-        *join_keys,
+    return carried.select(
+        *[F.col(c) for c in left.columns],
         F.when(use_bwd, F.col(f"{on}_bwd")).otherwise(F.col(f"{on}_fwd")).alias(
             f"{on}{suffix}"
         ),
@@ -134,4 +171,3 @@ def asof_join_nearest(
             for c in value_cols
         ],
     )
-    return out

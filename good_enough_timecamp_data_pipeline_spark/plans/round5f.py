@@ -203,7 +203,13 @@ GROUP BY sh.doc_id
 # ---------------------------------------------------------------------------
 
 
-def d_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d_lsh_quality(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_fraction: float | None = None,
+    seed: int = 7,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """Candidate-generation QUALITY audit: run the exact shingle-Jaccard
     pair enumeration AND the banded MinHash-LSH pipeline over the same
     near-dup corpus (the `d_ngram_jaccard`/`d_minhash_lsh` pair, same
@@ -220,12 +226,28 @@ def d_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the driver gate. Both pair sets are already computed by their own
     catalog entries; this query full-outer-joins them (pair-keyed
     shuffle) and folds ONE summary row.
+
+    100 TB contract — SAMPLE, then audit: the exact ground truth is an
+    uncapped all-pairs shingle self-join, quadratic in duplicate-cluster
+    size — an audit tool, NOT a pipeline stage, and a scale-killer on a
+    full corpus. A production invocation passes ``sample_fraction`` so
+    the audited corpus is a deterministic doc sample (pair Jaccard is a
+    two-document property, so the sample's exact pair set is a strict
+    subset of the full corpus's — recall/precision measured on it are
+    unbiased estimates), and/or ``max_shingle_df`` to prefix-filter
+    stop-shingles (which CHANGES the measured pair set — fine for an
+    audit, documented at dedup._shingle_pair_counts). The catalog/oracle
+    twin runs the local exact mode (both None).
     """
     from ..operators.dedup import minhash_lsh_pairs, shingle_pairs_jaccard
     from .northstar import _docs_near_dup
 
     docs = _docs_near_dup(spark, sf_dir)
-    exact = shingle_pairs_jaccard(docs, n=5, threshold=0.5, max_shingle_df=None).select(
+    if sample_fraction is not None:
+        docs = docs.sample(fraction=sample_fraction, seed=seed)
+    exact = shingle_pairs_jaccard(
+        docs, n=5, threshold=0.5, max_shingle_df=max_shingle_df
+    ).select(
         "id_a", "id_b", F.lit(1).alias("in_exact")
     )
     lsh = minhash_lsh_pairs(

@@ -78,7 +78,23 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# Tables whose DOWNSTREAM per-row compute is heavy (tokenize/shingle/
+# explode for text, vector arithmetic for embeddings). The local testdata
+# ships each table as ONE file with ONE row group, so their scan — and
+# every narrow op Spark fuses to it — would run in a single task on a
+# 32-core session. A round-robin repartition right after the scan fans
+# that work out; the payload is the raw column data (≤ a few MB locally),
+# and filters/column pruning still push through the exchange to the scan.
+# Real 100 TB inputs arrive as many files and skip this (the partition
+# count already ≥ parallelism). Row-cheap relational tables are NOT
+# widened: for them the extra exchange costs more than single-task
+# scanning saves (measured: +0.1–0.3 s per query at sf0.1).
+_WIDEN_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import os
+
     if name == "events":
         # Set the nanos conf HERE, not only in our own get_spark() builder:
         # the driver verifies queries() under its own SparkSession where the
@@ -86,7 +102,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # with PARQUET_TYPE_ILLEGAL (round-1 ADVICE item 1).
         ensure_events_read_conf(spark)
         return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    # single plain FILE = the local-testdata shape (one input split); real
+    # multi-file inputs skip the widen purely on filesystem evidence
+    if name in _WIDEN_TABLES and os.path.isfile(path):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

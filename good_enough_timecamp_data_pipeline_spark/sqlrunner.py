@@ -127,10 +127,15 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict(recursive=True), default=str))
     else:
+        import csv
+
+        # csv.writer handles quoting/escaping — task names and free-text
+        # fields routinely contain commas, quotes, and newlines
+        w = csv.writer(sys.stdout, lineterminator="\n")
         cols = df.columns
-        print(",".join(cols))
+        w.writerow(cols)
         for r in rows:
-            print(",".join("" if r[c] is None else str(r[c]) for c in cols))
+            w.writerow(["" if r[c] is None else str(r[c]) for c in cols])
     return 0
 
 

@@ -67,8 +67,12 @@ def _sessionize_user(
         start_us = last_us = n = None
 
     closed: list[tuple[int, int, int]] = []
-    for pdf in pdfs:
-        for ts_us in sorted(int(v) for v in pdf["ts_us"]):
+    # flatten ALL Arrow chunks before sorting — per-chunk sorting would
+    # fold timestamps out of order when one key's micro-batch spans
+    # multiple record batches (see _ewma_user)
+    all_ts = [int(v) for pdf in pdfs for v in pdf["ts_us"]]
+    if all_ts:
+        for ts_us in sorted(all_ts):
             if start_us is None:
                 start_us, last_us, n = ts_us, ts_us, 1
             elif ts_us - last_us > SESSION_GAP_US:
@@ -210,8 +214,13 @@ def _ewma_user(
         ewma, n = None, 0
 
     rows: list[tuple[int, int, int, float, float, bool]] = []
-    for pdf in pdfs:
-        ordered = pdf.sort_values(["ts_us", "event_id"])
+    # concatenate BEFORE sorting: one key's micro-batch data may span
+    # several Arrow record batches (> arrow.maxRecordsPerBatch rows), and
+    # per-chunk sorting would fold events out of global (ts_us, event_id)
+    # order, breaking bit-exact parity with batch_ewma_final
+    chunks = list(pdfs)
+    if chunks:
+        ordered = pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
         for ts_us, eid, v in zip(ordered["ts_us"], ordered["event_id"], ordered["value"]):
             v = float(v)
             prev = ewma

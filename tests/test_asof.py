@@ -140,3 +140,38 @@ def test_asof_nearest_bruteforce_random(spark):
             continue
         best = min(cands, key=lambda tv: (abs(tv[0] - us), tv[0] > us))
         assert got[row_id] == best[1], (row_id, k, us, best)
+
+
+def test_asof_nearest_null_and_duplicate_left_rows(spark):
+    """Regression (round-5 ADVICE): the old implementation recombined the
+    backward and forward passes with a null-unsafe join over ALL left
+    columns — a left row with a NULL column was silently dropped and
+    duplicate left rows cross-multiplied. The single-union rewrite must
+    emit every left row exactly once."""
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [
+            ("u1", 100, None),      # NULL payload column
+            ("u1", 200, 7),
+            ("u1", 200, 7),         # exact duplicate row
+            ("u1", 300, None),      # second NULL row
+        ],
+        "user string, us long, payload int",
+    ).select("user", F.timestamp_micros(F.col("us")).alias("ts"), "payload", "us")
+    right = spark.createDataFrame(
+        [("u1", 90, 9), ("u1", 210, 21)], "user string, us long, px long"
+    ).select("user", F.timestamp_micros(F.col("us")).alias("ts"), "px")
+
+    rows = asof_join_nearest(left, right, on="ts", by="user", value_cols=["px"]).collect()
+    assert len(rows) == 4  # every probe row exactly once, NULLs included
+    by_us = {}
+    for r in rows:
+        by_us.setdefault(r.us, []).append(r.px_asof)
+    assert by_us[100] == [9]        # nearest is 90 (d=10) vs 210 (d=110)
+    assert by_us[200] == [21, 21]   # both duplicates survive, no cross-multiply
+    assert by_us[300] == [21]       # NULL payload row not dropped

@@ -159,6 +159,52 @@ def test_ewma_matches_sequential_recurrence(spark, sf_dir):
     assert len(out) == len(daily)
 
 
+def _ewma_events_dir(spark, n_days: int, tmp_path) -> str:
+    """Write a minimal events.parquet spanning n_days calendar days
+    (day i carries i+1 events) under a temp sf_dir."""
+    rows = [
+        (f"2024-01-01", d, e)
+        for d in range(n_days)
+        for e in range(d + 1)
+    ]
+    df = (
+        spark.createDataFrame(rows, "base string, d int, e int")
+        .select(
+            F.timestamp_micros(
+                F.unix_micros(F.to_timestamp("base"))
+                + F.col("d").cast("long") * 86_400_000_000
+                + F.col("e").cast("long")
+            ).alias("ts")
+        )
+    )
+    out = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def test_ewma_long_horizon_no_bigint_wrap(spark, tmp_path):
+    """Regression (round-5 ADVICE): 2^t via a single BIGINT shiftleft
+    silently wraps at t >= 63 — Spark reduces the shift distance mod 64.
+    A 70-day horizon must still match the sequential recurrence exactly."""
+    sf = _ewma_events_dir(spark, 70, tmp_path)
+    out = round5e.e_ewma_anomaly(spark, sf).orderBy("d").collect()
+    assert len(out) == 70
+    s = None
+    for t, r in enumerate(out):
+        cnt = t + 1
+        assert r.cnt == cnt
+        s = float(cnt) if s is None else 0.5 * cnt + 0.5 * s
+        assert r.ewma == s, (t, r.ewma, s)
+
+
+def test_ewma_past_cap_raises_loudly(spark, tmp_path):
+    """Past EWMA_MAX_STEPS the operator must raise, not degrade to
+    NULLs via silent decimal overflow."""
+    sf = _ewma_events_dir(spark, round5e.EWMA_MAX_STEPS + 2, tmp_path)
+    with pytest.raises(Exception, match="EWMA_MAX_STEPS"):
+        round5e.e_ewma_anomaly(spark, sf).collect()
+
+
 # ---------------------------------------------------------------------------
 # kcore
 # ---------------------------------------------------------------------------

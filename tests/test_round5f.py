@@ -193,3 +193,35 @@ def test_train_classifier_raises_on_empty(spark):
     empty = spark.createDataFrame([], "text string, label int")
     with _pytest.raises(ValueError, match="empty training input"):
         train_logreg_hashed(empty, n_iter=2)
+
+
+def test_lsh_quality_sampled_pairs_are_subset(spark, sf_dir):
+    """Sample-then-audit contract (round-5 VERDICT item 2): pair Jaccard
+    is a two-document property, so the exact pair set of a doc sample
+    must be a strict subset of the full corpus's exact pair set."""
+    from good_enough_timecamp_data_pipeline_spark.operators.dedup import (
+        shingle_pairs_jaccard,
+    )
+    from good_enough_timecamp_data_pipeline_spark.plans.northstar import (
+        _docs_near_dup,
+    )
+
+    docs = _docs_near_dup(spark, sf_dir)
+    full = {
+        (r.id_a, r.id_b)
+        for r in shingle_pairs_jaccard(
+            docs, n=5, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    sampled_docs = docs.sample(fraction=0.6, seed=7)
+    sampled = {
+        (r.id_a, r.id_b)
+        for r in shingle_pairs_jaccard(
+            sampled_docs, n=5, threshold=0.5, max_shingle_df=None
+        ).collect()
+    }
+    assert full  # fixture guarantees near-dup pairs
+    assert sampled <= full
+    # and the audit itself runs end-to-end in sampled mode
+    (r,) = round5f.d_lsh_quality(spark, sf_dir, sample_fraction=0.6).collect()
+    assert r.precision == 1.0  # candidates are exact-verified by construction

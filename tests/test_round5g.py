@@ -324,3 +324,36 @@ def test_pca_moments_merge_equals_whole_corpus_fit(spark, sf_dir):
     assert np.allclose(merged.mean, whole.mean, atol=1e-10)
     assert np.allclose(merged.explained_variance, whole.explained_variance, atol=1e-8)
     assert np.allclose(np.abs(merged.components), np.abs(whole.components), atol=1e-6)
+
+
+def test_pq_rerank_restores_recall_floor(spark, sf_dir):
+    """Round-5 VERDICT item 3: the ADC-shortlist + exact-re-rank stage
+    must lift recall@10 to >= 0.9 even on the structure-free testdata
+    embeddings where plain PQ ranking collapses to ~0.2 — and must beat
+    the plain ADC ranking it repairs."""
+    (rerank,) = round5g.s_pq_rerank(spark, sf_dir).collect()
+    (plain,) = round5g.s_pq_recall(spark, sf_dir).collect()
+    assert rerank.n_queries == plain.n_queries > 0
+    assert rerank.mean_recall >= 0.9, rerank
+    assert rerank.mean_recall > plain.mean_recall
+
+
+def test_pq_rerank_shortlist_contract(spark):
+    """With shortlist >= corpus the two-stage result IS the exact
+    ranking: recall must be exactly 1.0 (the audit's metric identity),
+    regardless of how badly ADC orders the candidates."""
+    import numpy as np
+
+    from good_enough_timecamp_data_pipeline_spark.operators.clustering import (
+        pq_rerank_audit,
+        product_quantize,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes, codebook = product_quantize(emb, n_subspaces=4, n_centroids=8, n_iter=4)
+    (r,) = pq_rerank_audit(
+        emb, codes, codebook, query_mod=10, top_k=5, shortlist=200
+    ).collect()
+    assert r.mean_recall == 1.0 and r.min_recall == 1.0
