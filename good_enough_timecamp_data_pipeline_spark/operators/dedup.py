@@ -64,10 +64,24 @@ def ngram_shingles(toks_col, n: int = 5):
 def shingle_rows(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 5
 ) -> DataFrame:
-    """(doc, sh) exploded distinct-shingle rows, one pass over the text."""
+    """(doc, sh) exploded distinct-shingle rows, one pass over the text.
+
+    Tokenize + n-gram explode is the CPU-heavy narrow stage of every
+    dedup pipeline, and Spark fuses it to the scan — a few-partition
+    input (the local single-file testdata, or a union of two scan
+    branches) would run it on a few cores no matter the session size. A
+    HASH repartition on the doc id fans it out first: hash partitioning
+    skips the full-row sort round-robin repartition pays
+    (spark.sql.execution.sortBeforeRepartition), the exchanged payload
+    is the raw text ONCE (callers pin the result, so the exchange never
+    re-runs per consumer), and on real many-file inputs the partition
+    probe skips the exchange entirely."""
+    src = df.select(F.col(id_col).alias("doc"), F.col(text_col))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() * 2 <= target:
+        src = src.repartition(target, F.col("doc"))
     return (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col))
-        .withColumn("__toks", tokenize(F.col(text_col)))
+        src.withColumn("__toks", tokenize(F.col(text_col)))
         .select("doc", F.explode(ngram_shingles(F.col("__toks"), n)).alias("sh"))
     )
 
@@ -95,6 +109,7 @@ def _shingle_pair_counts(
     id_col: str,
     n: int,
     max_shingle_df: int | None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Shared pair-counting core of the exact near-dup family:
     (id_a, id_b, n_inter, n_a, n_b) for every doc pair sharing ≥ 1
@@ -102,7 +117,7 @@ def _shingle_pair_counts(
     ``max_shingle_df`` cap drops stop-shingles before the join (the
     prefix-filter move — skew-safe, but it CHANGES the pair set, so
     oracle-twinned callers pass None)."""
-    sh = _pin(shingle_rows(df, text_col, id_col, n))
+    sh = shingles if shingles is not None else _pin(shingle_rows(df, text_col, id_col, n))
     if max_shingle_df is not None:
         # no broadcast hint: the hot-shingle set is bounded by
         # shingle_rows / max_shingle_df — small in practice but O(corpus)
@@ -130,10 +145,12 @@ def shingle_pairs_jaccard(
     n: int = 5,
     threshold: float = 0.6,
     max_shingle_df: int | None = 1000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t)."""
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
+    ``shingles`` shares a pinned (doc, sh) pass — see minhash_lsh_pairs."""
     return (
-        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df)
+        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df, shingles=shingles)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -283,6 +300,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.6,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature + banded LSH candidate pairs, exact-verified.
 
@@ -290,8 +308,13 @@ def minhash_lsh_pairs(
     inputs the banding probability of a false negative is ~0, so the two
     methods agree (which is what the oracle asserts); the difference is
     cost: candidates come from B bucket-joins, never an all-pairs product.
+
+    ``shingles``: pass an already-pinned (doc, sh) table (shingle_rows
+    output) to share ONE tokenize pass with a sibling pipeline — the
+    d_lsh_quality audit runs this and the exact enumeration over the
+    same corpus and would otherwise shingle it twice. Must match ``n``.
     """
-    sh = _pin(shingle_rows(df, text_col, id_col, n))
+    sh = shingles if shingles is not None else _pin(shingle_rows(df, text_col, id_col, n))
     buckets = _pin(minhash_band_buckets(sh, num_hashes, bands))
     candidates = _pin(band_bucket_candidates(buckets))
     return verify_candidate_pairs(sh, candidates, threshold)

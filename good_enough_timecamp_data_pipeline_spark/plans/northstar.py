@@ -27,7 +27,7 @@ from ..streaming.windows import (
     streaming_sliding_counts,
     streaming_tumbling_counts,
 )
-from .testdata import load_table
+from .testdata import load_table, session_memo
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB side)
@@ -64,6 +64,7 @@ def _docs_exact_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(dups)
 
 
+@session_memo
 def _docs_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dups = docs.filter(F.col("doc_id") % 19 == 0).select(
@@ -428,6 +429,7 @@ SELECT doc_id, lang, rk FROM ranked WHERE rk <= 30
 """.strip()
 
 
+@session_memo
 def _docs_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthetic 'arriving batch' for incremental dedup: the usual injected
     near-dups (every 19th doc + a 5-token suffix) PLUS genuinely novel docs

@@ -239,19 +239,27 @@ def d_lsh_quality(
     audit, documented at dedup._shingle_pair_counts). The catalog/oracle
     twin runs the local exact mode (both None).
     """
-    from ..operators.dedup import minhash_lsh_pairs, shingle_pairs_jaccard
+    from ..operators.dedup import (
+        _pin,
+        minhash_lsh_pairs,
+        shingle_pairs_jaccard,
+        shingle_rows,
+    )
     from .northstar import _docs_near_dup
 
     docs = _docs_near_dup(spark, sf_dir)
     if sample_fraction is not None:
         docs = docs.sample(fraction=sample_fraction, seed=seed)
+    # ONE pinned tokenize+shingle pass feeds both pipelines — the exact
+    # and LSH sides each used to shingle the corpus independently
+    sh = _pin(shingle_rows(docs, n=5))
     exact = shingle_pairs_jaccard(
-        docs, n=5, threshold=0.5, max_shingle_df=max_shingle_df
+        docs, n=5, threshold=0.5, max_shingle_df=max_shingle_df, shingles=sh
     ).select(
         "id_a", "id_b", F.lit(1).alias("in_exact")
     )
     lsh = minhash_lsh_pairs(
-        docs, n=5, num_hashes=64, bands=32, threshold=0.5
+        docs, n=5, num_hashes=64, bands=32, threshold=0.5, shingles=sh
     ).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
     both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     return both.agg(

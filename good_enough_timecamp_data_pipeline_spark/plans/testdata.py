@@ -78,37 +78,80 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-# Tables whose DOWNSTREAM per-row compute is heavy (tokenize/shingle/
-# explode for text, vector arithmetic for embeddings). The local testdata
-# ships each table as ONE file with ONE row group, so their scan — and
-# every narrow op Spark fuses to it — would run in a single task on a
-# 32-core session. A round-robin repartition right after the scan fans
-# that work out; the payload is the raw column data (≤ a few MB locally),
-# and filters/column pruning still push through the exchange to the scan.
-# Real 100 TB inputs arrive as many files and skip this (the partition
-# count already ≥ parallelism). Row-cheap relational tables are NOT
-# widened: for them the extra exchange costs more than single-task
-# scanning saves (measured: +0.1–0.3 s per query at sf0.1).
-_WIDEN_TABLES = frozenset({"documents", "embeddings"})
+# NOTE on scan parallelism: the local testdata ships each table as ONE
+# parquet file with ONE row group, so the scan — and every narrow op
+# fused to it — runs in a single task regardless of core count. Two
+# remedies were measured at sf0.1 and BOTH lost: (a) re-laying the file
+# out into 32 parts + shrinking files.maxPartitionBytes session-wide
+# (+53 s total: every cheap relational query paid 32-task stage overhead
+# and binary-file reads over-split); (b) a round-robin repartition after
+# the scan (2–3× slower on the very pipelines it targeted — the exchange
+# pays a full row sort (spark.sql.execution.sortBeforeRepartition) and
+# re-runs once per derived lineage in iterative operators). Single-task
+# first scans are simply optimal at this data size; on real multi-file
+# 100 TB inputs the scan fans out by itself.
+
+
+# DataFrame plans are immutable, so one read per (session, sf_dir, table)
+# serves every query in the session. Without this, each catalog build pays
+# a parquet footer read + schema inference per table it touches (~50–100 ms
+# of the per-query constant, × several tables × 170 queries per bench run).
+# The weakref guard rejects a hit whose session object is gone or was
+# replaced (id() can be recycled after GC) — a fresh read, never a stale
+# plan against a dead session.
+_TABLE_CACHE: dict = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    import os
+    import weakref
 
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None:
+        ref, cached = hit
+        if ref() is spark:
+            return cached
+        del _TABLE_CACHE[key]
     if name == "events":
         # Set the nanos conf HERE, not only in our own get_spark() builder:
         # the driver verifies queries() under its own SparkSession where the
         # conf would otherwise be unset and a nanos-vintage events read dies
         # with PARQUET_TYPE_ILLEGAL (round-1 ADVICE item 1).
         ensure_events_read_conf(spark)
-        return normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
-    path = f"{sf_dir}/{name}.parquet"
-    df = spark.read.parquet(path)
-    # single plain FILE = the local-testdata shape (one input split); real
-    # multi-file inputs skip the widen purely on filesystem evidence
-    if name in _WIDEN_TABLES and os.path.isfile(path):
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+        df = normalize_events_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_CACHE[key] = (weakref.ref(spark), df)
     return df
+
+
+def session_memo(fn):
+    """Memoize a pure ``(spark, sf_dir) -> DataFrame`` plan builder per
+    session (same weakref guard as the table cache). Only the
+    no-extra-arguments call is cached; parameterized calls pass through.
+    For derived fixtures (tasks tree, near-dup corpus) that a dozen
+    catalog queries each rebuild expression-by-expression over Py4J."""
+    import functools
+    import weakref
+
+    cache: dict = {}
+
+    @functools.wraps(fn)
+    def wrapped(spark, sf_dir, *args, **kwargs):
+        if args or kwargs:
+            return fn(spark, sf_dir, *args, **kwargs)
+        key = (id(spark), sf_dir)
+        hit = cache.get(key)
+        if hit is not None:
+            ref, df = hit
+            if ref() is spark:
+                return df
+            del cache[key]
+        df = fn(spark, sf_dir)
+        cache[key] = (weakref.ref(spark), df)
+        return df
+
+    return wrapped
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -121,6 +164,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # Synthesized tasks tree (Spark side)
 # ---------------------------------------------------------------------------
 
+@session_memo
 def tasks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-level task tree: region roots → nation → customer leaves.
 
@@ -154,6 +198,7 @@ def tasks_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roots.unionByName(mids).unionByName(leaves)
 
 
+@session_memo
 def entries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entries fact over the synthesized tree: one row per order.
 

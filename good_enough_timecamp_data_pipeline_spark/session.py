@@ -44,7 +44,7 @@ def get_spark(
     conf = {
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": str(n_shuffle),
-        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
