@@ -26,6 +26,7 @@ from . import (
     round5e,
     round5f,
     round5g,
+    round6,
     training,
     warehouse,
 )
@@ -338,3 +339,5 @@ register("s_pca_spectrum", round5g.s_pca_spectrum)
 register("s_diverse_sample", round5g.s_diverse_sample)
 register("s_pq_recall", round5g.s_pq_recall)
 register("s_pq_rerank", round5g.s_pq_rerank)
+register("f_variant_shred", round6.f_variant_shred, round6.F_VARIANT_SHRED_SQL)
+register("x_lateral_topn", round6.x_lateral_topn, round6.X_LATERAL_TOPN_SQL)

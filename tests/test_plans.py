@@ -361,3 +361,39 @@ def test_aqe_splits_skewed_join_partitions(spark):
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
         ):
             conf.unset(k)
+
+
+def test_lateral_topn_decorrelates_to_one_window(spark, sf_dir):
+    """x_lateral_topn's correlated LATERAL LIMIT must decorrelate into a
+    per-key ranked window — ONE shuffle on the correlation key, never a
+    per-outer-row re-scan (nested loop / cartesian)."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round6
+
+    plan = plan_of(round6.x_lateral_topn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the decorrelated rank
+    # customer is scanned once, nation once
+    assert sum("customer" in s for s in scans(plan)) == 1
+
+
+def test_lm_perplexity_is_two_corpus_passes(spark, sf_dir):
+    """bigram_lm checkpoints the vocabulary-sized count table, so the
+    final scoring plan must contain exactly ONE scan of documents (the
+    scoring pass; the LM-build pass already ran into the checkpoint).
+    Regression for the round-5 4-passes-per-query defect."""
+    from good_enough_timecamp_data_pipeline_spark.plans import extensions
+
+    plan = plan_of(extensions.t_lm_perplexity(spark, sf_dir))
+    doc_scans = [s for s in scans(plan) if "documents" in s]
+    assert len(doc_scans) == 1, plan
+
+
+def test_variant_shred_single_scan_partial_agg(spark, sf_dir):
+    """f_variant_shred is one scan + one partially-aggregated hash agg —
+    the shape that scales to any event volume."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round6
+
+    plan = plan_of(round6.f_variant_shred(spark, sf_dir))
+    assert len(scans(plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
