@@ -341,3 +341,4 @@ register("s_pq_recall", round5g.s_pq_recall)
 register("s_pq_rerank", round5g.s_pq_rerank)
 register("f_variant_shred", round6.f_variant_shred, round6.F_VARIANT_SHRED_SQL)
 register("x_lateral_topn", round6.x_lateral_topn, round6.X_LATERAL_TOPN_SQL)
+register("t_bpe_train", round6.t_bpe_train)

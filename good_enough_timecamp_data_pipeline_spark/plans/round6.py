@@ -105,3 +105,18 @@ LATERAL (
     LIMIT 3
 ) c
 """.strip()
+
+
+def t_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 6 BPE merges from a deterministic 1-in-11 document sample
+    (operators/bpe.py) — tokenizer TRAINING, the step upstream of every
+    token-count/seq-pack entry in the catalog. Tokenizer trainers sample
+    at scale (merge statistics converge long before the corpus ends), so
+    the sample IS the production shape, not a shortcut. rows-only:
+    the merge loop is iterative (argmax per round) — not one SQL
+    statement; exactness is pinned by a pure-Python reference fold in
+    tests/test_bpe.py."""
+    from ..operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 11 == 0)
+    return bpe_train(docs, n_merges=6)
