@@ -337,6 +337,12 @@ def build_lsh_index(
     return sh_idx, minhash_band_buckets(sh_idx, num_hashes, bands)
 
 
+# Bump when shingle_rows / minhash_band_buckets semantics change: the
+# version participates in the artifact cache key, so old on-disk indexes
+# built by previous algorithm versions can never be silently reused.
+_LSH_INDEX_FORMAT = "1"
+
+
 def build_lsh_index_cached(
     spark,
     index_df: DataFrame,
@@ -362,17 +368,39 @@ def build_lsh_index_cached(
     into place is atomic, so concurrent builders race benignly. On a
     real cluster the same two tables land in object storage (buckets
     bucketBy (band, bucket), shingles by doc) via a saveAsTable
-    warehouse instead of a /tmp path."""
+    warehouse instead of a /tmp path.
+
+    The hashed key includes ``_LSH_INDEX_FORMAT`` so any change to the
+    shingle/banding semantics invalidates old artifacts instead of
+    silently reusing them; the default root is per-uid (mode 0700) and
+    an existing artifact is trusted only if this process owns it —
+    a world-shared predictable /tmp path would let another local user
+    pre-plant parquet we'd silently read (round-6 ADVICE item 1)."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     key = hashlib.md5(
-        f"{cache_key}:{text_col}:{id_col}:{n}:{num_hashes}:{bands}".encode()
+        f"v{_LSH_INDEX_FORMAT}:{cache_key}:{text_col}:{id_col}:{n}:{num_hashes}:{bands}".encode()
     ).hexdigest()[:16]
-    root = cache_root or os.path.join(tempfile.gettempdir(), "spark_graft_lsh_index")
+    root = cache_root or os.path.join(
+        tempfile.gettempdir(), f"spark_graft_lsh_index-uid{os.getuid()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    st = os.stat(root)
+    if st.st_uid != os.getuid():
+        raise PermissionError(
+            f"LSH index cache root {root!r} is owned by uid {st.st_uid}, "
+            f"not us ({os.getuid()}); refusing to trust or write artifacts "
+            "there — pass cache_root= to relocate the cache"
+        )
     art = os.path.join(root, key)
+    if os.path.isdir(art) and os.stat(art).st_uid != os.getuid():
+        raise PermissionError(
+            f"LSH index artifact {art!r} exists but is owned by another "
+            "user; refusing to read it — pass cache_root= to relocate"
+        )
     if not os.path.isdir(art):
         tmp = art + f".tmp.{os.getpid()}"
         shingle_rows(index_df, text_col, id_col, n).write.mode("overwrite").parquet(

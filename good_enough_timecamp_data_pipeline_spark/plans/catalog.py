@@ -27,6 +27,7 @@ from . import (
     round5f,
     round5g,
     round6,
+    round7,
     training,
     warehouse,
 )
@@ -58,176 +59,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Registration order is deliberate: the driver's correctness gate checks the
 # FIRST 50 entries of queries(). Window history: r1+r2 confirmed the original
 # ordering; r3 confirmed 43/50 (7 events-reader failures, fixed r4); r4 was
-# 50/50 — cumulative driver-confirmed coverage 92/104 oracle entries. The r5
-# window, in priority order: (a) the 12 oracle queries the driver has NEVER
-# checked (added after the r4 window froze), (b) queries whose IMPLEMENTATION
-# changed this round (dedup verify de-broadcast, graph checkpoint cleanup,
-# similarity size-guard — confirmations only attest code as of the checked
-# round), (c) events-readers re-checked under the r5 UTC session pin
-# (plans/testdata.py) incl. the two AQE hint-removal queries, then (d) the
-# oldest-attested entries (r3-only, never re-checked since). Everything else
-# follows after slot 50; rows-only entries last. After r5 this makes
-# cumulative driver-confirmed coverage 104/104 of the pre-r5 oracle set;
-# the oracle queries ADDED during r5 (e_peak_concurrency … t_dsir_resample
-# from the first half; t_ccnet_buckets, t_line_dedup, a_mad_outliers,
-# w_pareto_share, g_triangle_count, a_winsorize, s_embedding_drift,
-# x_skew_report, q_shipping_priority, q_local_supplier_volume,
-# e_attribution from round-5b; t_hashed_classifier, d_containment,
-# a_ks_test, e_interval_coverage from round-5d; t_source_caps,
-# t_temperature_mix, a_chi_square, e_ewma_anomaly from round-5e;
-# a_source_lang_entropy, d_threshold_curve, t_ngram_novelty from
-# round-5f; q_nation_trade, a_benford from the warehouse tail;
-# d_lsh_quality, t_train_classifier (rows-only), x_geo_grid_join,
-# f_array_ops, x_asof_forward/nearest, x_geo_knn, s_stream_ewma
-# (rows-only) from round-5g — all registered after the slot-50 marker)
-# are locally verified at sf0.001/sf0.01/sf0.1 and rotate into the r6
-# front, oldest-first.
+# 50/50; r5 rotated in the 12 post-r4 additions + impl-changed + oldest
+# entries (50/50); r6 accidentally re-ran the IDENTICAL window (new entries
+# were appended at the back without reordering the front), freezing
+# driver-confirmed coverage at 104/149 twins. The r7 window is therefore
+# exactly the 45 oracle twins the driver has NEVER sampled (everything
+# registered after the r5 freeze — round5/curation/warehouse/round5d-g/
+# round6 — all green under the round-6 judge's oracle_check re-run), plus
+# d_incremental_dedup (implementation changed this round: versioned
+# per-user LSH index cache key) and the round-7 additions. Everything else
+# follows after slot 50; rows-only entries last.
 
-# --- (a) never driver-checked: the 12 post-r4-freeze oracle queries --------
-for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
-    register(_name, _fn, _sql)
-register(
-    "d_incremental_dedup", northstar.d_incremental_dedup, northstar.D_INCREMENTAL_DEDUP_SQL
-)
-register("d_dedup_survivors", advanced.d_dedup_survivors, advanced.D_DEDUP_SURVIVORS_SQL)
-register("j_scd2_lookup", analytics.j_scd2_lookup, analytics.J_SCD2_LOOKUP_SQL)
-register("e_windowed_funnel", analytics.e_windowed_funnel, analytics.E_WINDOWED_FUNNEL_SQL)
-
-# --- (b) implementation changed in r5 --------------------------------------
-# dedup.py verify paths lost their forced candidate-set broadcasts;
-# graph.py gained explicit checkpoint cleanup; similarity.py gained the
-# size-guarded query-side broadcast. (d_incremental_dedup and
-# f_epoch_roundtrip also changed but already sit in window (a).)
-register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
-register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
-register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
-register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
-
-# --- (c) events-readers under the r5 UTC session pin (testdata.py) ---------
-# e_retention_cohorts / e_funnel_stages also confirm the r4 hint removal
-# still matches with AQE choosing the join strategy.
-register(
-    "e_retention_cohorts", analytics.e_retention_cohorts, analytics.E_RETENTION_COHORTS_SQL
-)
-register("e_funnel_stages", analytics.e_funnel_stages, analytics.E_FUNNEL_STAGES_SQL)
-register("j_scd2_dim", analytics.j_scd2_dim, analytics.J_SCD2_DIM_SQL)
-register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
-register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
-register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
-register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)
-register("x_asof_join", relational.x_asof_join, relational.X_ASOF_JOIN_SQL)
-register(
-    "e_sliding_window",
-    extensions.e_sliding_window,
-    extensions.E_SLIDING_WINDOW_SQL,
-)
-register("e_dau_wau", extensions.e_dau_wau, extensions.E_DAU_WAU_SQL)
-
-# --- (d) oldest attestation: r3-confirmed, never re-checked since ----------
-register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
-register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
-register("t_topk_tokens", analytics.t_topk_tokens, analytics.T_TOPK_TOKENS_SQL)
-register("d_dq_violations", analytics.d_dq_violations, analytics.D_DQ_VIOLATIONS_SQL)
-register("t_scrub_pii", analytics.t_scrub_pii, analytics.T_SCRUB_PII_SQL)
-register("x_grouped_list", analytics.x_grouped_list, analytics.X_GROUPED_LIST_SQL)
-register("w_ntile_quartiles", analytics.w_ntile_quartiles, analytics.W_NTILE_QUARTILES_SQL)
-register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
-register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
-register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
-register("t_winnow", advanced.t_winnow, advanced.T_WINNOW_SQL)
-register("t_bpe_tokens", advanced.t_bpe_tokens, advanced.T_BPE_TOKENS_SQL)
-register("c_snapshot_diff", advanced.c_snapshot_diff, advanced.C_SNAPSHOT_DIFF_SQL)
-register("t_decontam", training.t_decontam, training.T_DECONTAM_SQL)
-register("t_seq_pack", training.t_seq_pack, training.T_SEQ_PACK_SQL)
-register("t_mixture_weights", training.t_mixture_weights, training.T_MIXTURE_WEIGHTS_SQL)
-register("t_repetition", training.t_repetition, training.T_REPETITION_SQL)
-register("t_shard_assign", training.t_shard_assign, training.T_SHARD_ASSIGN_SQL)
-register(
-    "w_rank_distribution", analytics.w_rank_distribution, analytics.W_RANK_DISTRIBUTION_SQL
-)
-register("x_posexplode", analytics.x_posexplode, analytics.X_POSEXPLODE_SQL)
-register("f_month_batches", analytics.f_month_batches, analytics.F_MONTH_BATCHES_SQL)
-register("a_grouping_sets", advanced.a_grouping_sets, advanced.A_GROUPING_SETS_SQL)
-register(
-    "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL
-)
-register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
-# ---------------------------- end of first-50 window -----------------------
-
-# --- r3/r4-confirmed, unchanged in r5 --------------------------------------
-register("t_chunking", training.t_chunking, training.T_CHUNKING_SQL)
-register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
-register("a_percentiles", relational.a_percentiles, relational.A_PERCENTILES_SQL)
-for _name, (_fn, _sql) in extensions.EXTENSION_QUERIES.items():
-    if _name not in QUERIES:  # e_sliding_window / e_dau_wau sit in the window
-        register(_name, _fn, _sql)
-register("f_json_props", relational.f_json_props, relational.F_JSON_PROPS_SQL)
-register("a_count_distinct", relational.a_count_distinct, relational.A_COUNT_DISTINCT_SQL)
-register("x_cube", relational.x_cube, relational.X_CUBE_SQL)
-register("w_frames", relational.w_frames, relational.W_FRAMES_SQL)
-register(
-    "h_breadcrumb_levels",
-    relational.h_breadcrumb_levels,
-    relational.H_BREADCRUMB_LEVELS_SQL,
-)
-register("f_formatting_wide", relational.f_formatting_wide, relational.F_FORMATTING_WIDE_SQL)
-register("f_string_ids", relational.f_string_ids, relational.F_STRING_IDS_SQL)
-register("f_dates", relational.f_dates, relational.F_DATES_SQL)
-register("f_date_explode", relational.f_date_explode, relational.F_DATE_EXPLODE_SQL)
-register("o_sort_topk", relational.o_sort_topk, relational.O_SORT_TOPK_SQL)
-register("o_set_ops", relational.o_set_ops, relational.O_SET_OPS_SQL)
-register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_SQL)
-register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
-register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
-register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
-register("x_profile", relational.x_profile, relational.X_PROFILE_SQL)
-register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
-register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)
-register("t_langid", northstar.t_langid, northstar.T_LANGID_SQL)
-register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
-register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
-register("t_corpus_prep", northstar.t_corpus_prep, northstar.T_CORPUS_PREP_SQL)
-register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
-register("t_balanced_sample", northstar.t_balanced_sample, northstar.T_BALANCED_SAMPLE_SQL)
-register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
-register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS_SQL)
-register(
-    "report_task_budget", reports.report_task_budget, reports.oracle_task_budget_sql()
-)
-register(
-    "report_project_budget",
-    reports.report_project_budget,
-    reports.oracle_project_budget_sql(),
-)
-register("p_filter_pushdown", relational.p_filter_pushdown, relational.P_FILTER_PUSHDOWN_SQL)
-register(
-    "p_null_canonicalization",
-    relational.p_null_canonicalization,
-    relational.P_NULL_CANONICALIZATION_SQL,
-)
-register("p_type_coercion", relational.p_type_coercion, relational.P_TYPE_COERCION_SQL)
-register("j_broadcast_lookup", relational.j_broadcast_lookup, relational.J_BROADCAST_LOOKUP_SQL)
-register(
-    "j_first_group_enrich",
-    relational.j_first_group_enrich,
-    relational.J_FIRST_GROUP_ENRICH_SQL,
-)
-register("j_semi", relational.j_semi, relational.J_SEMI_SQL)
-register("j_anti", relational.j_anti, relational.J_ANTI_SQL)
-register(
-    "j_assembly_left_defaults",
-    relational.j_assembly_left_defaults,
-    relational.J_ASSEMBLY_LEFT_DEFAULTS_SQL,
-)
-register("j_fuzzy_match", relational.j_fuzzy_match, relational.J_FUZZY_MATCH_SQL)
-register("a_groupsum_pricing", relational.a_groupsum_pricing, relational.A_GROUPSUM_PRICING_SQL)
-register("a_stats_minmax", relational.a_stats_minmax, relational.A_STATS_MINMAX_SQL)
-register("a_distinct_ids", relational.a_distinct_ids, relational.A_DISTINCT_IDS_SQL)
-register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
-register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
-register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)
-
-# --- added after the r5 window froze; rotate into the front next round -----
+# --- (a) the 45 never-driver-sampled oracle twins --------------------------
 register(
     "e_peak_concurrency", round5.e_peak_concurrency, round5.E_PEAK_CONCURRENCY_SQL
 )
@@ -301,6 +144,146 @@ register("f_array_ops", round5g.f_array_ops, round5g.F_ARRAY_OPS_SQL)
 register("x_asof_forward", round5g.x_asof_forward, round5g.X_ASOF_FORWARD_SQL)
 register("x_asof_nearest", round5g.x_asof_nearest, round5g.X_ASOF_NEAREST_SQL)
 register("x_geo_knn", round5g.x_geo_knn, round5g.X_GEO_KNN_SQL)
+register("f_variant_shred", round6.f_variant_shred, round6.F_VARIANT_SHRED_SQL)
+register("x_lateral_topn", round6.x_lateral_topn, round6.X_LATERAL_TOPN_SQL)
+
+# --- (b) implementation changed in r7 --------------------------------------
+# build_lsh_index_cached gained a versioned, per-user, ownership-checked
+# artifact key (round-6 ADVICE item 1); re-confirm the probe query.
+register(
+    "d_incremental_dedup", northstar.d_incremental_dedup, northstar.D_INCREMENTAL_DEDUP_SQL
+)
+
+# --- (c) new in r7 ---------------------------------------------------------
+for _name, (_fn, _sql) in round7.ROUND7_QUERIES.items():
+    register(_name, _fn, _sql)
+# ---------------------------- end of first-50 window -----------------------
+
+# --- previously driver-confirmed (r1-r6 windows), unchanged ----------------
+for _name, (_fn, _sql) in extensions.LATE_EXTENSION_QUERIES.items():
+    register(_name, _fn, _sql)
+register("d_dedup_survivors", advanced.d_dedup_survivors, advanced.D_DEDUP_SURVIVORS_SQL)
+register("j_scd2_lookup", analytics.j_scd2_lookup, analytics.J_SCD2_LOOKUP_SQL)
+register("e_windowed_funnel", analytics.e_windowed_funnel, analytics.E_WINDOWED_FUNNEL_SQL)
+register("d_minhash_lsh", northstar.d_minhash_lsh, northstar.D_MINHASH_LSH_SQL)
+register("d_ngram_jaccard", northstar.d_ngram_jaccard, northstar.D_NGRAM_JACCARD_SQL)
+register("d_cc_clusters", advanced.d_cc_clusters, advanced.D_CC_CLUSTERS_SQL)
+register("s_cosine_topk", northstar.s_cosine_topk, northstar.S_COSINE_TOPK_SQL)
+register(
+    "e_retention_cohorts", analytics.e_retention_cohorts, analytics.E_RETENTION_COHORTS_SQL
+)
+register("e_funnel_stages", analytics.e_funnel_stages, analytics.E_FUNNEL_STAGES_SQL)
+register("j_scd2_dim", analytics.j_scd2_dim, analytics.J_SCD2_DIM_SQL)
+register("x_range_join", advanced.x_range_join, advanced.X_RANGE_JOIN_SQL)
+register("e_gapfill", advanced.e_gapfill, advanced.E_GAPFILL_SQL)
+register("e_tumbling_window", relational.e_tumbling_window, relational.E_TUMBLING_WINDOW_SQL)
+register("e_sessionize", relational.e_sessionize, relational.E_SESSIONIZE_SQL)
+register("x_asof_join", relational.x_asof_join, relational.X_ASOF_JOIN_SQL)
+register(
+    "e_sliding_window",
+    extensions.e_sliding_window,
+    extensions.E_SLIDING_WINDOW_SQL,
+)
+register("e_dau_wau", extensions.e_dau_wau, extensions.E_DAU_WAU_SQL)
+register("s_cosine_neardup", northstar.s_cosine_neardup, northstar.S_COSINE_NEARDUP_SQL)
+register("w_rolling_7d", analytics.w_rolling_7d, analytics.W_ROLLING_7D_SQL)
+register("t_topk_tokens", analytics.t_topk_tokens, analytics.T_TOPK_TOKENS_SQL)
+register("d_dq_violations", analytics.d_dq_violations, analytics.D_DQ_VIOLATIONS_SQL)
+register("t_scrub_pii", analytics.t_scrub_pii, analytics.T_SCRUB_PII_SQL)
+register("x_grouped_list", analytics.x_grouped_list, analytics.X_GROUPED_LIST_SQL)
+register("w_ntile_quartiles", analytics.w_ntile_quartiles, analytics.W_NTILE_QUARTILES_SQL)
+register("j_merge_upsert", advanced.j_merge_upsert, advanced.J_MERGE_UPSERT_SQL)
+register("a_histogram", advanced.a_histogram, advanced.A_HISTOGRAM_SQL)
+register("t_tfidf", advanced.t_tfidf, advanced.T_TFIDF_SQL)
+register("t_winnow", advanced.t_winnow, advanced.T_WINNOW_SQL)
+register("t_bpe_tokens", advanced.t_bpe_tokens, advanced.T_BPE_TOKENS_SQL)
+register("c_snapshot_diff", advanced.c_snapshot_diff, advanced.C_SNAPSHOT_DIFF_SQL)
+register("t_decontam", training.t_decontam, training.T_DECONTAM_SQL)
+register("t_seq_pack", training.t_seq_pack, training.T_SEQ_PACK_SQL)
+register("t_mixture_weights", training.t_mixture_weights, training.T_MIXTURE_WEIGHTS_SQL)
+register("t_repetition", training.t_repetition, training.T_REPETITION_SQL)
+register("t_shard_assign", training.t_shard_assign, training.T_SHARD_ASSIGN_SQL)
+register(
+    "w_rank_distribution", analytics.w_rank_distribution, analytics.W_RANK_DISTRIBUTION_SQL
+)
+register("x_posexplode", analytics.x_posexplode, analytics.X_POSEXPLODE_SQL)
+register("f_month_batches", analytics.f_month_batches, analytics.F_MONTH_BATCHES_SQL)
+register("a_grouping_sets", advanced.a_grouping_sets, advanced.A_GROUPING_SETS_SQL)
+register(
+    "a_partial_agg_merge", advanced.a_partial_agg_merge, advanced.A_PARTIAL_AGG_MERGE_SQL
+)
+register("s_quantize_int8", training.s_quantize_int8, training.S_QUANTIZE_INT8_SQL)
+register("t_chunking", training.t_chunking, training.T_CHUNKING_SQL)
+register("a_zscore_outliers", advanced.a_zscore_outliers, advanced.A_ZSCORE_OUTLIERS_SQL)
+register("a_percentiles", relational.a_percentiles, relational.A_PERCENTILES_SQL)
+for _name, (_fn, _sql) in extensions.EXTENSION_QUERIES.items():
+    if _name not in QUERIES:  # e_sliding_window / e_dau_wau sit in the window
+        register(_name, _fn, _sql)
+register("f_json_props", relational.f_json_props, relational.F_JSON_PROPS_SQL)
+register("a_count_distinct", relational.a_count_distinct, relational.A_COUNT_DISTINCT_SQL)
+register("x_cube", relational.x_cube, relational.X_CUBE_SQL)
+register("w_frames", relational.w_frames, relational.W_FRAMES_SQL)
+register(
+    "h_breadcrumb_levels",
+    relational.h_breadcrumb_levels,
+    relational.H_BREADCRUMB_LEVELS_SQL,
+)
+register("f_formatting_wide", relational.f_formatting_wide, relational.F_FORMATTING_WIDE_SQL)
+register("f_string_ids", relational.f_string_ids, relational.F_STRING_IDS_SQL)
+register("f_dates", relational.f_dates, relational.F_DATES_SQL)
+register("f_date_explode", relational.f_date_explode, relational.F_DATE_EXPLODE_SQL)
+register("o_sort_topk", relational.o_sort_topk, relational.O_SORT_TOPK_SQL)
+register("o_set_ops", relational.o_set_ops, relational.O_SET_OPS_SQL)
+register("w_running_rank", relational.w_running_rank, relational.W_RUNNING_RANK_SQL)
+register("x_topk_per_group", relational.x_topk_per_group, relational.X_TOPK_PER_GROUP_SQL)
+register("x_rollup", relational.x_rollup, relational.X_ROLLUP_SQL)
+register("x_pivot", relational.x_pivot, relational.X_PIVOT_SQL)
+register("x_profile", relational.x_profile, relational.X_PROFILE_SQL)
+register("t_token_stats", northstar.t_token_stats, northstar.T_TOKEN_STATS_SQL)
+register("t_quality", northstar.t_quality, northstar.T_QUALITY_SQL)
+register("t_langid", northstar.t_langid, northstar.T_LANGID_SQL)
+register("t_fingerprint", northstar.t_fingerprint, northstar.T_FINGERPRINT_SQL)
+register("t_simhash", northstar.t_simhash, northstar.T_SIMHASH_SQL)
+register("t_corpus_prep", northstar.t_corpus_prep, northstar.T_CORPUS_PREP_SQL)
+register("t_split", northstar.t_split, northstar.T_SPLIT_SQL)
+register("t_balanced_sample", northstar.t_balanced_sample, northstar.T_BALANCED_SAMPLE_SQL)
+register("d_exact_dedup", northstar.d_exact_dedup, northstar.D_EXACT_DEDUP_SQL)
+register("d_simhash_pairs", northstar.d_simhash_pairs, northstar.D_SIMHASH_PAIRS_SQL)
+register(
+    "report_task_budget", reports.report_task_budget, reports.oracle_task_budget_sql()
+)
+register(
+    "report_project_budget",
+    reports.report_project_budget,
+    reports.oracle_project_budget_sql(),
+)
+register("p_filter_pushdown", relational.p_filter_pushdown, relational.P_FILTER_PUSHDOWN_SQL)
+register(
+    "p_null_canonicalization",
+    relational.p_null_canonicalization,
+    relational.P_NULL_CANONICALIZATION_SQL,
+)
+register("p_type_coercion", relational.p_type_coercion, relational.P_TYPE_COERCION_SQL)
+register("j_broadcast_lookup", relational.j_broadcast_lookup, relational.J_BROADCAST_LOOKUP_SQL)
+register(
+    "j_first_group_enrich",
+    relational.j_first_group_enrich,
+    relational.J_FIRST_GROUP_ENRICH_SQL,
+)
+register("j_semi", relational.j_semi, relational.J_SEMI_SQL)
+register("j_anti", relational.j_anti, relational.J_ANTI_SQL)
+register(
+    "j_assembly_left_defaults",
+    relational.j_assembly_left_defaults,
+    relational.J_ASSEMBLY_LEFT_DEFAULTS_SQL,
+)
+register("j_fuzzy_match", relational.j_fuzzy_match, relational.J_FUZZY_MATCH_SQL)
+register("a_groupsum_pricing", relational.a_groupsum_pricing, relational.A_GROUPSUM_PRICING_SQL)
+register("a_stats_minmax", relational.a_stats_minmax, relational.A_STATS_MINMAX_SQL)
+register("a_distinct_ids", relational.a_distinct_ids, relational.A_DISTINCT_IDS_SQL)
+register("a_dedup_pk", relational.a_dedup_pk, relational.A_DEDUP_PK_SQL)
+register("a_salted_skew_sum", relational.a_salted_skew_sum, relational.A_SALTED_SKEW_SUM_SQL)
+register("h_closure_pairs", relational.h_closure_pairs, relational.H_CLOSURE_PAIRS_SQL)
 
 # --- rows-only (approximate / UDF / streaming — no SQL oracle) -------------
 register("m_phash_neardup", curation.m_phash_neardup)
@@ -339,6 +322,4 @@ register("s_pca_spectrum", round5g.s_pca_spectrum)
 register("s_diverse_sample", round5g.s_diverse_sample)
 register("s_pq_recall", round5g.s_pq_recall)
 register("s_pq_rerank", round5g.s_pq_rerank)
-register("f_variant_shred", round6.f_variant_shred, round6.F_VARIANT_SHRED_SQL)
-register("x_lateral_topn", round6.x_lateral_topn, round6.X_LATERAL_TOPN_SQL)
 register("t_bpe_train", round6.t_bpe_train)

@@ -461,6 +461,34 @@ FROM documents WHERE doc_id % 17 = 0
 """.strip()
 
 
+def _corpus_lsh_index(spark: SparkSession, sf_dir: str):
+    """The documents corpus' write-once LSH index (shingles, buckets),
+    cache-keyed by the parquet file's identity so prewarm and probe can
+    never diverge on the artifact they address."""
+    import os
+
+    index = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doc_file = f"{sf_dir}/documents.parquet"
+    st = os.stat(doc_file)
+    return dedup.build_lsh_index_cached(
+        spark,
+        index,
+        cache_key=f"{os.path.abspath(doc_file)}:{st.st_size}:{st.st_mtime_ns}",
+        n=5,
+        num_hashes=64,
+        bands=32,
+    )
+
+
+def prewarm_lsh_index(spark: SparkSession, sf_dir: str) -> None:
+    """Land (or just verify) the write-once LSH index artifact that
+    `d_incremental_dedup` probes. Harnesses call this during warm-up so
+    the per-query bench number times the operator's actual steady-state
+    claim — the O(batch) probe — while the one-time corpus build cost is
+    reported once, separately (round-6 VERDICT item 4)."""
+    _corpus_lsh_index(spark, sf_dir)
+
+
 def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: a new batch probed against the corpus index
     (`operators.dedup.incremental_lsh_pairs`). Per-batch cost O(batch),
@@ -472,19 +500,7 @@ def d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     8: the per-run rebuild was 5.6 s at sf0.1). Oracle = exact cross-set
     Jaccard (32×2 banding misses a θ=0.5 pair w.p. ~1e-4, same argument
     as `d_minhash_lsh`)."""
-    import os
-
-    index = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    doc_file = f"{sf_dir}/documents.parquet"
-    st = os.stat(doc_file)
-    idx = dedup.build_lsh_index_cached(
-        spark,
-        index,
-        cache_key=f"{os.path.abspath(doc_file)}:{st.st_size}:{st.st_mtime_ns}",
-        n=5,
-        num_hashes=64,
-        bands=32,
-    )
+    idx = _corpus_lsh_index(spark, sf_dir)
     return dedup.incremental_lsh_pairs(
         _docs_new_batch(spark, sf_dir), index=idx, n=5, num_hashes=64, bands=32,
         threshold=0.5,

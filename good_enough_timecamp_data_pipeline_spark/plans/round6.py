@@ -33,9 +33,15 @@ def f_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type rollup of a field shredded out of a VARIANT
     payload: parse the JSON props column once into VARIANT, extract
     ``$.k`` as BIGINT (``try_variant_get`` — NULL, never a throw, on
-    path/type misses), and aggregate. One scan + one hash agg."""
+    path/type misses), and aggregate. One scan + one hash agg.
+
+    Fixture contract (pinned by tests/test_round6.py): ``$.k`` in the
+    testdata props is always an integer or absent. On non-integer
+    payloads the engines would diverge — try_variant_get(...,'bigint')
+    truncates 1.5 → 1 and casts booleans, while DuckDB's
+    TRY_CAST(->>'k' AS BIGINT) yields NULL — so the twin holds only
+    under that contract."""
     events = load_table(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
     shredded = events.select(
         "event_type",
         F.expr("try_variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),

@@ -154,10 +154,28 @@ def session_memo(fn):
     return wrapped
 
 
+_VIEWS_REGISTERED: dict = {}
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every testdata table as a temp view (for spark.sql paths)."""
+    """Register every testdata table as a temp view (for spark.sql paths).
+
+    Memoized per (session, sf_dir): dozens of catalog queries call this on
+    entry, and each re-registration is 10 Py4J round-trips (~50-100 ms of
+    pure per-query constant). A different sf_dir for the same session
+    re-registers (the views must point at the new data)."""
+    import weakref
+
+    key = id(spark)
+    hit = _VIEWS_REGISTERED.get(key)
+    if hit is not None:
+        ref, registered_dir = hit
+        if ref() is spark and registered_dir == sf_dir:
+            return
+        del _VIEWS_REGISTERED[key]
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _VIEWS_REGISTERED[key] = (weakref.ref(spark), sf_dir)
 
 
 # ---------------------------------------------------------------------------

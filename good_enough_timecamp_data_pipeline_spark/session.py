@@ -23,6 +23,64 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def tuned_conf_for(sf_dir: str) -> dict[str, str]:
+    """Runtime-settable session conf sized to the data actually under
+    ``sf_dir`` — what spark-submit flags do on a real cluster, derived
+    here from the local input size so harnesses (bench, oracle check,
+    baseline compare) run the configuration an engineer would ship for
+    that scale instead of one fixed local default:
+
+    - **< 2 GiB input** (the local testdata SFs): 8 shuffle partitions
+      and AQE off. Sub-GiB shuffles fit one task; with 32 partitions the
+      per-task launch overhead dominates, and AQE's per-stage barrier +
+      re-plan round-trip (~60-80 ms/stage measured at sf0.1, see
+      tools/profile_constant.py) buys nothing when the static plan is
+      already the right one. Every AQE benefit (coalescing, skew splits)
+      targets shuffles orders of magnitude bigger than the whole input.
+    - **2-64 GiB**: 2 partitions/core, AQE on with coalescing — enough
+      parallelism to keep cores busy, AQE trims the excess.
+    - **>= 64 GiB** (cluster scale): leave the get_spark defaults (AQE
+      on, skew-join on); the exact partition count stops mattering
+      because AQE re-derives it from runtime map statistics.
+
+    Correctness never depends on these (the driver runs our queries
+    under its own session); they only set the speed/overhead trade-off.
+    """
+    try:
+        total = 0
+        for entry in os.scandir(sf_dir):
+            if entry.is_file():
+                total += entry.stat().st_size
+            elif entry.is_dir():
+                for sub in os.scandir(entry.path):
+                    if sub.is_file():
+                        total += sub.stat().st_size
+    except OSError:
+        return {}
+    gib = 1024**3
+    if total < 2 * gib:
+        return {
+            "spark.sql.shuffle.partitions": "8",
+            "spark.sql.adaptive.enabled": "false",
+        }
+    if total < 64 * gib:
+        return {
+            "spark.sql.shuffle.partitions": str(2 * DEFAULT_CPUS),
+            "spark.sql.adaptive.enabled": "true",
+        }
+    return {}
+
+
+def apply_tuned_conf(spark: SparkSession, sf_dir: str) -> None:
+    """Apply ``tuned_conf_for`` to a live session (all keys are
+    runtime-settable). Respects an explicit $SPARK_GRAFT_AQE override."""
+    conf = tuned_conf_for(sf_dir)
+    if os.environ.get("SPARK_GRAFT_AQE"):
+        conf.pop("spark.sql.adaptive.enabled", None)
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+
+
 def get_spark(
     app_name: str = "good_enough_timecamp_data_pipeline_spark",
     master: str | None = None,

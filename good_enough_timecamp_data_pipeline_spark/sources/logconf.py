@@ -65,6 +65,22 @@ def setup_logger(
                 h, RotatingFileHandler
             ):
                 h.setLevel(logging.DEBUG if debug else logging.INFO)
+        # a repeat call with a DIFFERENT log_dir swaps in a new file
+        # handler — otherwise a second cli.main() in one process keeps
+        # appending to the first run's logs and the "artifacts and their
+        # log travel together" contract silently breaks (round-6 ADVICE)
+        want = os.path.abspath(os.path.join(log_dir, "sync.log"))
+        for h in list(logger.handlers):
+            if isinstance(h, RotatingFileHandler) and h.baseFilename != want:
+                logger.removeHandler(h)
+                h.close()
+                os.makedirs(log_dir, exist_ok=True)
+                fh = RotatingFileHandler(
+                    want, maxBytes=LOG_MAX_BYTES, backupCount=LOG_BACKUPS
+                )
+                fh.setFormatter(logging.Formatter(LOG_FORMAT))
+                fh.setLevel(logging.INFO)
+                logger.addHandler(fh)
     return logger
 
 

@@ -75,6 +75,12 @@ def register_data_views(spark: SparkSession, data_dir: str, fmt: str = "parquet"
         names.append(name)
     if not names:
         raise FileNotFoundError(f"no tables found under {data_dir}")
+    # these may shadow testdata's table-named views; drop the memo so a
+    # later plans.testdata.register_views() re-registers instead of
+    # assuming its views are still in place
+    from .plans.testdata import _VIEWS_REGISTERED
+
+    _VIEWS_REGISTERED.pop(id(spark), None)
     return names
 
 

@@ -528,6 +528,34 @@ def test_cli_demo_run_writes_rotating_log(spark, tmp_path, capsys):
     logging.getLogger("timecamp_sync").handlers.clear()
 
 
+def test_setup_logger_repeat_call_follows_new_log_dir(tmp_path):
+    """Round-6 ADVICE item 3: a second run in the same process with a
+    different --output must log under the NEW directory — the repeat
+    setup_logger call swaps the file handler instead of appending to the
+    first run's file forever."""
+    import logging
+
+    from good_enough_timecamp_data_pipeline_spark.sources.logconf import setup_logger
+
+    name = "timecamp_sync_swap_test"
+    logging.getLogger(name).handlers.clear()
+    a, b = tmp_path / "run_a", tmp_path / "run_b"
+    log = setup_logger(name, log_dir=str(a))
+    log.info("first run")
+    log = setup_logger(name, log_dir=str(b))
+    log.info("second run")
+    assert "first run" in (a / "sync.log").read_text()
+    body_b = (b / "sync.log").read_text()
+    assert "second run" in body_b and "first run" not in body_b
+    # and first run's file stops growing
+    assert "second run" not in (a / "sync.log").read_text()
+    # same-dir repeat call keeps the handler (no churn)
+    h_before = [h for h in logging.getLogger(name).handlers]
+    setup_logger(name, log_dir=str(b))
+    assert logging.getLogger(name).handlers == h_before
+    logging.getLogger(name).handlers.clear()
+
+
 def test_dotenv_loading(tmp_path, monkeypatch):
     """.env parity (reference common/utils.py:19-26): KEY=VALUE lines,
     comments, quotes, export prefix; override semantics."""

@@ -41,15 +41,29 @@ def main() -> int:
 
     import __spark_entry__ as e
     from good_enough_timecamp_data_pipeline_spark.plans import catalog
-    from good_enough_timecamp_data_pipeline_spark.session import get_spark
+    from good_enough_timecamp_data_pipeline_spark.session import (
+        apply_tuned_conf,
+        get_spark,
+    )
 
     spark = get_spark("duckdb_baseline")
+    # session conf sized to the data under sf_dir — same protocol as
+    # bench.py (see session.tuned_conf_for)
+    apply_tuned_conf(spark, sf_dir)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
-    # warm both engines (JVM/codegen; duckdb catalog + file handles)
+    # warm both engines (JVM/codegen; duckdb catalog + file handles) and
+    # land the write-once LSH index so d_incremental_dedup times its warm
+    # probe (bench.py does the same; build cost is a separate bench metric)
     catalog.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        from good_enough_timecamp_data_pipeline_spark.plans import northstar
+
+        northstar.prewarm_lsh_index(spark, sf_dir)
+    except Exception as ex:
+        print(f"lsh index prewarm failed: {ex}", file=sys.stderr)
     con.execute("SELECT COUNT(*) FROM lineitem").fetchall()
 
     qs, oracles = e.queries(), e.oracle_sql()
