@@ -73,6 +73,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, fn in catalog.queries().items():
+        restore = catalog.apply_query_conf(spark, name)
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -80,6 +81,7 @@ def main() -> None:
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
         finally:
+            restore()
             # operators pin reused intermediates (shingles, LSH buckets);
             # drop them so later queries aren't timed under cache pressure
             spark.catalog.clearCache()

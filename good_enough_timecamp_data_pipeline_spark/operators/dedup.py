@@ -78,7 +78,17 @@ def shingle_rows(
     probe skips the exchange entirely."""
     src = df.select(F.col(id_col).alias("doc"), F.col(text_col))
     target = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() * 2 <= target:
+    # Parallelism probe: count input FILES, not RDD partitions — the
+    # .rdd conversion forces full plan analysis + RDD translation
+    # (~1.3 s per fresh plan, pure driver time; it was the bulk of every
+    # dedup query's plan-build cost). File count lower-bounds scan
+    # parallelism, which is all the skip-the-exchange decision needs;
+    # file-less plans (in-memory fixtures) count as 1 → repartition.
+    try:
+        n_src = len(src.inputFiles()) or 1
+    except Exception:
+        n_src = 1
+    if n_src * 2 <= target:
         src = src.repartition(target, F.col("doc"))
     return (
         src.withColumn("__toks", tokenize(F.col(text_col)))
@@ -190,6 +200,45 @@ def containment_pairs(
     )
 
 
+# Unresolved-Column caches for the K-hash signature and band-bucket
+# expression lists. Column objects are plan-free expression trees, safe to
+# reuse across DataFrames and sessions within one JVM; building them fresh
+# is ~200 Py4J round-trips (several hundred ms of pure driver time) per
+# minhash plan, paid by every query in the dedup family.
+_SIG_COLS: dict[int, list] = {}
+_BAND_ARRAYS: dict[tuple[int, int], object] = {}
+
+
+def _sig_min_cols(num_hashes: int) -> list:
+    cols = _SIG_COLS.get(num_hashes)
+    if cols is None:
+        cols = [
+            F.min(F.xxhash64(F.lit(i), F.col("_base"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+        _SIG_COLS[num_hashes] = cols
+    return cols
+
+
+def _band_struct_array(num_hashes: int, bands: int):
+    key = (num_hashes, bands)
+    arr = _BAND_ARRAYS.get(key)
+    if arr is None:
+        rows_per_band = num_hashes // bands
+        band_structs = []
+        for b in range(bands):
+            cols = [
+                F.col(f"h{i}")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ]
+            band_structs.append(
+                F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
+            )
+        arr = F.array(*band_structs)
+        _BAND_ARRAYS[key] = arr
+    return arr
+
+
 def minhash_band_buckets(
     sh: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
@@ -211,21 +260,10 @@ def minhash_band_buckets(
     """
     rows_per_band = num_hashes // bands
     sh_base = sh.withColumn("_base", F.xxhash64(F.col("sh")))
-    sig = sh_base.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("_base"))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bucket"))
-        )
-    return sig.select(F.col("doc"), F.explode(F.array(*band_structs)).alias("bb")).select(
-        "doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    sig = sh_base.groupBy("doc").agg(*_sig_min_cols(num_hashes))
+    return sig.select(
+        F.col("doc"), F.explode(_band_struct_array(num_hashes, bands)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def band_bucket_candidates(buckets: DataFrame) -> DataFrame:

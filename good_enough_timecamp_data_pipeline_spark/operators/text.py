@@ -138,6 +138,28 @@ def simhash_agg_exprs(hash_col: str = "tok_hash", n_bits: int = 64) -> list[str]
     ]
 
 
+# Unresolved-Column cache: one bit-sum Column list per (v1, v2, n_bits).
+# Fresh construction is ~6 Py4J round-trips × n_bits (~0.9 s of driver
+# time per simhash plan); Columns are plan-free and safe to reuse.
+_SIMHASH_AGG_COLS: dict[tuple[str, str, int], list] = {}
+
+
+def simhash_agg_cols(
+    v1_col: str = "_v1", v2_col: str = "_v2", n_bits: int = 64
+) -> list[Column]:
+    """Column twins of `simhash_agg_exprs` over pre-split md5 halves."""
+    key = (v1_col, v2_col, n_bits)
+    cols = _SIMHASH_AGG_COLS.get(key)
+    if cols is None:
+        v1, v2 = F.col(v1_col), F.col(v2_col)
+        cols = [
+            F.sum(simhash_bit_col(v1, v2, j)).alias(f"bit_{j}")
+            for j in range(n_bits)
+        ]
+        _SIMHASH_AGG_COLS[key] = cols
+    return cols
+
+
 def simhash_bits_concat_sql(n_bits: int = 64) -> str:
     """Final signature: '1' where the summed weight is positive."""
     cases = [f"CASE WHEN bit_{j} > 0 THEN '1' ELSE '0' END" for j in range(n_bits)]

@@ -202,13 +202,9 @@ def t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical to the portable instr/substr SQL the oracle runs
     v1, v2 = text.md5_half_longs("tok_hash")
     tok_rows = tok_rows.withColumn("_v1", v1).withColumn("_v2", v2)
-    aggs = [
-        F.sum(text.simhash_bit_col(F.col("_v1"), F.col("_v2"), j)).alias(f"bit_{j}")
-        for j in range(64)
-    ]
     return (
         tok_rows.groupBy("doc_id")
-        .agg(*aggs)
+        .agg(*text.simhash_agg_cols("_v1", "_v2", 64))
         .select("doc_id", F.expr(text.simhash_bits_concat_sql(64)).alias("simhash"))
     )
 
@@ -547,13 +543,9 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("tok_hash", F.md5("tok"))
     v1, v2 = text.md5_half_longs("tok_hash")
     tok_rows = tok_rows.withColumn("_v1", v1).withColumn("_v2", v2)
-    aggs = [
-        F.sum(text.simhash_bit_col(F.col("_v1"), F.col("_v2"), j)).alias(f"bit_{j}")
-        for j in range(64)
-    ]
     sigs = (
         tok_rows.groupBy("doc_id")
-        .agg(*aggs)
+        .agg(*text.simhash_agg_cols("_v1", "_v2", 64))
         .select("doc_id", F.expr(text.simhash_bits_concat_sql(64)).alias("sig"))
         .persist()
     )

@@ -1,16 +1,45 @@
 """Round-7 catalog additions.
 
-Each entry lands in ``ROUND7_QUERIES`` as ``name -> (fn, oracle_sql)`` and
-is registered inside the driver's first-50 correctness window (see
-catalog.py) so new queries get a hard driver confirmation in their first
-round. Rows-only additions register separately at the catalog tail.
+Each oracle-twinned entry lands in ``ROUND7_QUERIES`` as
+``name -> (fn, oracle_sql)`` and is registered inside the driver's
+first-50 correctness window (see catalog.py) so new queries get a hard
+driver confirmation in their first round. Rows-only additions register
+separately at the catalog tail.
+
+- ``t_calibration_bins`` — reliability-diagram data for the hashed
+  quality classifier (round5d.t_hashed_classifier) against the
+  rules-based quality gate (northstar.t_quality): bin the model score
+  into 10 equal-width bins over [-1, 1] and report, per bin, the doc
+  count, mean predicted score, and the observed pass rate of the
+  heuristic gate. The standard calibration diagnostic every model-based
+  corpus filter ships with (does score s really mean "s-likely to be
+  good"?). One projection + one 10-group hash agg — scan-shaped, no
+  Python, no join: both the score and the label derive from the same
+  tokenized row.
+- ``a_weighted_quantile`` — exact weighted quantiles (p25/p50/p90 of
+  l_extendedprice weighted by l_quantity). Shape: groupBy value first
+  (the value-histogram, cardinality-sized), then one cumulative-weight
+  window over the HISTOGRAM, never the fact table — the same
+  dimension-sized-window contract as the catalog's other global-order
+  entries. At 100 TB the histogram is the only thing that sorts.
+- ``f_variant_write_shred`` (rows-only) — the WRITE half of the VARIANT
+  story (f_variant_shred covers read/extract): parse the events props
+  into VARIANT, land them as SHREDDED parquet (typed ``typed_value``
+  subcolumns per the parquet variant spec), read the artifact back and
+  extract a shredded field. tests/test_round7.py pins the 100×-scale
+  payoff: the scan of the shredded artifact prunes to
+  ``struct<v:struct<k:bigint>>`` — field-level column pruning through a
+  semi-structured payload.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import text
+from .northstar import TOKS_SQL, _stop_ratio_sql
+from .round5d import _WEIGHT_SQL, _weight_expr
 from .testdata import load_table
 
 ROUND7_QUERIES: dict = {}
@@ -18,3 +47,188 @@ ROUND7_QUERIES: dict = {}
 
 def _register(name: str, fn, sql: str) -> None:
     ROUND7_QUERIES[name] = (fn, sql)
+
+
+# ---------------------------------------------------------------------------
+# t_calibration_bins
+# ---------------------------------------------------------------------------
+
+
+def t_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability bins: hashed-classifier score vs heuristic-gate label.
+
+    label := quality >= 0.6 with quality exactly as `t_quality` computes
+    it (operand order mirrored in the SQL twin, so the IEEE doubles and
+    hence the boundary comparisons agree engine-to-engine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("__toks", text.tokenize(F.col("text")))
+    score_raw = F.aggregate(
+        F.transform(F.col("__toks"), lambda t: _weight_expr(t)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_toks = F.size("__toks")
+    score = F.when(
+        n_toks > 0,
+        score_raw.cast("double") / (n_toks.cast("double") * 1000.0),
+    ).otherwise(F.lit(0.0))
+    label = (text.quality_score(F.col("text")) >= 0.6).cast("int")
+    scored = d.select(
+        F.least(
+            F.lit(9), F.floor((score + F.lit(1.0)) / F.lit(0.2)).cast("int")
+        ).alias("bin"),
+        score.alias("score"),
+        label.alias("label"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg(F.col("label").cast("double")), 6).alias("pass_rate"),
+        )
+    )
+
+
+T_CALIBRATION_BINS_SQL = f"""
+WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+s AS (
+    SELECT doc_id, text, toks,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(COALESCE(list_sum(list_transform(toks, t -> {_WEIGHT_SQL})), 0)
+                AS BIGINT) AS score_raw,
+           {_stop_ratio_sql('toks', text.STOPWORDS['en'])} AS en_stop_ratio,
+           CASE WHEN len(toks) >= 20 AND len(toks) <= 1000 THEN 1.0
+                WHEN len(toks) > 0 THEN 0.5 ELSE 0.0 END AS len_band,
+           CASE WHEN length(text) > 0
+                THEN CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+                     / length(text)
+                ELSE 0.0 END AS alpha_ratio
+    FROM t
+),
+q AS (
+    SELECT CASE WHEN n_tokens > 0
+                THEN CAST(score_raw AS DOUBLE) / (n_tokens * 1000.0)
+                ELSE 0.0 END AS score,
+           CASE WHEN 0.4 * len_band + 0.4 * alpha_ratio
+                     + 0.2 * (CASE WHEN en_stop_ratio > 0.01 THEN 1.0 ELSE 0.0 END)
+                     >= 0.6 THEN 1 ELSE 0 END AS label
+    FROM s
+)
+SELECT LEAST(9, CAST(FLOOR((score + 1.0) / 0.2) AS INTEGER)) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(AVG(CAST(label AS DOUBLE)), 6) AS pass_rate
+FROM q
+GROUP BY 1
+""".strip()
+
+_register("t_calibration_bins", t_calibration_bins, T_CALIBRATION_BINS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# a_weighted_quantile
+# ---------------------------------------------------------------------------
+
+
+def a_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted p25/p50/p90 of l_extendedprice, weighted by
+    l_quantity: smallest value whose cumulative weight reaches q·W.
+
+    The fact table reduces to the value histogram first (one hash agg);
+    the cumulative window then runs over DISTINCT values only — the sort
+    is histogram-sized. Values are distinct post-groupBy, so the default
+    RANGE frame and a ROWS frame agree and both engines produce the same
+    running sums."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum("l_quantity").alias("wt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    c = hist.select(
+        "v",
+        F.sum("wt").over(w).alias("cw"),
+        F.sum("wt").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("tw"),
+    )
+    return c.agg(
+        F.min(F.when(F.col("cw") >= 0.25 * F.col("tw"), F.col("v"))).alias("p25_w"),
+        F.min(F.when(F.col("cw") >= 0.50 * F.col("tw"), F.col("v"))).alias("p50_w"),
+        F.min(F.when(F.col("cw") >= 0.90 * F.col("tw"), F.col("v"))).alias("p90_w"),
+        F.round(F.max("tw"), 2).alias("total_weight"),
+    )
+
+
+A_WEIGHTED_QUANTILE_SQL = """
+WITH hist AS (
+    SELECT l_extendedprice AS v, SUM(l_quantity) AS wt
+    FROM lineitem GROUP BY 1
+),
+c AS (
+    SELECT v,
+           SUM(wt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+           SUM(wt) OVER () AS tw
+    FROM hist
+)
+SELECT MIN(CASE WHEN cw >= 0.25 * tw THEN v END) AS p25_w,
+       MIN(CASE WHEN cw >= 0.50 * tw THEN v END) AS p50_w,
+       MIN(CASE WHEN cw >= 0.90 * tw THEN v END) AS p90_w,
+       ROUND(MAX(tw), 2) AS total_weight
+FROM c
+""".strip()
+
+_register("a_weighted_quantile", a_weighted_quantile, A_WEIGHTED_QUANTILE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# f_variant_write_shred (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def f_variant_write_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events props as SHREDDED VARIANT parquet, read the artifact
+    back, extract the shredded field, aggregate. Covers the write half
+    of the VARIANT story; tests/test_round7.py asserts the scan of the
+    artifact prunes to the single typed subfield.
+
+    The shredding schema is forced via
+    ``spark.sql.variant.forceShreddingSchemaForTest`` — the only switch
+    OSS Spark 4.1 exposes to produce spec-compliant shredded files (the
+    production surface is a writer/table property once SPARK-45891's
+    shredding API stabilizes); the files themselves are real shredded
+    variant parquet, not a test fake. Conf is set/restored around the
+    write so nothing leaks into the session."""
+    import os
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_id", "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_variant_shred-uid{os.getuid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    key = "spark.sql.variant.forceShreddingSchemaForTest"
+    prev = spark.conf.get(key, "")
+    spark.conf.set(key, "k bigint")
+    try:
+        v.write.mode("overwrite").parquet(out_dir)
+    finally:
+        spark.conf.set(key, prev)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.select(
+            "event_type",
+            F.expr("try_variant_get(v, '$.k', 'bigint')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

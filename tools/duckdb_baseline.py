@@ -73,8 +73,12 @@ def main() -> int:
             continue
         if name not in oracles:
             continue
+        restore = catalog.apply_query_conf(spark, name)
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        finally:
+            restore()
         t_spark = time.time() - t0
         spark.catalog.clearCache()
         t0 = time.time()
