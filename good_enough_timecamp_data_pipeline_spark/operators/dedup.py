@@ -76,20 +76,9 @@ def shingle_rows(
     is the raw text ONCE (callers pin the result, so the exchange never
     re-runs per consumer), and on real many-file inputs the partition
     probe skips the exchange entirely."""
-    src = df.select(F.col(id_col).alias("doc"), F.col(text_col))
-    target = df.sparkSession.sparkContext.defaultParallelism
-    # Parallelism probe: count input FILES, not RDD partitions — the
-    # .rdd conversion forces full plan analysis + RDD translation
-    # (~1.3 s per fresh plan, pure driver time; it was the bulk of every
-    # dedup query's plan-build cost). File count lower-bounds scan
-    # parallelism, which is all the skip-the-exchange decision needs;
-    # file-less plans (in-memory fixtures) count as 1 → repartition.
-    try:
-        n_src = len(src.inputFiles()) or 1
-    except Exception:
-        n_src = 1
-    if n_src * 2 <= target:
-        src = src.repartition(target, F.col("doc"))
+    from .layout import fan_out_scan
+
+    src = fan_out_scan(df.select(F.col(id_col).alias("doc"), F.col(text_col)), "doc")
     return (
         src.withColumn("__toks", tokenize(F.col(text_col)))
         .select("doc", F.explode(ngram_shingles(F.col("__toks"), n)).alias("sh"))

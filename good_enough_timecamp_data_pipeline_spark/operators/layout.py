@@ -23,6 +23,37 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition a file-scan-rooted NARROW pipeline across the
+    machine when the source has too few files to parallelize the fused
+    compute.
+
+    Spark fuses narrow expressions (tokenize, per-token hashing, HOF
+    folds) into the scan stage, so a one-file input runs them on ONE
+    core no matter the cluster size — the local testdata ships each
+    table as a single parquet file, and the CPU-heavy text pipelines
+    were measured 2-3× slower than the same plan fanned out. Hash
+    partitioning on a key skips the full-row sort a round-robin
+    repartition pays (spark.sql.execution.sortBeforeRepartition), and
+    the file-count guard makes this a no-op on real many-file inputs
+    where the scan fans out by itself. Counting FILES, not RDD
+    partitions: the `.rdd` probe forces plan analysis + RDD translation
+    (~1.3 s of driver time per fresh plan).
+
+    Use ONLY on pipelines consumed once (or pinned by the caller): the
+    exchange re-runs per derived lineage, which is why a blanket
+    post-scan repartition measured a net LOSS on iterative operators
+    (see the round-5 note in plans/testdata.py)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_src = len(df.inputFiles()) or 1
+    except Exception:
+        n_src = 1
+    if n_src * 2 <= target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 def min_max_scale(df: DataFrame, col: Column, bits: int = 16) -> Column:
     """Scale a numeric column to an integer rank in [0, 2^bits) using the
     observed min/max (one exact hash-agg, collected as two scalars —

@@ -571,9 +571,10 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles (doc,tok and tok) + one window on doc — each key-partial
     aggregated; the N scalar rides a 1-row broadcast cross join.
     """
+    from ..operators.layout import fan_out_scan
     from ..operators.text import tokenize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tf = (
         docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
         .groupBy("doc_id", "tok")
@@ -815,9 +816,10 @@ def t_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     so word pieces = a second vectorized ``regexp_extract_all`` on the raw
     text and punct = total − words (a per-piece ``rlike`` filter would be
     an interpreted HOF lambda — measured ~5× this query's cost)."""
+    from ..operators.layout import fan_out_scan
     from ..operators.text import tokenize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     pieces = F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
     n_word_pieces = F.size(F.expr(r"regexp_extract_all(text, '\\w+', 0)"))
     words = tokenize(F.col("text"))

@@ -400,9 +400,10 @@ def t_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     token per partition, not one per token occurrence. Top-k via a single
     ordered limit (rank ties broken by token text).
     """
+    from ..operators.layout import fan_out_scan
     from ..operators.text import tokenize
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = docs.select(
         F.explode(tokenize(F.col("text"))).alias("tok")
     )
@@ -513,7 +514,9 @@ def t_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE2-compatible patterns on both engines. Pure projection — no shuffle;
     at 100 TB this is a map-only pass that pipelines with the scan.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.layout import fan_out_scan
+
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),

@@ -58,18 +58,47 @@ def queries() -> dict[str, QueryFn]:
 # sort-merge→broadcast conversion and partition coalescing win far more
 # than the barrier tax (measured per-query both ways at sf0.1 — see
 # round-7 notes in PLANS.md). At cluster scale AQE is on everywhere.
-AQE_ON = {"spark.sql.adaptive.enabled": "true"}
+# The heavy profile is exactly the cluster-style default (32 shuffle
+# partitions + AQE): these pipelines carry mid-size shuffles/joins where
+# runtime broadcast conversion and real parallelism beat the light
+# profile's low-overhead settings. Assignment rule: every oracle twin
+# that measured slower under the light profile than under the r6
+# session defaults got its old config back, per-entry.
+HEAVY = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.shuffle.partitions": "32",
+}
 QUERY_CONF: dict[str, dict[str, str]] = {
-    "t_dsir_weights": AQE_ON,
-    "t_dsir_resample": AQE_ON,
-    "t_token_kl_drift": AQE_ON,
-    "t_ccnet_buckets": AQE_ON,
-    "t_line_dedup": AQE_ON,
-    "t_bm25_topk": AQE_ON,
-    "t_lm_perplexity": AQE_ON,
-    "t_corpus_prep": AQE_ON,
-    "g_triangle_count": AQE_ON,
-    "s_cosine_neardup": AQE_ON,
+    name: HEAVY
+    for name in (
+        "t_dsir_weights",
+        "t_dsir_resample",
+        "t_token_kl_drift",
+        "t_ccnet_buckets",
+        "t_line_dedup",
+        "t_bm25_topk",
+        "t_lm_perplexity",
+        "t_corpus_prep",
+        "t_bigram_lm",
+        "t_cooccurrence_lift",
+        "t_quality_gate",
+        "t_tfidf",
+        "t_simhash",
+        "g_triangle_count",
+        "s_cosine_neardup",
+        "e_peak_concurrency",
+        "e_dau_wau",
+        "e_gapfill",
+        "x_ordered_paths",
+        "x_range_join",
+        "x_geo_knn",
+        "x_geo_grid_join",
+        "x_asof_forward",
+        "a_ks_test",
+        "w_pareto_share",
+        "q_nation_trade",
+        "d_lsh_quality",
+    )
 }
 
 

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from ..operators.layout import fan_out_scan
 from ..operators.order import global_cumsum, long_range_bucket
 from .extensions import bigram_lm, doc_bigram_rows
 from .testdata import load_table
@@ -141,7 +142,7 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + self-semi-join if a single line's replica count ever exceeds one
     partition's memory.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
     )
@@ -734,7 +735,7 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
     rounds to 4dp (the t_lm_perplexity precedent — ln is IEEE-identical
     for identical inputs, the rounding absorbs summation-order ulps).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
     )

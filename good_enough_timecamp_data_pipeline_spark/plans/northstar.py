@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
+from ..operators.layout import fan_out_scan
 from ..streaming.stateful import streaming_sessionize
 from ..streaming.windows import (
     streaming_dedup,
@@ -79,7 +80,7 @@ def _docs_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = text.tokenize(F.col("text"))
     total_chars = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
@@ -110,7 +111,7 @@ FROM t
 
 
 def t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = text.tokenize(F.col("text"))
     return docs.select(
         "doc_id",
@@ -153,7 +154,7 @@ FROM m
 
 
 def t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select("doc_id", text.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -176,7 +177,7 @@ FROM r
 
 
 def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         text.content_fingerprint(F.col("text")).alias("content_hash"),
@@ -194,7 +195,7 @@ FROM t
 
 
 def t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     tok_rows = docs.select(
         "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
     ).withColumn("tok_hash", F.md5("tok"))
@@ -229,7 +230,7 @@ def t_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst fuses it all into one job with a single wide shuffle (the
     hash groupBy) — the same shape it would have at 100 TB.
     """
-    docs = _docs_exact_dup(spark, sf_dir)
+    docs = fan_out_scan(_docs_exact_dup(spark, sf_dir), "doc_id")
     winners = (
         docs.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -537,7 +538,7 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero false negatives, and the exact hamming filter removes false
     positives. That is why the plain pairwise-SQL oracle matches exactly.
     """
-    docs = _docs_near_dup(spark, sf_dir)
+    docs = fan_out_scan(_docs_near_dup(spark, sf_dir), "doc_id")
     tok_rows = docs.select(
         "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
     ).withColumn("tok_hash", F.md5("tok"))

@@ -84,7 +84,11 @@ def t_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal array lookup (`F.element_at` on a broadcast V-vector) with
     the same plan. Score = mean token weight in [-1, 1]; keep = score>0.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.layout import fan_out_scan
+
+    # fan the one-file local scan out before the per-token md5 fold (the
+    # heaviest narrow compute in the catalog); no-op on many-file inputs
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     d = docs.withColumn("__toks", tokenize(F.col("text")))
     score_raw = F.aggregate(
         F.transform(F.col("__toks"), lambda t: _weight_expr(t)),

@@ -60,7 +60,9 @@ def t_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     label := quality >= 0.6 with quality exactly as `t_quality` computes
     it (operand order mirrored in the SQL twin, so the IEEE doubles and
     hence the boundary comparisons agree engine-to-engine)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.layout import fan_out_scan
+
+    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     d = docs.withColumn("__toks", text.tokenize(F.col("text")))
     score_raw = F.aggregate(
         F.transform(F.col("__toks"), lambda t: _weight_expr(t)),
