@@ -51,10 +51,12 @@ def main() -> None:
     # size the session to the data under sf_dir (what spark-submit flags
     # do on a real cluster; see session.tuned_conf_for)
     apply_tuned_conf(spark, sf_dir)
-    # warm-up: JVM + codegen + parquet footer reads
+    # warm-up: JVM JIT + codegen + parquet footers for each hot kernel
+    # family, so per-query numbers reflect steady state instead of
+    # whichever entry runs first absorbing the compile cost
     try:
-        catalog.flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    except Exception as e:  # even a broken flagship must not kill the bench
+        catalog.warmup(spark, sf_dir)
+    except Exception as e:  # even a broken warm-up must not kill the bench
         print(f"warm-up failed: {e}", file=sys.stderr)
     # warm-up 2: land the write-once LSH index artifact so
     # d_incremental_dedup's per-query number times its actual claim (the

@@ -68,36 +68,21 @@ HEAVY = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
 }
+# Membership is decided by measurement, not guesswork: a 3-run
+# interleaved A/B (fresh process per run, median per query) of the light
+# session default vs this profile over the 34 heaviest twins at sf0.1 —
+# only entries whose MEDIAN improved > 0.1 s under the heavy profile
+# keep it. Everything else runs the light default (most candidates tied
+# or lost once fan_out_scan gave their narrow stages real parallelism).
 QUERY_CONF: dict[str, dict[str, str]] = {
     name: HEAVY
     for name in (
-        "t_dsir_weights",
-        "t_dsir_resample",
         "t_token_kl_drift",
-        "t_ccnet_buckets",
-        "t_line_dedup",
-        "t_bm25_topk",
-        "t_lm_perplexity",
-        "t_corpus_prep",
-        "t_bigram_lm",
-        "t_cooccurrence_lift",
-        "t_quality_gate",
-        "t_tfidf",
         "t_simhash",
         "g_triangle_count",
-        "s_cosine_neardup",
-        "e_peak_concurrency",
         "e_dau_wau",
         "e_gapfill",
-        "x_ordered_paths",
         "x_range_join",
-        "x_geo_knn",
-        "x_geo_grid_join",
-        "x_asof_forward",
-        "a_ks_test",
-        "w_pareto_share",
-        "q_nation_trade",
-        "d_lsh_quality",
     )
 }
 
@@ -131,6 +116,34 @@ def oracle_sql() -> dict[str, str]:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reports.report_project_budget(spark, sf_dir)
+
+
+# Harness warm-up set: one representative of each hot kernel family —
+# tokenize+md5 projection, explode+hash-agg, ranking window, broadcast
+# join — plus the flagship's closure/rollup shape. First execution of a
+# kernel pays JVM JIT + codegen warm-up (measured 2-3 s on the md5-heavy
+# aggs: 4.4 s cold vs 1.7 s steady-state for the same plan); without
+# this, whichever catalog entry happens to run FIRST absorbs that cost
+# into its published number, so per-query timings would depend on
+# registration order rather than on the queries themselves.
+WARMUP_QUERIES = (
+    "t_fingerprint",
+    "t_topk_tokens",
+    "w_running_rank",
+    "j_broadcast_lookup",
+)
+
+
+def warmup(spark: SparkSession, sf_dir: str) -> None:
+    """Run the warm-up set through the noop sink (used by bench.py and
+    tools/duckdb_baseline.py before any timed query)."""
+    flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in WARMUP_QUERIES:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
 
 
 # Registration order is deliberate: the driver's correctness gate checks the

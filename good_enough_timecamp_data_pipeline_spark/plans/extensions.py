@@ -287,18 +287,13 @@ def doc_bigram_rows(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     ``arrays_zip`` — expression-level, no posexplode self-join). Every
     SQL twin inlines the same regex/slice — a change here must land in
     each of them."""
-    from ..operators.layout import fan_out_scan
-
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
     )
-    # fan the one-file local scan out before the tokenize+zip explode
-    # (the CPU-heavy narrow stage every bigram consumer shares)
-    d = (
-        fan_out_scan(docs.select("doc_id", *extra_cols, "text"), "doc_id")
-        .select("doc_id", *extra_cols, toks.alias("t"))
-        .filter(F.size("t") >= 2)
-    )
+    # NO fan_out_scan here: every bigram consumer reads `pairs` through
+    # two lineages (count build + scoring), so the exchange would run
+    # twice — measured a net loss vs the narrow 1-wide tokenize
+    d = docs.select("doc_id", *extra_cols, toks.alias("t")).filter(F.size("t") >= 2)
     return d.select(
         "doc_id",
         *extra_cols,

@@ -236,12 +236,14 @@ def d_lsh_quality(
     subset of the full corpus's — recall/precision measured on it are
     unbiased estimates), and/or ``max_shingle_df`` to prefix-filter
     stop-shingles (which CHANGES the measured pair set — fine for an
-    audit, documented at dedup._shingle_pair_counts). The catalog/oracle
-    twin runs the local exact mode (both None).
+    audit, documented at dedup._shingle_pair_counts; both the truth and
+    the LSH side measure against the same filtered definition). The
+    catalog/oracle twin runs the local exact mode (both None).
     """
     from ..operators.dedup import (
         _pin,
-        minhash_lsh_pairs,
+        band_bucket_candidates,
+        minhash_band_buckets,
         shingle_pairs_jaccard,
         shingle_rows,
     )
@@ -253,14 +255,22 @@ def d_lsh_quality(
     # ONE pinned tokenize+shingle pass feeds both pipelines — the exact
     # and LSH sides each used to shingle the corpus independently
     sh = _pin(shingle_rows(docs, n=5))
-    exact = shingle_pairs_jaccard(
-        docs, n=5, threshold=0.5, max_shingle_df=max_shingle_df, shingles=sh
-    ).select(
-        "id_a", "id_b", F.lit(1).alias("in_exact")
+    exact = _pin(
+        shingle_pairs_jaccard(
+            docs, n=5, threshold=0.5, max_shingle_df=max_shingle_df, shingles=sh
+        ).select("id_a", "id_b", F.lit(1).alias("in_exact"))
     )
-    lsh = minhash_lsh_pairs(
-        docs, n=5, num_hashes=64, bands=32, threshold=0.5, shingles=sh
-    ).select("id_a", "id_b", F.lit(1).alias("in_lsh"))
+    # The LSH side's VERIFIED pair set is, by definition, its candidate
+    # set intersected with {pairs at jaccard ≥ τ} — exactly the ground
+    # truth this audit computes anyway (any candidate pair at ≥ τ shares
+    # shingles, so it is in `exact`). Joining candidates against the
+    # pinned truth therefore yields the identical verified set without
+    # re-running the 3-join exact-verify stage a standalone
+    # `minhash_lsh_pairs` needs.
+    candidates = band_bucket_candidates(minhash_band_buckets(sh, 64, 32))
+    lsh = candidates.join(exact.select("id_a", "id_b"), ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.lit(1).alias("in_lsh")
+    )
     both = exact.join(lsh, ["id_a", "id_b"], "full_outer")
     return both.agg(
         F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact"),
