@@ -690,15 +690,24 @@ def t_dsir_weights(
             % n_buckets
         ).alias("bucket"),
     )
-    doc_b = pairs.groupBy("doc_id", "bucket").agg(F.count("*").alias("n"))
-    # one conditional aggregation yields BOTH distribution estimates
-    # (the a_conditional_agg pattern) — no second corpus scan, no
-    # left-join + coalesce; totals are sums over this B-row table,
-    # cross-joined in as a 1-row stats side so the whole plan stays lazy
-    # (no job at plan-construction time).
-    bucket_counts = pairs.groupBy("bucket").agg(
-        F.count("*").alias("c_c"),
-        F.count_if(F.col("source") == "src0").alias("c_t"),
+    # ONE corpus pass: the (doc, source, bucket) count table is the
+    # common reduction of everything downstream (per-doc counts, both
+    # distribution estimates, both totals), and it is eagerly
+    # checkpointed so the md5-per-bigram pipeline — the expensive narrow
+    # stage — never re-runs per consumer (the bigram_lm contract,
+    # plans/extensions.py; source is functionally dependent on doc_id,
+    # so adding it to the keys does not grow the table).
+    doc_sb = (
+        pairs.groupBy("doc_id", "source", "bucket")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    doc_b = doc_sb.select("doc_id", "bucket", "n")
+    bucket_counts = doc_sb.groupBy("bucket").agg(
+        F.sum("n").alias("c_c"),
+        F.sum(
+            F.when(F.col("source") == "src0", F.col("n")).otherwise(F.lit(0))
+        ).alias("c_t"),
     )
     tot = bucket_counts.agg(
         F.sum("c_c").cast("double").alias("t_c"),
