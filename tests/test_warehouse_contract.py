@@ -90,3 +90,43 @@ def test_write_bigquery_contract_direct_path():
     assert w.mode_arg == "overwrite"
     assert w.options == {}  # no GCS staging option on the direct path
     assert w.save_arg == "proj.ds.t"
+
+
+def test_write_jdbc_executes_against_embedded_derby(spark, tmp_path):
+    """EXECUTED JDBC load (upgrades S10 beyond the recording-stub
+    contract): Spark bundles Apache Derby, a real JDBC database with an
+    embedded driver, so `write_jdbc` can run end-to-end in-sandbox —
+    overwrite, append, and a typed read-back through Spark's JDBC source.
+    The same call with a MySQL/Postgres URL + driver jar is pure
+    configuration (the write_jdbc docstring's claim, now demonstrated)."""
+    db = str(tmp_path / "derby_db")
+    url = f"jdbc:derby:{db};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", 3.5)], "id bigint, name string, val double"
+    )
+    io.write_jdbc(df, url, "sink_t", mode="overwrite", properties=props)
+    io.write_jdbc(df.limit(1), url, "sink_t", mode="append", properties=props)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "sink_t")
+        .option("driver", props["driver"])
+        .load()
+    )
+    rows = sorted((r["id"], r["name"], r["val"]) for r in back.collect())
+    assert rows == [(1, "a", 2.5), (1, "a", 2.5), (2, "b", 3.5)]
+    assert dict(back.dtypes) == {"id": "bigint", "name": "string", "val": "double"}
+
+    # overwrite drops the appended rows again
+    io.write_jdbc(df, url, "sink_t", mode="overwrite", properties=props)
+    assert (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "sink_t")
+        .option("driver", props["driver"])
+        .load()
+        .count()
+        == 2
+    )
