@@ -50,6 +50,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--datasets", default="entries",
                    help=f"Comma-separated datasets. Available: {', '.join(DATASETS)}. "
                         "Default: entries")
+    p.add_argument("--warehouse", default=None,
+                   help="ALSO load each landed dataset into a warehouse: "
+                        "'duckdb:/path.db', 'sqlite:/path.db', or any "
+                        "'jdbc:...' URL (jdbc:derby:/path;create=true runs "
+                        "embedded with Spark's bundled driver) — the "
+                        "reference pipeline's dlt destinations")
+    p.add_argument("--jdbc-driver", default=None,
+                   help="JDBC driver class for --warehouse jdbc: URLs "
+                        "(e.g. org.apache.derby.jdbc.EmbeddedDriver)")
     p.add_argument("--resume", action="store_true",
                    help="Skip steps already completed for this window/format "
                         "(consults _run_ledger.json in the output dir)")
@@ -127,8 +136,33 @@ def main(argv: list[str] | None = None) -> int:
         line = f"{name}: {res.tables[name].count()} rows -> {path}{tag}"
         log.info("%s", line)
         print(line)
+    if args.warehouse:
+        _load_warehouse(res.tables, args.warehouse, args.jdbc_driver, log)
     log.info("run complete: %d datasets", len(res.paths))
     return 0
+
+
+def _load_warehouse(tables, warehouse: str, jdbc_driver: str | None, log) -> None:
+    """Route each landed dataset into the requested warehouse — the
+    reference's dlt destination step (README.md:3 claims BigQuery/
+    MySQL/Postgres/SQLite/DuckDB; here duckdb:/sqlite: load via the
+    parquet-staged writers and jdbc: through Spark's JDBC sink)."""
+    from .sources import io
+
+    for name, df in tables.items():
+        if warehouse.startswith("duckdb:"):
+            io.write_duckdb(df, warehouse[len("duckdb:"):], name)
+        elif warehouse.startswith("sqlite:"):
+            io.write_sqlite(df, warehouse[len("sqlite:"):], name)
+        elif warehouse.startswith("jdbc:"):
+            props = {"driver": jdbc_driver} if jdbc_driver else None
+            io.write_jdbc(df, warehouse, name, properties=props)
+        else:
+            raise ValueError(
+                f"unsupported --warehouse {warehouse!r} "
+                "(expected duckdb:, sqlite:, or jdbc:)"
+            )
+        log.info("warehouse load: %s -> %s", name, warehouse)
 
 
 if __name__ == "__main__":

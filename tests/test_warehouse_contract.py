@@ -130,3 +130,49 @@ def test_write_jdbc_executes_against_embedded_derby(spark, tmp_path):
         .count()
         == 2
     )
+
+
+def test_cli_warehouse_load_duckdb_and_derby(spark, tmp_path):
+    """End-to-end: the CLI's --warehouse flag loads every landed dataset
+    into DuckDB and (separately) into an embedded-Derby JDBC database —
+    the reference pipeline's file-land + dlt-destination flow in one
+    command."""
+    import logging
+
+    import duckdb
+
+    from good_enough_timecamp_data_pipeline_spark import cli
+
+    logging.getLogger("timecamp_sync").handlers.clear()
+    out = tmp_path / "out"
+    db = tmp_path / "wh.db"
+    rc = cli.main([
+        "--offline-demo", "--from", "2025-01-01", "--to", "2026-02-01",
+        "--datasets", "tasks,users", "--output", str(out),
+        "--format", "parquet", "--warehouse", f"duckdb:{db}",
+    ])
+    assert rc == 0
+    con = duckdb.connect(str(db))
+    assert con.execute("SELECT COUNT(*) FROM tasks").fetchone()[0] > 0
+    assert con.execute("SELECT COUNT(*) FROM users").fetchone()[0] > 0
+    con.close()
+
+    logging.getLogger("timecamp_sync").handlers.clear()
+    derby = tmp_path / "derby_wh"
+    rc = cli.main([
+        "--offline-demo", "--from", "2025-01-01", "--to", "2026-02-01",
+        "--datasets", "tasks", "--output", str(tmp_path / "out2"),
+        "--format", "parquet",
+        "--warehouse", f"jdbc:derby:{derby};create=true",
+        "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver",
+    ])
+    assert rc == 0
+    back = (
+        spark.read.format("jdbc")
+        .option("url", f"jdbc:derby:{derby}")
+        .option("dbtable", "tasks")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    assert back.count() > 0
+    logging.getLogger("timecamp_sync").handlers.clear()
