@@ -634,8 +634,15 @@ FROM (
 
 
 def s_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n_tiles=1: tiling splits BIG blocks so one hot block cannot
+    serialize the GEMM stage — the testdata's ~200-vector blocks fit one
+    tile, and the 4-way default would Arrow-ship every row 4× for ~100
+    near-empty python groups (measured 0.97 s → 0.68 s warm, 3.6 → 0.9 s
+    cold). At 100 TB callers size n_tiles ≈ block_rows / tile_target."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.neardup_pairs_blocked(emb, block_col="label", threshold=0.40)
+    return similarity.neardup_pairs_blocked(
+        emb, block_col="label", threshold=0.40, n_tiles=1
+    )
 
 
 S_COSINE_NEARDUP_SQL = """
