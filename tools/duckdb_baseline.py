@@ -46,6 +46,10 @@ def main() -> int:
         get_spark,
     )
 
+    try:
+        loadavg_start = open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        loadavg_start = None
     spark = get_spark("duckdb_baseline")
     # session conf sized to the data under sf_dir — same protocol as
     # bench.py (see session.tuned_conf_for)
@@ -96,6 +100,10 @@ def main() -> int:
             flush=True,
         )
 
+    try:
+        loadavg_end = open("/proc/loadavg").read().split()[:3]
+    except OSError:
+        loadavg_end = None
     t_spark_total = sum(r["spark_s"] for r in rows.values())
     t_duck_total = sum(r["duckdb_s"] for r in rows.values())
     ratios = sorted(r["ratio"] for r in rows.values() if r["ratio"] is not None)
@@ -109,8 +117,14 @@ def main() -> int:
         "note": (
             "DuckDB is the reference's embedded engine; at local sf this "
             "workload fits its cache and Spark pays per-stage scheduling "
-            "overhead that amortizes on a cluster. BASELINE.md bar: <=2x."
+            "overhead that amortizes on a cluster. BASELINE.md bar: <=2x. "
+            "Totals drift +-15% with HOST load (co-tenant cores outside "
+            "this container; loadavg ~5 with the repo idle was observed) "
+            "and the JVM suffers contention more than embedded DuckDB — "
+            "compare runs at similar loadavg."
         ),
+        "loadavg_start": loadavg_start,
+        "loadavg_end": loadavg_end,
         "queries": rows,
     }
     out = os.path.join(
