@@ -1,0 +1,226 @@
+"""TimeCamp as a first-class Spark data source (Python DataSource API).
+
+Spark 4's ``pyspark.sql.datasource`` lets the reference's REST extract
+run as a NATIVE source::
+
+    spark.dataSource.register(TimecampDataSource)
+    df = (spark.read.format("timecamp")
+          .option("dataset", "entries")
+          .option("from", "2025-01-01").option("to", "2025-03-01")
+          .option("mode", "offline-demo")        # or .option("api_key", ...)
+          .load())
+
+This is the architecturally-right shape for the extract layer at scale:
+**the date range is split into ≤``chunk_days``-day input partitions and
+each EXECUTOR fetches its own window** (the reference's sequential
+date-chunk loop, ``/root/reference/dlt_fetch_timecamp.py:214-258``, made
+parallel), so ingest throughput scales with the cluster instead of the
+driver's socket. Rows come back already coerced to the landed schemas.
+
+Scope: this source serves the RAW extract tier —
+
+- ``dataset=entries``: the time-entries FACT, partitioned by date chunk;
+  rows match ``ingest.build_entries`` exactly (same coercions, same
+  tags→JSON-text rule; parity is pinned by a test).
+- ``dataset=tasks`` / ``dataset=users``: the raw dimension payloads
+  (single partition — dimension endpoints return the whole set).
+  Hierarchy breadcrumbs / group enrichment are DataFrame transformations
+  and stay downstream (`ingest.build_tasks` etc.), exactly like any
+  file-based source feeding a transform layer.
+
+Transports are constructed PER EXECUTOR from options (never pickled):
+``mode=offline-demo`` builds the deterministic fixture workspace,
+otherwise ``api_key`` builds the real HTTP transport.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from . import schemas
+
+RAW_TASKS_SCHEMA = (
+    "task_id string, parent_id string, name string, budgeted bigint, "
+    "public_hash string, task_key string"
+)
+RAW_USERS_SCHEMA = (
+    "user_id string, email string, display_name string, is_enabled boolean"
+)
+
+
+class _DateChunk(InputPartition):
+    def __init__(self, from_date: str, to_date: str):
+        self.from_date = from_date
+        self.to_date = to_date
+
+
+def _make_client(opts: dict):
+    from .client import TimeCampClient
+
+    if opts.get("mode") == "offline-demo":
+        from .fixtures import demo_transport
+
+        return TimeCampClient(demo_transport())
+    api_key = opts.get("api_key")
+    if not api_key:
+        raise ValueError(
+            "timecamp source needs .option('api_key', ...) or "
+            ".option('mode', 'offline-demo')"
+        )
+    from .client import requests_transport
+
+    return TimeCampClient(requests_transport(api_key))
+
+
+def _chunks(from_date: str, to_date: str, chunk_days: int) -> list[_DateChunk]:
+    d0 = _dt.date.fromisoformat(from_date)
+    d1 = _dt.date.fromisoformat(to_date)
+    if d1 < d0:
+        raise ValueError(f"empty window {from_date}..{to_date}")
+    out = []
+    cur = d0
+    while cur <= d1:
+        end = min(cur + _dt.timedelta(days=chunk_days - 1), d1)
+        out.append(_DateChunk(str(cur), str(end)))
+        cur = end + _dt.timedelta(days=1)
+    return out
+
+
+def _entry_row(r: dict) -> tuple:
+    """Pure-Python twin of build_entries' coercion (parity-tested)."""
+
+    def s(v):
+        return None if v is None else str(v)
+
+    def i(v):
+        try:
+            return None if v is None else int(float(v))
+        except (TypeError, ValueError):
+            return None
+
+    def f(v):
+        try:
+            return None if v is None else float(v)
+        except (TypeError, ValueError):
+            return None
+
+    def d(v):
+        if v is None:
+            return None
+        try:
+            return _dt.date.fromisoformat(str(v)[:10])
+        except ValueError:
+            return None
+
+    tags = r.get("tags")
+    if isinstance(tags, list) and tags:
+        # same text F.to_json emits for array<map<string,string>>
+        tags_json = json.dumps(
+            [{str(k): str(v) for k, v in t.items()} for t in tags],
+            separators=(",", ":"),
+        )
+    else:
+        tags_json = None
+    return (
+        s(r.get("id")),
+        s(r.get("task_id")),
+        s(r.get("user_id")),
+        d(r.get("date")),
+        i(r.get("duration")),
+        s(r.get("description")),
+        tags_json,
+        s(r.get("project_name")),
+        f(r.get("rate")),
+    )
+
+
+class _EntriesReader(DataSourceReader):
+    def __init__(self, opts: dict):
+        self.opts = opts
+        self.chunk_days = int(opts.get("chunk_days", "20"))
+        self.from_date = opts.get("from")
+        self.to_date = opts.get("to")
+        if not self.from_date or not self.to_date:
+            raise ValueError("dataset=entries needs .option('from'/'to', ...)")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return _chunks(self.from_date, self.to_date, self.chunk_days)
+
+    def read(self, partition: _DateChunk) -> Iterator[tuple]:
+        client = _make_client(self.opts)
+        raw = client.get_time_entries(
+            partition.from_date,
+            partition.to_date,
+            opt_fields="tags,breadcrumps",
+        )
+        for r in raw:
+            yield _entry_row(r)
+
+
+class _TasksReader(DataSourceReader):
+    def __init__(self, opts: dict):
+        self.opts = opts
+
+    def read(self, partition) -> Iterator[tuple]:
+        client = _make_client(self.opts)
+        for r in client.get_tasks():
+            budget = r.get("budgeted")
+            try:
+                budget = None if budget is None else int(float(budget))
+            except (TypeError, ValueError):
+                budget = None
+            yield (
+                None if r.get("task_id") is None else str(r.get("task_id")),
+                None if r.get("parent_id") is None else str(r.get("parent_id")),
+                None if r.get("name") is None else str(r.get("name")),
+                budget,
+                None if r.get("public_hash") is None else str(r.get("public_hash")),
+                None if r.get("task_key") is None else str(r.get("task_key")),
+            )
+
+
+class _UsersReader(DataSourceReader):
+    def __init__(self, opts: dict):
+        self.opts = opts
+
+    def read(self, partition) -> Iterator[tuple]:
+        client = _make_client(self.opts)
+        for r in client.get_users():
+            yield (
+                None if r.get("user_id") is None else str(r.get("user_id")),
+                None if r.get("email") is None else str(r.get("email")),
+                None if r.get("display_name") is None else str(r.get("display_name")),
+                bool(r.get("is_enabled", True)),
+            )
+
+
+class TimecampDataSource(DataSource):
+    """``spark.read.format("timecamp")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "timecamp"
+
+    def schema(self):
+        ds = self.options.get("dataset", "entries")
+        if ds == "entries":
+            return StructType(schemas.ENTRIES.fields)
+        if ds == "tasks":
+            return RAW_TASKS_SCHEMA
+        if ds == "users":
+            return RAW_USERS_SCHEMA
+        raise ValueError(f"unknown dataset {ds!r} (entries|tasks|users)")
+
+    def reader(self, schema) -> DataSourceReader:
+        ds = self.options.get("dataset", "entries")
+        opts = dict(self.options)
+        if ds == "entries":
+            return _EntriesReader(opts)
+        if ds == "tasks":
+            return _TasksReader(opts)
+        return _UsersReader(opts)

@@ -140,7 +140,6 @@ def demo_transport() -> Transport:
             r"/tasks$": ws["tasks"],
             r"/users$": ws["users"],
             r"/people_picker$": ws["people_picker"],
-            r"/entries$": ws["entries"],
             r"/computer_activities$": ws["activities"],
             r"/application$": ws["applications"],
         }
@@ -149,6 +148,18 @@ def demo_transport() -> Transport:
     def _send(method: str, url: str, params: dict[str, Any]):
         if url.rstrip("/").endswith("user_settings"):
             return 200, {}, json.dumps(settings_for(params))
+        if url.rstrip("/").endswith("entries"):
+            # the real API filters entries server-side by the from/to
+            # window — mirror that, so chunked/partitioned fetchers (the
+            # timecamp DataSource) see disjoint windows, not N copies
+            lo, hi = params.get("from"), params.get("to")
+            rows = [
+                e
+                for e in ws["entries"]
+                if (lo is None or str(e.get("date", "")) >= str(lo))
+                and (hi is None or str(e.get("date", "")) <= str(hi))
+            ]
+            return 200, {}, json.dumps(rows)
         return base(method, url, params)
 
     return _send

@@ -1,0 +1,148 @@
+"""TimeCamp Python DataSource (spark.read.format("timecamp")).
+
+The extract tier as a native Spark source: partitioned per-date-chunk
+fetch on executors, rows coerced to the landed schemas, exact parity
+with the existing driver-side builders on the demo workspace.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from good_enough_timecamp_data_pipeline_spark.sources.datasource import (
+    TimecampDataSource,
+    _chunks,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(TimecampDataSource)
+    return spark
+
+
+def test_date_chunking():
+    ch = _chunks("2025-01-01", "2025-02-28", 20)
+    assert [(c.from_date, c.to_date) for c in ch] == [
+        ("2025-01-01", "2025-01-20"),
+        ("2025-01-21", "2025-02-09"),
+        ("2025-02-10", "2025-02-28"),
+    ]
+    one = _chunks("2025-01-05", "2025-01-05", 20)
+    assert [(c.from_date, c.to_date) for c in one] == [("2025-01-05", "2025-01-05")]
+    with pytest.raises(ValueError):
+        _chunks("2025-02-01", "2025-01-01", 20)
+
+
+def test_entries_source_matches_builder(registered):
+    """format('timecamp') entries == ingest.build_entries row-for-row on
+    the demo workspace (same coercions, same tags->JSON rule)."""
+    from good_enough_timecamp_data_pipeline_spark.sources.client import TimeCampClient
+    from good_enough_timecamp_data_pipeline_spark.sources.fixtures import (
+        demo_transport,
+    )
+    from good_enough_timecamp_data_pipeline_spark.sources.ingest import build_entries
+
+    spark = registered
+    via_source = (
+        spark.read.format("timecamp")
+        .option("dataset", "entries")
+        .option("from", "2025-01-01")
+        .option("to", "2026-02-01")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    via_builder = build_entries(
+        spark, TimeCampClient(demo_transport()), "2025-01-01", "2026-02-01"
+    )
+    assert via_source.schema == via_builder.schema
+    rows_s = sorted(map(tuple, via_source.collect()))
+    rows_b = sorted(map(tuple, via_builder.collect()))
+    assert rows_s == rows_b and rows_s
+
+
+def test_entries_source_is_partitioned(registered):
+    """A long window fans out into multiple input partitions — the
+    distributed-fetch shape (one REST window per executor task)."""
+    df = (
+        registered.read.format("timecamp")
+        .option("dataset", "entries")
+        .option("from", "2025-01-01")
+        .option("to", "2025-03-01")
+        .option("chunk_days", "20")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+
+
+def test_tasks_and_users_raw_tiers(registered):
+    from good_enough_timecamp_data_pipeline_spark.sources.client import TimeCampClient
+    from good_enough_timecamp_data_pipeline_spark.sources.fixtures import (
+        demo_transport,
+    )
+
+    spark = registered
+    tasks = (
+        spark.read.format("timecamp")
+        .option("dataset", "tasks")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    raw = TimeCampClient(demo_transport()).get_tasks()
+    assert tasks.count() == len(raw)
+    got = {r["task_id"]: r for r in tasks.collect()}
+    for t in raw:
+        row = got[str(t["task_id"])]
+        assert row["name"] == str(t["name"])
+        assert row["budgeted"] == int(t.get("budgeted") or 0)
+
+    users = (
+        spark.read.format("timecamp")
+        .option("dataset", "users")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    raw_u = TimeCampClient(demo_transport()).get_users()
+    assert users.count() == len(raw_u)
+    assert {r["user_id"] for r in users.collect()} == {
+        str(u["user_id"]) for u in raw_u
+    }
+    assert dict(users.dtypes)["is_enabled"] == "boolean"
+
+
+def test_source_feeds_existing_transform_layer(registered):
+    """Raw tasks from the source run through the same breadcrumb
+    enrichment the pipeline applies — source and transform tiers compose."""
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators.canonicalize import (
+        null_canonical,
+    )
+    from good_enough_timecamp_data_pipeline_spark.operators.hierarchy import (
+        breadcrumbs,
+    )
+
+    tasks = (
+        registered.read.format("timecamp")
+        .option("dataset", "tasks")
+        .option("mode", "offline-demo")
+        .load()
+        .withColumn("parent_id", null_canonical("parent_id"))
+    )
+    crumbed = breadcrumbs(tasks, "task_id", "parent_id", "name", n_levels=8,
+                          prefix="task")
+    row = crumbed.filter(F.col("task_id") == "3").head()
+    assert row["task_breadcrumb"] == "Acme / Platform / Ingest"
+
+
+def test_missing_credentials_is_loud(registered):
+    with pytest.raises(Exception, match="api_key|offline-demo"):
+        (
+            registered.read.format("timecamp")
+            .option("dataset", "entries")
+            .option("from", "2025-01-01")
+            .option("to", "2025-01-02")
+            .load()
+            .collect()
+        )
