@@ -39,7 +39,12 @@ import datetime as _dt
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from . import schemas
@@ -199,6 +204,67 @@ class _UsersReader(DataSourceReader):
             )
 
 
+class _EntriesStreamReader(SimpleDataSourceStreamReader):
+    """Incremental entries sync as a Structured Streaming source.
+
+    The reference syncs by re-running the extract on a cron and letting
+    dlt merge state; here the same behavior is a native streaming
+    source: the OFFSET is the next unsynced date, each micro-batch
+    pulls one ≤``chunk_days`` date window, and the checkpoint makes the
+    sync resumable/exactly-once downstream (foreachBatch upsert or an
+    append sink both work). ``to`` bounds the backfill for tests;
+    unbounded mode follows yesterday (the immutable-past horizon —
+    today's entries are still mutable, the S12 contract).
+    """
+
+    def __init__(self, opts: dict):
+        self.opts = opts
+        self.chunk_days = int(opts.get("chunk_days", "20"))
+        self.from_date = opts.get("from")
+        if not self.from_date:
+            raise ValueError("streaming timecamp source needs .option('from', ...)")
+        self.end_date = opts.get("to")  # None → follow yesterday
+
+    def _horizon(self) -> _dt.date:
+        if self.end_date:
+            return _dt.date.fromisoformat(self.end_date)
+        return _dt.date.today() - _dt.timedelta(days=1)
+
+    def initialOffset(self) -> dict:
+        return {"next_date": self.from_date}
+
+    def _window(self, start: dict):
+        d0 = _dt.date.fromisoformat(start["next_date"])
+        hi = self._horizon()
+        if d0 > hi:
+            return None
+        d1 = min(d0 + _dt.timedelta(days=self.chunk_days - 1), hi)
+        return d0, d1
+
+    def read(self, start: dict):
+        w = self._window(start)
+        if w is None:  # caught up — no new batch, offset unchanged
+            return iter(()), start
+        d0, d1 = w
+        nxt = {"next_date": str(d1 + _dt.timedelta(days=1))}
+        return self._fetch(str(d0), str(d1)), nxt
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # replay for recovery: the window is [start, end) in date space
+        d0 = _dt.date.fromisoformat(start["next_date"])
+        d1 = _dt.date.fromisoformat(end["next_date"]) - _dt.timedelta(days=1)
+        if d1 < d0:
+            return iter(())
+        return self._fetch(str(d0), str(d1))
+
+    def _fetch(self, from_date: str, to_date: str) -> Iterator[tuple]:
+        client = _make_client(self.opts)
+        raw = client.get_time_entries(
+            from_date, to_date, opt_fields="tags,breadcrumps"
+        )
+        return iter([_entry_row(r) for r in raw])
+
+
 class TimecampDataSource(DataSource):
     """``spark.read.format("timecamp")`` — see module docstring."""
 
@@ -215,6 +281,12 @@ class TimecampDataSource(DataSource):
         if ds == "users":
             return RAW_USERS_SCHEMA
         raise ValueError(f"unknown dataset {ds!r} (entries|tasks|users)")
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        ds = self.options.get("dataset", "entries")
+        if ds != "entries":
+            raise ValueError("streaming timecamp source supports dataset=entries")
+        return _EntriesStreamReader(dict(self.options))
 
     def reader(self, schema) -> DataSourceReader:
         ds = self.options.get("dataset", "entries")

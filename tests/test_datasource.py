@@ -146,3 +146,50 @@ def test_missing_credentials_is_loud(registered):
             .load()
             .collect()
         )
+
+
+def test_streaming_entries_source_incremental_sync(registered, tmp_path):
+    """readStream.format('timecamp'): the bounded backfill drains in
+    date-chunk micro-batches to exactly the batch result, and a
+    restarted query resumes from the checkpoint offset with no
+    re-emission (the reference's cron re-sync as a native streaming
+    source)."""
+    spark = registered
+    out = str(tmp_path / "sync_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("timecamp")
+            .option("dataset", "entries")
+            .option("from", "2025-01-01")
+            .option("to", "2025-06-30")
+            .option("chunk_days", "45")
+            .option("mode", "offline-demo")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_stream()
+    got = spark.read.parquet(out)
+    want = (
+        spark.read.format("timecamp")
+        .option("dataset", "entries")
+        .option("from", "2025-01-01")
+        .option("to", "2025-06-30")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert got.count() > 0
+
+    # restart on the same checkpoint: fully caught up -> nothing re-emitted
+    n_before = got.count()
+    run_stream()
+    assert spark.read.parquet(out).count() == n_before
