@@ -133,7 +133,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     for name, path in res.paths.items():
         tag = " (resumed)" if name in res.skipped else ""
-        line = f"{name}: {res.tables[name].count()} rows -> {path}{tag}"
+        n_rows = res.row_counts.get(name)
+        if n_rows is None:  # defensive: observation missing -> recompute
+            n_rows = res.tables[name].count()
+        line = f"{name}: {n_rows} rows -> {path}{tag}"
         log.info("%s", line)
         print(line)
     if args.warehouse:

@@ -27,6 +27,8 @@ class PipelineResult:
     tables: dict[str, DataFrame] = field(default_factory=dict)
     paths: dict[str, str] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
+    #: landed row counts, observed on the WRITE job itself (A6 logging)
+    row_counts: dict[str, int] = field(default_factory=dict)
 
 
 def _ledger_path(out_dir: str) -> str:
@@ -87,12 +89,23 @@ def run_pipeline(
         res.tables[name] = io.read_table_path(spark, path, fmt)
         res.paths[name] = path
         res.skipped.append(name)
+        res.row_counts[name] = int(ledger[step_key(name)]["rows"])
 
     def land(name: str, df: DataFrame) -> None:
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
         df = io.dedup_by_pk(df, io.schemas.PRIMARY_KEYS.get(name))
         res.tables[name] = df
-        res.paths[name] = io.write_table(df, out_dir, name, fmt=fmt)
-        ledger[step_key(name)] = {"rows": res.tables[name].count()}
+        # A6 row-count logging rides the WRITE job via the Observation
+        # API — the previous df.count() re-ran the whole extract+derive
+        # pipeline a second time per dataset just to fill the ledger
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        res.paths[name] = io.write_table(observed, out_dir, name, fmt=fmt)
+        rows = int(obs.get["rows"])
+        res.row_counts[name] = rows
+        ledger[step_key(name)] = {"rows": rows}
         _save_ledger(out_dir, ledger)
 
     acts: DataFrame | None = None
