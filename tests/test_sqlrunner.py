@@ -24,8 +24,8 @@ def test_sql_over_pipeline_layout(spark, tmp_path):
         spark,
         demo_transport(),
         out,
-        "2024-01-01",
-        "2024-01-03",
+        "2025-01-01",
+        "2026-02-01",
         datasets=("tasks", "users", "entries"),
         fmt="parquet",
     )
