@@ -41,7 +41,6 @@ facts against it (done in plans/reports.py).
 
 from __future__ import annotations
 
-import itertools
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -49,12 +48,17 @@ from pyspark.sql import functions as F
 
 DEFAULT_MAX_DEPTH = 8
 
-_view_ids = itertools.count()
-
-
 def _as_view(df: DataFrame, tag: str) -> str:
-    """Register a DataFrame under a fresh temp-view name (SQL fast paths)."""
-    name = f"__hier_{tag}_{next(_view_ids)}"
+    """Register a DataFrame under a STABLE per-tag temp-view name.
+
+    ``spark.sql`` analyzes eagerly, so the returned DataFrame binds the
+    view's current definition at call time — a later call re-registering
+    the same name cannot retroactively change an earlier closure. A
+    stable name keeps the generated SQL text identical across calls,
+    which is what lets codegen/JIT reuse the compiled recursive-CTE
+    classes (a fresh numbered view per call made every closure a
+    cold-compile)."""
+    name = f"__hier_{tag}"
     df.createOrReplaceTempView(name)
     return name
 
