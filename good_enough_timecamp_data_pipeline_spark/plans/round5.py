@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.graph import pagerank
+from .shared import shared_checkpoint
 from .testdata import load_table
 
 US_PER_DAY = 86_400_000_000
@@ -692,15 +693,19 @@ def t_dsir_weights(
     )
     # ONE corpus pass: the (doc, source, bucket) count table is the
     # common reduction of everything downstream (per-doc counts, both
-    # distribution estimates, both totals), and it is eagerly
-    # checkpointed so the md5-per-bigram pipeline — the expensive narrow
-    # stage — never re-runs per consumer (the bigram_lm contract,
-    # plans/extensions.py; source is functionally dependent on doc_id,
-    # so adding it to the keys does not grow the table).
-    doc_sb = (
-        pairs.groupBy("doc_id", "source", "bucket")
-        .agg(F.count("*").alias("n"))
-        .localCheckpoint(eager=True)
+    # distribution estimates, both totals), and it is materialized as a
+    # shared checkpoint so the md5-per-bigram pipeline — the expensive
+    # narrow stage — runs once per SESSION, not once per consumer branch
+    # or per catalog entry (t_dsir_resample builds on these weights;
+    # see plans/shared.py). Source is functionally dependent on doc_id,
+    # so adding it to the keys does not grow the table.
+    doc_sb = shared_checkpoint(
+        spark,
+        sf_dir,
+        f"dsir_doc_sb_{n_buckets}",
+        lambda: pairs.groupBy("doc_id", "source", "bucket").agg(
+            F.count("*").alias("n")
+        ),
     )
     doc_b = doc_sb.select("doc_id", "bucket", "n")
     bucket_counts = doc_sb.groupBy("bucket").agg(
