@@ -58,15 +58,16 @@ def queries() -> dict[str, QueryFn]:
 # sort-merge→broadcast conversion and partition coalescing win far more
 # than the barrier tax (measured per-query both ways at sf0.1 — see
 # round-7 notes in PLANS.md). At cluster scale AQE is on everywhere.
-# The heavy profile is exactly the cluster-style default (32 shuffle
-# partitions + AQE): these pipelines carry mid-size shuffles/joins where
-# runtime broadcast conversion and real parallelism beat the light
-# profile's low-overhead settings. Assignment rule: every oracle twin
-# that measured slower under the light profile than under the r6
-# session defaults got its old config back, per-entry.
+# The heavy profile keeps AQE's runtime sort-merge→broadcast conversion
+# but at the LOCAL partition count (8): a round-8 3-run interleaved A/B
+# over the members measured AQE+8 ≤ AQE+32 on every member and strictly
+# better on the join-heavy ones (g_triangle_count 0.91 vs 1.75 s median,
+# e_dau_wau 0.29 vs 0.41 s) — the 32-partition variant paid per-stage
+# task-launch overhead AQE then had to coalesce away. At cluster scale
+# the session default (AQE + high partition count) applies everywhere.
 HEAVY = {
     "spark.sql.adaptive.enabled": "true",
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": "8",
 }
 # Membership is decided by measurement, not guesswork: a 3-run
 # interleaved A/B (fresh process per run, median per query) of the light

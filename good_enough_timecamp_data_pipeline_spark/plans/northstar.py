@@ -519,10 +519,14 @@ FROM documents WHERE doc_id % 17 = 0
 """.strip()
 
 
+@session_memo
 def _corpus_lsh_index(spark: SparkSession, sf_dir: str):
     """The documents corpus' write-once LSH index (shingles, buckets),
     cache-keyed by the parquet file's identity so prewarm and probe can
-    never diverge on the artifact they address."""
+    never diverge on the artifact they address. Session-memoized: the
+    artifact is immutable once landed, so the two `spark.read.parquet`
+    schema probes (~0.4 s of pure plan-build) need not repeat per probe
+    call — a corpus swap mid-session changes sf_dir and misses the memo."""
     import os
 
     index = load_table(spark, sf_dir, "documents").select("doc_id", "text")

