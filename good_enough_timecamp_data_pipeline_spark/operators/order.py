@@ -15,8 +15,9 @@ packing/sharding operators do, so they get the scalable construction:
    nondeterminism);
 2. **within-bucket** window (partitioned — parallel, each ≈ 1/N of data);
 3. **bucket offsets**: per-bucket totals (a map-side-combinable groupBy of
-   ≤ N rows) prefix-summed with a window *over the tiny totals table*,
-   broadcast-joined back.
+   ≤ N rows) prefix-summed via a broadcast triangular self-join *over the
+   tiny totals table* (no single-partition stage anywhere), broadcast-
+   joined back.
 
 Two scans of the input (totals + main pass) instead of a persist — at
 scale, a rescan of a columnar source is cheaper and safer than caching the
@@ -87,15 +88,25 @@ def global_cumsum_multi(
     totals = d.groupBy("__b").agg(
         *[F.sum(f"__v_{nm}").alias(f"__t_{nm}") for nm in names]
     )
-    # prefix-sum over the totals table: ≤ n_buckets rows, so the
-    # unpartitioned window here is a deliberate, bounded exception.
-    w_b = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offs = totals.select(
-        "__b",
-        *[
-            F.coalesce(F.sum(f"__t_{nm}").over(w_b), F.lit(0)).alias(f"__off_{nm}")
-            for nm in names
-        ],
+    # prefix-sum over the totals table WITHOUT any single-partition
+    # stage: a broadcast triangular self-join (strictly-smaller buckets)
+    # + hash agg is O(n_buckets²) pairs — trivial at ≤ 256 buckets, and
+    # every stage of the whole construction stays partitioned (an
+    # unpartitioned window here, though bounded, was the one WindowExec
+    # single-partition plan in the repo).
+    t2 = totals.select(
+        F.col("__b").alias("__b2"),
+        *[F.col(f"__t_{nm}").alias(f"__t2_{nm}") for nm in names],
+    )
+    offs = (
+        totals.join(F.broadcast(t2), F.col("__b2") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(
+            *[
+                F.coalesce(F.sum(f"__t2_{nm}"), F.lit(0)).alias(f"__off_{nm}")
+                for nm in names
+            ]
+        )
     )
     out = d.join(F.broadcast(offs), "__b")
     for nm in names:

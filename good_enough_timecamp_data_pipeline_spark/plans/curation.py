@@ -315,9 +315,13 @@ def w_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
     )
-    total = rev.agg(F.sum("rev_cents").alias("t"))
     key = (-F.col("rev_cents")) * F.lit(PARETO_KEY_SHIFT) + F.col("o_custkey")
-    keyed = rev.withColumn("__k", key)
+    # materialize the customer-sized revenue table once: four consumers
+    # (total agg, bucket-bounds collect, totals scan, main cumsum) would
+    # each re-run the orders scan + groupBy. Checkpoint targets the
+    # COMPRESSED per-customer table, never the orders fact.
+    keyed = rev.withColumn("__k", key).localCheckpoint(eager=True)
+    total = keyed.agg(F.sum("rev_cents").alias("t"))
     cum = global_cumsum(
         keyed,
         F.col("__k"),

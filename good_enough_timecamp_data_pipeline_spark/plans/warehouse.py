@@ -311,9 +311,12 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
-    # unique ascending sort key: (x, custkey) packed into one long
+    # unique ascending sort key: (x, custkey) packed into one long;
+    # checkpoint the customer-sized table once — bounds collect, totals
+    # and main rank pass would each re-run the orders scan + groupBy
+    # (compressed table only, never the fact)
     key = F.col("x") * F.lit(1 << 24) + F.col("o_custkey")
-    keyed = rev.withColumn("__k", key)
+    keyed = rev.withColumn("__k", key).localCheckpoint(eager=True)
     ranked = global_row_number(
         keyed, F.col("__k"), long_range_bucket(keyed, F.col("__k")), out="i"
     )
