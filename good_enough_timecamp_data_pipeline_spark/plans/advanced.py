@@ -578,17 +578,14 @@ def t_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two shuffles (doc,tok and tok) + one window on doc — each key-partial
     aggregated; the N scalar rides a 1-row broadcast cross join.
     """
-    from ..operators.layout import fan_out_scan
-    from ..operators.text import tokenize
+    from .analytics import tf_doc_tok_shared
 
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    tf = (
-        docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
-    )
+    # the (doc_id, tok, tf) posting table is the session-shared
+    # materialization (see analytics.tf_doc_tok_shared); N counts ALL
+    # documents (incl. token-less ones), so it comes from the raw table
+    tf = tf_doc_tok_shared(spark, sf_dir)
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    n_docs = load_table(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
     scored = (
         # dfreq is VOCABULARY-sized — unbounded at web scale (typos,
         # numbers keep minting tokens), so no broadcast hint; tf already

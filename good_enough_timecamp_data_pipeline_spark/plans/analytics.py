@@ -392,24 +392,41 @@ LEFT JOIN dim d
 # global token frequencies
 # ---------------------------------------------------------------------------
 
+def tf_doc_tok_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok, tf) term-frequency table over the whitespace-token
+    stream of ``documents``, as a SESSION-shared checkpoint
+    (plans/shared.py): the tokenize→explode→count pass is the common
+    reduction of the corpus-statistics family (`t_topk_tokens` sums it
+    by token, `t_tfidf` scores straight off it) — the inverted-index
+    posting table a production corpus materializes once."""
+    from ..operators.layout import fan_out_scan
+    from ..operators.text import tokenize
+    from .shared import shared_checkpoint
+
+    def build() -> DataFrame:
+        docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+        return (
+            docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("tok"))
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"))
+        )
+
+    return shared_checkpoint(spark, sf_dir, "tf_doc_tok_ws", build)
+
+
 def t_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 token frequencies (Zipf head).
 
     explode → count is the canonical corpus-stats shape: the token count
     agg combines map-side, so the shuffle carries one row per distinct
-    token per partition, not one per token occurrence. Top-k via a single
-    ordered limit (rank ties broken by token text).
+    token per partition, not one per token occurrence — here summed from
+    the session-shared (doc_id, tok, tf) posting table. Top-k via a
+    single ordered limit (rank ties broken by token text).
     """
-    from ..operators.layout import fan_out_scan
-    from ..operators.text import tokenize
-
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = docs.select(
-        F.explode(tokenize(F.col("text"))).alias("tok")
-    )
     return (
-        toks.groupBy("tok")
-        .agg(F.count("*").alias("n"))
+        tf_doc_tok_shared(spark, sf_dir)
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("n"))
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(20)
     )

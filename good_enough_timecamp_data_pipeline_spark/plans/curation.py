@@ -54,13 +54,14 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     where even one language's doc LIST overflows an executor, swap NTILE
     for approx-quantile boundaries + a broadcast range join.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = doc_bigram_rows(docs, extra_cols=("lang",))
     # the carried lang column never changes a bigram's count, so the LM
-    # reads the SESSION-shared count materialization (plans/shared.py)
-    # instead of re-counting the corpus per entry
-    from .extensions import bigram_counts_shared
+    # reads the SESSION-shared count materialization, and the scoring
+    # pairs come from the shared tokenized corpus (plans/shared.py)
+    from .extensions import bigram_counts_shared, bigram_rows_from_toks, docs_alpha_toks_shared
 
+    pairs = bigram_rows_from_toks(
+        docs_alpha_toks_shared(spark, sf_dir), extra_cols=("lang",)
+    )
     lm = bigram_lm(pairs, counts=bigram_counts_shared(spark, sf_dir))
     scored = (
         pairs.join(lm, ["w1", "w2"])
@@ -145,11 +146,13 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     + self-semi-join if a single line's replica count ever exceeds one
     partition's memory.
     """
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    from .extensions import docs_alpha_toks_shared
+
+    d = (
+        docs_alpha_toks_shared(spark, sf_dir)
+        .select("doc_id", "t")
+        .filter(F.size("t") >= 1)
     )
-    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
     n_lines = F.ceil(F.size("t") / F.lit(float(LINE_TOKENS))).cast("int")
     lines = d.select(
         "doc_id",
@@ -742,11 +745,13 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
     rounds to 4dp (the t_lm_perplexity precedent — ln is IEEE-identical
     for identical inputs, the rounding absorbs summation-order ulps).
     """
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    from .extensions import docs_alpha_toks_shared
+
+    d = (
+        docs_alpha_toks_shared(spark, sf_dir)
+        .select("doc_id", "t")
+        .filter(F.size("t") >= 1)
     )
-    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= 1)
     lens = d.select("doc_id", F.size("t").cast("long").alias("dl"))
     stats = lens.agg(
         F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")

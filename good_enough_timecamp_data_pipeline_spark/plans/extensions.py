@@ -280,21 +280,42 @@ GROUP BY l_returnflag
 # t_bigram_lm — bigram language-model statistics over documents
 # ---------------------------------------------------------------------------
 
-def doc_bigram_rows(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
-    """(doc_id, *extra_cols, w1, w2) bigram rows — THE tokenization
-    contract shared by `t_bigram_lm`, `t_lm_perplexity`, and
-    `round5.t_dsir_weights`: lowercase, split on ``[^a-z]+``, drop
-    empties, zip each token array with its own tail (``slice`` +
-    ``arrays_zip`` — expression-level, no posexplode self-join). Every
-    SQL twin inlines the same regex/slice — a change here must land in
-    each of them."""
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
-    )
-    # NO fan_out_scan here: every bigram consumer reads `pairs` through
-    # two lineages (count build + scoring), so the exchange would run
-    # twice — measured a net loss vs the narrow 1-wide tokenize
-    d = docs.select("doc_id", *extra_cols, toks.alias("t")).filter(F.size("t") >= 2)
+ALPHA_TOKS = "lowercase, split on [^a-z]+, drop empties"
+
+
+def docs_alpha_toks_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, lang, t) — the lowercase-alpha tokenized corpus
+    (``ALPHA_TOKS``) as a SESSION-shared checkpoint: the regex tokenize
+    is the common narrow pass of the whole LM/statistics family
+    (bigram counts, perplexity/CCNet scoring, DSIR, KL-drift, BM25), and
+    each entry previously re-ran it from the raw text. In production
+    this is the tokenized-corpus table every curation DAG materializes
+    first. fan_out_scan inside the build spreads the regex across cores
+    once; consumers read partitioned checkpoint blocks."""
+    from ..operators.layout import fan_out_scan
+
+    from .shared import shared_checkpoint
+    from .testdata import load_table
+
+    def build() -> DataFrame:
+        docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+        toks = F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+        )
+        # fixture corpora (tests) may carry only (doc_id, text); the
+        # metadata columns ride along when present
+        meta = [c for c in ("source", "lang") if c in docs.columns]
+        return docs.select("doc_id", *meta, toks.alias("t"))
+
+    return shared_checkpoint(spark, sf_dir, "docs_alpha_toks", build)
+
+
+def bigram_rows_from_toks(tdf: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, *extra_cols, w1, w2) bigram rows from an already-tokenized
+    (doc_id, …, t) table: zip each token array with its own tail
+    (``slice`` + ``arrays_zip`` — expression-level, no posexplode
+    self-join)."""
+    d = tdf.select("doc_id", *extra_cols, "t").filter(F.size("t") >= 2)
     return d.select(
         "doc_id",
         *extra_cols,
@@ -306,6 +327,26 @@ def doc_bigram_rows(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
         ).alias("bg"),
     ).select(
         "doc_id", *extra_cols, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+
+
+def doc_bigram_rows(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
+    """(doc_id, *extra_cols, w1, w2) bigram rows — THE tokenization
+    contract shared by `t_bigram_lm`, `t_lm_perplexity`, and
+    `round5.t_dsir_weights`: ``ALPHA_TOKS`` then bigram-zip
+    (`bigram_rows_from_toks`). Every SQL twin inlines the same
+    regex/slice — a change here must land in each of them. Catalog
+    entries prefer `docs_alpha_toks_shared` + `bigram_rows_from_toks`
+    so the regex pass is materialized once per session; this form
+    serves arbitrary DataFrames (tests, ad-hoc corpora)."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
+    )
+    # NO fan_out_scan here: every bigram consumer reads `pairs` through
+    # two lineages (count build + scoring), so the exchange would run
+    # twice — measured a net loss vs the narrow 1-wide tokenize
+    return bigram_rows_from_toks(
+        docs.select("doc_id", *extra_cols, toks.alias("t")), extra_cols
     )
 
 
@@ -627,7 +668,7 @@ def bigram_counts_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "bigram_counts",
-        lambda: doc_bigram_rows(load_table(spark, sf_dir, "documents"))
+        lambda: bigram_rows_from_toks(docs_alpha_toks_shared(spark, sf_dir))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("c12")),
     )
@@ -687,8 +728,7 @@ def t_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize pipeline once per LM branch (round-5 VERDICT perf item 1).
     ln() is IEEE-identical for identical double inputs; the per-doc
     mean is rounded 4dp for summation-order ulps."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = doc_bigram_rows(docs)
+    pairs = bigram_rows_from_toks(docs_alpha_toks_shared(spark, sf_dir))
     lm = bigram_lm(pairs, counts=bigram_counts_shared(spark, sf_dir))
     return (
         pairs.join(lm, ["w1", "w2"])

@@ -678,10 +678,11 @@ def t_dsir_weights(
     identical double inputs in both engines; the per-doc sum is rounded
     4dp to absorb summation-order ulps (the t_lm_perplexity contract).
     """
-    from .extensions import doc_bigram_rows
+    from .extensions import bigram_rows_from_toks, docs_alpha_toks_shared
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = doc_bigram_rows(docs, extra_cols=("source",)).select(
+    pairs = bigram_rows_from_toks(
+        docs_alpha_toks_shared(spark, sf_dir), extra_cols=("source",)
+    ).select(
         "doc_id",
         "source",
         (
@@ -884,18 +885,26 @@ def t_token_kl_drift(
     O(1/t_s) and identical in the twin); ln gets identical double inputs
     in both engines and the per-source sum rounds 4dp.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != F.lit("")
-    )
-    rows = docs.select("source", F.explode(toks).alias("tok")).select(
+    from .extensions import docs_alpha_toks_shared
+
+    rows = docs_alpha_toks_shared(spark, sf_dir).select(
+        "source", F.explode("t").alias("tok")
+    ).select(
         "source",
         (
             F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % n_buckets
         ).alias("bucket"),
     )
-    src_b = rows.groupBy("source", "bucket").agg(F.count("*").alias("c_s"))
-    cor_b = rows.groupBy("bucket").agg(F.count("*").alias("c_c"))
+    # ONE corpus pass: (source, bucket) is the common reduction — the
+    # corpus-marginal and totals all derive from it, and the eager
+    # checkpoint (sources × B rows, tiny) stops the tokenize+explode
+    # pipeline re-running once per derived lineage.
+    src_b = (
+        rows.groupBy("source", "bucket")
+        .agg(F.count("*").alias("c_s"))
+        .localCheckpoint(eager=True)
+    )
+    cor_b = src_b.groupBy("bucket").agg(F.sum("c_s").alias("c_c"))
     src_tot = src_b.groupBy("source").agg(F.sum("c_s").cast("double").alias("t_s"))
     cor_tot = cor_b.agg(F.sum("c_c").cast("double").alias("t_c"))
     p_s = (F.col("c_s") + 1.0) / (F.col("t_s") + n_buckets)

@@ -108,6 +108,21 @@ FROM g
 CURVE_FLOOR = 0.5  # compute pairs once at the loosest threshold under study
 
 
+def _docs_shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, sh) 5-gram shingle rows over the PLAIN documents table as a
+    session-shared checkpoint (plans/shared.py) — d_threshold_curve and
+    t_ngram_novelty consume the identical table (distinct from the
+    near-dup-injected corpus northstar._near_dup_shingles covers)."""
+    from .shared import shared_checkpoint
+
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        "docs_shingles_n5",
+        lambda: shingle_rows(load_table(spark, sf_dir, "documents"), n=5),
+    )
+
+
 def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair counts bucketed by Jaccard decile (0.5 … 1.0):
     the calibration sweep behind "which threshold do we dedup at".
@@ -121,6 +136,7 @@ def d_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         threshold=CURVE_FLOOR,
         max_shingle_df=None,
+        shingles=_docs_shingles_shared(spark, sf_dir),
     )
     return (
         pairs.withColumn("bucket", F.floor(F.col("jaccard") * 10) / 10.0)
@@ -164,8 +180,7 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal without any pairwise join: one shingle hash-agg (first-seen)
     plus one join back to the doc's shingles. Docs with fewer than 5
     tokens have no shingles and no row (consistent with the twin)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, text_col="text", id_col="doc_id", n=5)
+    sh = _docs_shingles_shared(spark, sf_dir)
     first = sh.groupBy("sh").agg(F.min("doc").alias("first_doc"))
     return (
         sh.join(first, "sh")
