@@ -137,34 +137,63 @@ def a_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted p25/p50/p90 of l_extendedprice, weighted by
     l_quantity: smallest value whose cumulative weight reaches q·W.
 
-    The fact table reduces to the value histogram first (one hash agg);
-    the cumulative sum then runs over DISTINCT values only — and through
-    ``operators/order.py::global_cumsum`` (range-bucketed partitioned
-    windows + broadcast bucket offsets), never a single-partition
-    ``Window.orderBy``: even a distinct-price histogram is millions of
-    rows at 100 TB, which one WindowExec task would serialize (round-7
-    VERDICT item 2). The histogram is checkpointed once (compressed
-    table, never the fact) so the bounds collect, totals scan and main
-    pass share one materialization. Per-value weights are integral sums
-    of integral quantities, so the cumsum's long accumulation is exact
-    and both engines' running sums agree."""
-    from ..operators.order import global_cumsum, long_range_bucket
+    The fact table reduces to the value histogram first (one hash agg,
+    checkpointed once — compressed table, never the fact). The quantile
+    boundaries then come from the textbook two-level refine, NOT a
+    cumulative window over the whole histogram: per-BUCKET weight totals
+    (monotone range buckets, `operators/order.py::long_range_bucket`)
+    are collected — ≤ 256 rows however big the data — the driver
+    prefix-sums them to locate each quantile's bucket and its incoming
+    offset, and a single partitioned window pass over ONLY the marked
+    buckets (≤ 3 of 256) finds the crossing values. No single-partition
+    stage anywhere, and the big pass touches ~1% of the histogram
+    (round-7 VERDICT item 2: a bare ``Window.orderBy`` here serializes a
+    millions-of-distinct-prices histogram through one task at 100 TB).
+    Weights are integral sums of integral quantities, so the driver's
+    integer prefix and both engines' running sums are exact."""
+    from ..operators.order import long_range_bucket
 
     li = load_table(spark, sf_dir, "lineitem")
     hist = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
         F.sum("l_quantity").alias("wt")
     ).localCheckpoint(eager=True)
-    cum = global_cumsum(
-        hist, F.col("v"), F.col("wt"), long_range_bucket(hist, F.col("v")), out="cw"
+    b = hist.withColumn("__b", long_range_bucket(hist, F.col("v")))
+    totals = sorted(
+        (r["__b"], int(r["t"]))
+        for r in b.groupBy("__b").agg(F.sum("wt").alias("t")).collect()
     )
-    tot = hist.agg(F.sum("wt").alias("tw"))
-    c = cum.crossJoin(F.broadcast(tot))  # 1-row stats side
-    return c.agg(
-        F.min(F.when(F.col("cw") >= 0.25 * F.col("tw"), F.col("v"))).alias("p25_w"),
-        F.min(F.when(F.col("cw") >= 0.50 * F.col("tw"), F.col("v"))).alias("p50_w"),
-        F.min(F.when(F.col("cw") >= 0.90 * F.col("tw"), F.col("v"))).alias("p90_w"),
-        F.round(F.max("tw"), 2).alias("total_weight"),
+    tw = float(sum(t for _, t in totals))
+    qs = {"p25_w": 0.25, "p50_w": 0.50, "p90_w": 0.90}
+    # driver prefix over the ≤256-row bucket totals: each quantile's
+    # crossing bucket and the cumulative weight entering it
+    marks: dict[str, tuple[int, int]] = {}
+    for name, q in qs.items():
+        run = 0
+        for bk, t in totals:
+            if run + t >= q * tw:
+                marks[name] = (bk, run)
+                break
+            run += t
+    want = sorted({bk for bk, _ in marks.values()})
+    w_in = Window.partitionBy("__b").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
     )
+    cum = (
+        b.filter(F.col("__b").isin(want))
+        .withColumn("cw", F.sum("wt").over(w_in))
+    )
+    aggs = []
+    for name, q in qs.items():
+        bk, off = marks.get(name, (None, 0))
+        cond = (F.col("__b") == F.lit(bk)) & (
+            F.col("cw") + F.lit(off) >= F.lit(q) * F.lit(tw)
+        )
+        aggs.append(F.min(F.when(cond, F.col("v"))).alias(name))
+    # empty input: the twin's MAX(tw) over zero rows is NULL, not 0.0
+    aggs.append(
+        F.round(F.lit(tw if totals else None).cast("double"), 2).alias("total_weight")
+    )
+    return cum.agg(*aggs)
 
 
 A_WEIGHTED_QUANTILE_SQL = """
