@@ -399,34 +399,43 @@ def build_lsh_index_cached(
 
     The hashed key includes ``_LSH_INDEX_FORMAT`` so any change to the
     shingle/banding semantics invalidates old artifacts instead of
-    silently reusing them; the default root is per-uid (mode 0700) and
-    an existing artifact is trusted only if this process owns it —
-    a world-shared predictable /tmp path would let another local user
-    pre-plant parquet we'd silently read (round-6 ADVICE item 1)."""
+    silently reusing them; the default root is per-uid (mode 0700,
+    lstat-verified — symlinks planted at the predictable path are
+    rejected, since ``os.stat``'s uid check alone follows the link and
+    would bless a redirected cache, round-7 ADVICE item 2) and an
+    existing artifact is trusted only if this process owns it and it is
+    a real directory — a world-shared predictable /tmp path would let
+    another local user pre-plant parquet we'd silently read (round-6
+    ADVICE item 1)."""
     import hashlib
     import os
     import shutil
-    import tempfile
+    import stat as statmod
+
+    from ..localfs import secure_private_root
 
     key = hashlib.md5(
         f"v{_LSH_INDEX_FORMAT}:{cache_key}:{text_col}:{id_col}:{n}:{num_hashes}:{bands}".encode()
     ).hexdigest()[:16]
-    root = cache_root or os.path.join(
-        tempfile.gettempdir(), f"spark_graft_lsh_index-uid{os.getuid()}"
-    )
-    os.makedirs(root, mode=0o700, exist_ok=True)
-    st = os.stat(root)
-    if st.st_uid != os.getuid():
-        raise PermissionError(
-            f"LSH index cache root {root!r} is owned by uid {st.st_uid}, "
-            f"not us ({os.getuid()}); refusing to trust or write artifacts "
-            "there — pass cache_root= to relocate the cache"
-        )
+    if cache_root is not None:
+        root = cache_root
+        os.makedirs(root, mode=0o700, exist_ok=True)
+    else:
+        root = secure_private_root("spark_graft_lsh_index")
     art = os.path.join(root, key)
-    if os.path.isdir(art) and os.stat(art).st_uid != os.getuid():
+    try:
+        art_st = os.lstat(art)
+    except FileNotFoundError:
+        art_st = None
+    if art_st is not None and (
+        statmod.S_ISLNK(art_st.st_mode)
+        or not statmod.S_ISDIR(art_st.st_mode)
+        or art_st.st_uid != os.getuid()
+    ):
         raise PermissionError(
-            f"LSH index artifact {art!r} exists but is owned by another "
-            "user; refusing to read it — pass cache_root= to relocate"
+            f"LSH index artifact {art!r} exists but is a symlink, not a "
+            "directory, or owned by another user; refusing to read it — "
+            "pass cache_root= to relocate"
         )
     if not os.path.isdir(art):
         tmp = art + f".tmp.{os.getpid()}"

@@ -49,16 +49,21 @@ from pyspark.sql import functions as F
 DEFAULT_MAX_DEPTH = 8
 
 def _as_view(df: DataFrame, tag: str) -> str:
-    """Register a DataFrame under a STABLE per-tag temp-view name.
+    """Register a DataFrame under a temp-view name keyed by the INPUT
+    PLAN's semantic hash.
 
     ``spark.sql`` analyzes eagerly, so the returned DataFrame binds the
     view's current definition at call time — a later call re-registering
-    the same name cannot retroactively change an earlier closure. A
-    stable name keeps the generated SQL text identical across calls,
-    which is what lets codegen/JIT reuse the compiled recursive-CTE
-    classes (a fresh numbered view per call made every closure a
-    cold-compile)."""
-    name = f"__hier_{tag}"
+    the same name cannot retroactively change an earlier closure. The
+    semantic hash keeps the name (hence the generated SQL text, hence
+    the codegen/JIT classes) stable across repeated calls on the same
+    input — the point of the round-7 stable-name change — while two
+    concurrent calls on DIFFERENT inputs get different names instead of
+    interleaving createOrReplaceTempView/spark.sql on one shared name
+    and binding one query to the other's edge table (round-7 ADVICE
+    item 4; same-input concurrent registration stays a benign race —
+    both register the identical definition)."""
+    name = f"__hier_{tag}_{df.semanticHash() & 0x7FFFFFFF:x}"
     df.createOrReplaceTempView(name)
     return name
 

@@ -236,16 +236,23 @@ def f_variant_write_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant parquet, not a test fake. Conf is set/restored around the
     write so nothing leaks into the session."""
     import os
-    import tempfile
+
+    from ..localfs import private_run_dir
 
     events = load_table(spark, sf_dir, "events")
     v = events.select(
         "event_id", "event_type", F.parse_json(F.col("props")).alias("v")
     )
+    # fresh mkdtemp under the lstat-verified per-user root: the previous
+    # fixed per-sf path was pre-plantable by another local user and
+    # raced between concurrent runs on the same sf basename (round-7
+    # ADVICE item 1)
     out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_variant_shred-uid{os.getuid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        private_run_dir(
+            "spark_graft_variant_shred",
+            prefix=os.path.basename(os.path.normpath(sf_dir)) + "-",
+        ),
+        "data",
     )
     key = "spark.sql.variant.forceShreddingSchemaForTest"
     prev = spark.conf.get(key, "")

@@ -224,11 +224,21 @@ class _EntriesStreamReader(SimpleDataSourceStreamReader):
         if not self.from_date:
             raise ValueError("streaming timecamp source needs .option('from', ...)")
         self.end_date = opts.get("to")  # None → follow yesterday
+        # 'yesterday' is evaluated in an EXPLICIT timezone — default UTC,
+        # override with .option('tz', 'Europe/Warsaw') to the workspace's
+        # zone. The driver's ambient local date is never used: a driver
+        # clock ahead of the workspace would otherwise pull the
+        # workspace's still-mutable current day into the immutable-past
+        # cache (S12 contract; round-7 ADVICE item 5).
+        self.tz = opts.get("tz", "UTC")
 
     def _horizon(self) -> _dt.date:
         if self.end_date:
             return _dt.date.fromisoformat(self.end_date)
-        return _dt.date.today() - _dt.timedelta(days=1)
+        from zoneinfo import ZoneInfo
+
+        now = _dt.datetime.now(ZoneInfo(self.tz))
+        return now.date() - _dt.timedelta(days=1)
 
     def initialOffset(self) -> dict:
         return {"next_date": self.from_date}

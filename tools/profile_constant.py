@@ -46,6 +46,24 @@ SAMPLE = [
     "report_project_budget",
 ]
 
+_DEFAULTS: dict | None = None
+
+
+def _session_defaults(spark, keys) -> dict:
+    """Capture (once, at first call — before any config mutates them)
+    the session's own values for every key the configs touch."""
+    global _DEFAULTS
+    if _DEFAULTS is None:
+        snap = {}
+        for k in keys:
+            try:
+                snap[k] = spark.conf.get(k)
+            except Exception:
+                snap[k] = None
+        _DEFAULTS = snap
+    return _DEFAULTS
+
+
 CONFIGS = {
     "base": {},
     "sp8": {"spark.sql.shuffle.partitions": "8"},
@@ -62,7 +80,22 @@ CONFIGS = {
 
 
 def run_config(name: str, conf: dict[str, str], sf_dir: str) -> dict:
+    # getOrCreate shares ONE session across configs in an invocation, so
+    # reset every key ANY config touches to its session default before
+    # applying this config — otherwise 'base' measured after 'sp8_noaqe'
+    # still runs with 8 partitions / AQE off and the comparison is
+    # contaminated (round-7 ADVICE item 3).
     spark = get_spark(f"profile_{name}")
+    all_keys = {k for c in CONFIGS.values() for k in c}
+    defaults = _session_defaults(spark, all_keys)
+    for k, v in defaults.items():
+        try:
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
     for k, v in conf.items():
         try:
             spark.conf.set(k, v)
