@@ -204,6 +204,162 @@ class _UsersReader(DataSourceReader):
             )
 
 
+class _UserDatesChunk(InputPartition):
+    def __init__(self, dates: list[str], user_id: int | None):
+        self.dates = dates
+        self.user_id = user_id
+
+
+def _activity_row(r: dict) -> tuple:
+    """Pure-Python twin of build_computer_activities' coercion
+    (schemas.COMPUTER_ACTIVITIES; parity-tested)."""
+
+    def s(v):
+        return None if v is None else str(v)
+
+    def i(v):
+        try:
+            return None if v is None else int(float(v))
+        except (TypeError, ValueError):
+            return None
+
+    def d(v):
+        if v is None:
+            return None
+        try:
+            return _dt.date.fromisoformat(str(v)[:10])
+        except ValueError:
+            return None
+
+    return (
+        s(r.get("user_id")),
+        s(r.get("application_id")),
+        s(r.get("window_title")),
+        s(r.get("start_time")),
+        s(r.get("end_time")),
+        d(r.get("end_date")),
+        i(r.get("duration")),
+    )
+
+
+class _ActivitiesReader(DataSourceReader):
+    """``dataset=computer_activities`` — the per-user × ≤20-date fan-out
+    (the reference's sequential nested loop,
+    ``/root/reference/common/api.py:226-324``) as INPUT PARTITIONS: the
+    grid cell (one user batch × one date chunk) that the reference
+    fetches in sequence is exactly the unit that parallelizes across
+    executors, and it is the dataset where that matters most — the
+    activity fact is per-user × per-day sized. A failed cell yields
+    zero rows (the reference's per-batch tolerance), never a job abort.
+    """
+
+    def __init__(self, opts: dict):
+        self.opts = opts
+        self.dates_per_request = int(opts.get("dates_per_request", "20"))
+        from_date, to_date = opts.get("from"), opts.get("to")
+        if not from_date or not to_date:
+            raise ValueError(
+                "dataset=computer_activities needs .option('from'/'to', ...)"
+            )
+        d0 = _dt.date.fromisoformat(from_date)
+        d1 = _dt.date.fromisoformat(to_date)
+        if d1 < d0:
+            raise ValueError(f"empty window {from_date}..{to_date}")
+        self.dates = [
+            str(d0 + _dt.timedelta(days=k)) for k in range((d1 - d0).days + 1)
+        ]
+        uid_opt = opts.get("user_ids")
+        self.user_ids: list[int | None] = (
+            [int(u) for u in str(uid_opt).split(",") if u] if uid_opt else [None]
+        )
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = self.dates_per_request
+        return [
+            _UserDatesChunk(self.dates[i : i + step], u)
+            for u in self.user_ids
+            for i in range(0, len(self.dates), step)
+        ]
+
+    def read(self, partition: _UserDatesChunk) -> Iterator[tuple]:
+        client = _make_client(self.opts)
+        raw = client.get_computer_activities(
+            partition.dates,
+            include="application,window_title",
+            user_ids=None if partition.user_id is None else [partition.user_id],
+            dates_per_request=self.dates_per_request,
+        )
+        for r in raw:
+            yield _activity_row(r)
+
+
+class _IdBatch(InputPartition):
+    def __init__(self, ids: list[str]):
+        self.ids = ids
+
+
+def _application_row(d: dict) -> tuple:
+    """Pure-Python twin of build_application_names' landed projection
+    (P2 rename, F4 fallback chain, J3 category lookup; parity-tested
+    against schemas.APPLICATION_NAMES)."""
+    from .ingest import CATEGORY_NAMES
+
+    def nz(v):
+        return "" if v is None else str(v)
+
+    def fallback(*vals):
+        for v in vals:
+            if v is not None and str(v).strip() != "":
+                return str(v).strip()
+        return ""
+
+    app_id = d.get("application_id")
+    cat = "0" if d.get("category_id") is None else str(d.get("category_id"))
+    return (
+        None if app_id is None else str(app_id),
+        fallback(d.get("full_name"), d.get("aditional_info"), d.get("app_name")),
+        nz(d.get("app_name")),
+        nz(d.get("full_name")),
+        nz(d.get("aditional_info")),
+        cat,
+        CATEGORY_NAMES.get(cat, "No category"),
+        nz(d.get("type")),
+        nz(d.get("icon_url")),
+    )
+
+
+class _ApplicationsReader(DataSourceReader):
+    """``dataset=application_names`` — the 100-id-batch dimension fetch
+    (``/root/reference/dlt_fetch_timecamp.py:606-653``), one input
+    partition per id batch so a large catalog fans out across
+    executors. Ids come from ``.option('application_ids', '1,2,…')`` —
+    the upstream distinct-id reduction is a DataFrame op
+    (ingest.distinct_application_ids), exactly like any source fed a
+    pushed-down id list."""
+
+    def __init__(self, opts: dict):
+        self.opts = opts
+        ids_opt = opts.get("application_ids")
+        if not ids_opt:
+            raise ValueError(
+                "dataset=application_names needs .option('application_ids', 'id,id,…')"
+            )
+        self.ids = sorted({i for i in str(ids_opt).split(",") if i})
+        self.batch_size = int(opts.get("batch_size", "100"))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = self.batch_size
+        return [
+            _IdBatch(self.ids[i : i + step]) for i in range(0, len(self.ids), step)
+        ]
+
+    def read(self, partition: _IdBatch) -> Iterator[tuple]:
+        client = _make_client(self.opts)
+        details = client.get_applications(partition.ids, batch_size=self.batch_size)
+        for d in details.values():
+            yield _application_row(d)
+
+
 class _EntriesStreamReader(SimpleDataSourceStreamReader):
     """Incremental entries sync as a Structured Streaming source.
 
@@ -290,7 +446,14 @@ class TimecampDataSource(DataSource):
             return RAW_TASKS_SCHEMA
         if ds == "users":
             return RAW_USERS_SCHEMA
-        raise ValueError(f"unknown dataset {ds!r} (entries|tasks|users)")
+        if ds == "computer_activities":
+            return StructType(schemas.COMPUTER_ACTIVITIES.fields)
+        if ds == "application_names":
+            return StructType(schemas.APPLICATION_NAMES.fields)
+        raise ValueError(
+            f"unknown dataset {ds!r} "
+            "(entries|tasks|users|computer_activities|application_names)"
+        )
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         ds = self.options.get("dataset", "entries")
@@ -305,4 +468,8 @@ class TimecampDataSource(DataSource):
             return _EntriesReader(opts)
         if ds == "tasks":
             return _TasksReader(opts)
+        if ds == "computer_activities":
+            return _ActivitiesReader(opts)
+        if ds == "application_names":
+            return _ApplicationsReader(opts)
         return _UsersReader(opts)

@@ -140,7 +140,6 @@ def demo_transport() -> Transport:
             r"/tasks$": ws["tasks"],
             r"/users$": ws["users"],
             r"/people_picker$": ws["people_picker"],
-            r"/computer_activities$": ws["activities"],
             r"/application$": ws["applications"],
         }
     )
@@ -148,6 +147,24 @@ def demo_transport() -> Transport:
     def _send(method: str, url: str, params: dict[str, Any]):
         if url.rstrip("/").endswith("user_settings"):
             return 200, {}, json.dumps(settings_for(params))
+        if url.rstrip("/").endswith("computer_activities"):
+            # the real API filters server-side by the dates[i] grid and
+            # the user_id list — mirror that (like /entries below), so
+            # the per-user × date-chunk partition fan-out of the
+            # timecamp DataSource sees disjoint windows, not N copies
+            dates = {
+                str(v) for k, v in params.items() if str(k).startswith("dates[")
+            }
+            uids = {
+                u for u in str(params.get("user_id", "")).split(",") if u
+            }
+            rows = [
+                a
+                for a in ws["activities"]
+                if (not dates or str(a.get("end_date", "")) in dates)
+                and (not uids or str(a.get("user_id", "")) in uids)
+            ]
+            return 200, {}, json.dumps(rows)
         if url.rstrip("/").endswith("entries"):
             # the real API filters entries server-side by the from/to
             # window — mirror that, so chunked/partitioned fetchers (the

@@ -193,3 +193,181 @@ def test_streaming_entries_source_incremental_sync(registered, tmp_path):
     n_before = got.count()
     run_stream()
     assert spark.read.parquet(out).count() == n_before
+
+
+def test_activities_source_matches_builder(registered):
+    """format('timecamp') computer_activities == build_computer_activities
+    row-for-row on the demo workspace, fetched through the per-user ×
+    date-chunk partition grid."""
+    from good_enough_timecamp_data_pipeline_spark.sources.client import TimeCampClient
+    from good_enough_timecamp_data_pipeline_spark.sources.fixtures import (
+        demo_transport,
+    )
+    from good_enough_timecamp_data_pipeline_spark.sources.ingest import (
+        build_computer_activities,
+    )
+
+    spark = registered
+    via_source = (
+        spark.read.format("timecamp")
+        .option("dataset", "computer_activities")
+        .option("from", "2026-01-05")
+        .option("to", "2026-01-06")
+        .option("user_ids", "101,102")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    via_builder = build_computer_activities(
+        spark,
+        TimeCampClient(demo_transport()),
+        ["2026-01-05", "2026-01-06"],
+        user_ids=[101, 102],
+    )
+    assert via_source.schema == via_builder.schema
+    rows_s = sorted(map(tuple, via_source.collect()), key=str)
+    rows_b = sorted(map(tuple, via_builder.collect()), key=str)
+    assert rows_s == rows_b and rows_s
+
+
+def test_activities_partition_grid(registered):
+    """The user × ≤dates_per_request grid IS the partitioning: 2 users ×
+    25 dates at 20 dates/request → 2 × 2 = 4 input partitions."""
+    df = (
+        registered.read.format("timecamp")
+        .option("dataset", "computer_activities")
+        .option("from", "2026-01-01")
+        .option("to", "2026-01-25")
+        .option("user_ids", "101,102")
+        .option("dates_per_request", "20")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 4
+    # no user list → one date axis only
+    df1 = (
+        registered.read.format("timecamp")
+        .option("dataset", "computer_activities")
+        .option("from", "2026-01-01")
+        .option("to", "2026-01-25")
+        .option("dates_per_request", "20")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    assert df1.rdd.getNumPartitions() == 2
+
+
+def test_application_names_source_matches_builder(registered):
+    """format('timecamp') application_names == build_application_names
+    (P2 rename, F4 fallback, J3 category lookup) on the demo workspace."""
+    from good_enough_timecamp_data_pipeline_spark.sources.client import TimeCampClient
+    from good_enough_timecamp_data_pipeline_spark.sources.fixtures import (
+        demo_transport,
+    )
+    from good_enough_timecamp_data_pipeline_spark.sources.ingest import (
+        build_application_names,
+        build_computer_activities,
+    )
+
+    spark = registered
+    client = TimeCampClient(demo_transport())
+    acts = build_computer_activities(
+        spark, client, ["2026-01-05", "2026-01-06"]
+    )
+    via_builder = build_application_names(spark, client, acts)
+    via_source = (
+        spark.read.format("timecamp")
+        .option("dataset", "application_names")
+        .option("application_ids", "501,502")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    # landed schema nullability differs (the builder's coalesce-with-
+    # literal columns are provably non-null); names and types must match
+    assert [(f.name, f.dataType) for f in via_source.schema.fields] == [
+        (f.name, f.dataType) for f in via_builder.schema.fields
+    ]
+    rows_s = sorted(map(tuple, via_source.collect()), key=str)
+    rows_b = sorted(map(tuple, via_builder.collect()), key=str)
+    assert rows_s == rows_b and rows_s
+
+
+def test_streaming_entries_source_crash_mid_batch(registered, tmp_path):
+    """Checkpoint resume after a CRASH, not a clean stop: the writer
+    dies partway through one micro-batch (offsets WAL already holds the
+    batch's window, PARTIAL side effects on disk), the restarted query
+    replays exactly that window (readBetweenOffsets recovery path), and
+    an epoch-keyed idempotent sink (the documented foreachBatch
+    pattern) converges to exactly-once — no duplicated and no lost
+    dates. The Python streaming source runs one micro-batch per
+    start() (AvailableNow falls back to single-batch), so the sync
+    loop below IS the reference's cron shape."""
+    spark = registered
+    out = str(tmp_path / "crash_out")
+    ckpt = str(tmp_path / "crash_ckpt")
+    crashed = {"done": False}
+    seen_epochs: list[int] = []
+
+    def epoch_writer(crash_on: int | None):
+        def write(df, epoch_id):
+            rows = df.collect()
+            seen_epochs.append(epoch_id)
+            target = f"{out}/epoch={epoch_id}"
+            if crash_on == epoch_id and not crashed["done"]:
+                crashed["done"] = True
+                # land PARTIAL side effects (half the rows), then die
+                df.sparkSession.createDataFrame(
+                    rows[: len(rows) // 2], df.schema
+                ).write.mode("overwrite").parquet(target)
+                raise RuntimeError("injected crash mid-batch")
+            # idempotent by epoch: replay OVERWRITES the partial artifact
+            df.sparkSession.createDataFrame(rows, df.schema).write.mode(
+                "overwrite"
+            ).parquet(target)
+
+        return write
+
+    def run_once(crash_on=None) -> bool:
+        """One micro-batch; returns False when the run errored."""
+        q = (
+            spark.readStream.format("timecamp")
+            .option("dataset", "entries")
+            .option("from", "2025-01-01")
+            .option("to", "2025-07-31")
+            .option("chunk_days", "40")
+            .option("mode", "offline-demo")
+            .load()
+            .writeStream.foreachBatch(epoch_writer(crash_on))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            return False
+        finally:
+            q.stop()
+        return q.exception() is None
+
+    assert run_once()  # epoch 0 lands cleanly (2025-01 chunk)
+    assert not run_once(crash_on=1), "the injected crash must fail the run"
+    assert crashed["done"]
+    for _ in range(8):  # recovery + drain the remaining chunks
+        run_once()
+
+    # the crashed epoch was REPLAYED over the same window: epoch 1 ran
+    # at least twice, and the final artifact equals the batch result —
+    # no duplicated and no lost entries despite the partial write
+    assert seen_epochs.count(1) >= 2
+    got = spark.read.option("basePath", out).parquet(out)
+    want = (
+        spark.read.format("timecamp")
+        .option("dataset", "entries")
+        .option("from", "2025-01-01")
+        .option("to", "2025-07-31")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    got_rows = sorted(map(tuple, got.drop("epoch").collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows and len(got_rows) >= 3

@@ -56,7 +56,11 @@ def main() -> int:
     apply_tuned_conf(spark, sf_dir)
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        p = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files (the
+        # synthesized sf1 point); driver testdata ships single files
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     # warm both engines (JVM JIT/codegen per kernel family; duckdb catalog
     # + file handles) and land the write-once LSH index so
@@ -127,7 +131,7 @@ def main() -> int:
         "loadavg_end": loadavg_end,
         "queries": rows,
     }
-    out = os.path.join(
+    out = os.environ.get("SPARK_GRAFT_BASELINE_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BASELINE_COMPARE.json",
     )

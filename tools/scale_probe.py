@@ -31,14 +31,19 @@ BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 FACTORS = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
 
 
-def scaled_dir(spark, factor: int) -> str:
+def scaled_dir(spark, factor: int, base: str | None = None) -> str:
+    """Synthesize a fact-scaled copy of ``base`` (default the CLI BASE):
+    dims symlinked unchanged, facts unioned with shifted keys, document
+    text synthesized dissimilar per copy. Also used by
+    tools/sf1_compare.py to produce the sf1 measurement point."""
+    base = base or BASE
     out = tempfile.mkdtemp(prefix=f"scale_{factor}x_")
     # dims: unchanged (copy refs)
     for t in ("region", "nation", "customer", "part", "supplier", "embeddings"):
-        os.symlink(f"{BASE}/{t}.parquet", f"{out}/{t}.parquet")
+        os.symlink(f"{base}/{t}.parquet", f"{out}/{t}.parquet")
     # events: scaled fact (same timestamps/types, shifted ids — window
     # counts grow with the factor, the hot-window dimension does not)
-    events = spark.read.parquet(f"{BASE}/events.parquet")
+    events = spark.read.parquet(f"{base}/events.parquet")
     ev_scaled = events
     for k in range(1, factor):
         ev_scaled = ev_scaled.unionByName(
@@ -46,7 +51,7 @@ def scaled_dir(spark, factor: int) -> str:
         )
     ev_scaled.write.mode("overwrite").parquet(f"{out}/events.parquet")
     # facts: union with shifted keys
-    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    orders = spark.read.parquet(f"{base}/orders.parquet")
     scaled = orders
     for k in range(1, factor):
         scaled = scaled.unionByName(
@@ -54,7 +59,7 @@ def scaled_dir(spark, factor: int) -> str:
         )
     scaled.write.mode("overwrite").parquet(f"{out}/orders.parquet")
     # documents: synthesize dissimilar 50-token docs per copy
-    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    docs = spark.read.parquet(f"{base}/documents.parquet")
     parts = [docs]
     for k in range(1, factor):
         parts.append(
@@ -84,7 +89,7 @@ def scaled_dir(spark, factor: int) -> str:
     # graph gains DISJOINT copies (edges, wedges and triangles all scale
     # linearly) — measures the triangle join machinery, not graph
     # densification
-    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
     li_scaled = li
     for k in range(1, factor):
         li_scaled = li_scaled.unionByName(
