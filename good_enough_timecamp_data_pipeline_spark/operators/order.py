@@ -15,9 +15,10 @@ packing/sharding operators do, so they get the scalable construction:
    nondeterminism);
 2. **within-bucket** window (partitioned — parallel, each ≈ 1/N of data);
 3. **bucket offsets**: per-bucket totals (a map-side-combinable groupBy of
-   ≤ N rows) prefix-summed via a broadcast triangular self-join *over the
-   tiny totals table* (no single-partition stage anywhere), broadcast-
-   joined back.
+   ≤ N rows) are COLLECTED — N ≤ 256 rows of driver traffic, bounded by
+   the bucket count and not by the data, the same O(partitions) driver
+   exchange Spark's own RangePartitioner and ``zipWithIndex`` perform —
+   prefix-summed on the driver, and broadcast back as a literal lookup.
 
 Two scans of the input (totals + main pass) instead of a persist — at
 scale, a rescan of a columnar source is cheaper and safer than caching the
@@ -72,12 +73,23 @@ def global_cumsum_multi(
     key: Column,
     vals: dict[str, Column],
     bucket: Column,
+    grand_totals: dict | None = None,
 ) -> DataFrame:
     """Running SUM over the total order of ``key`` (inclusive frame) for
     SEVERAL value columns at once — one bucketed window pass and one
     totals scan regardless of how many sums ride along (a two-sample
     ECDF needs two). ``vals`` maps output column name → value expression;
-    ``bucket`` must be monotone in ``key`` (see module docstring)."""
+    ``bucket`` must be monotone in ``key`` (see module docstring).
+
+    When ``grand_totals`` is passed (a dict, mutated in place), it
+    receives each value column's GRAND total (over non-null-bucket rows)
+    as a plain Python scalar — the construction's driver-side prefix sum
+    already ends on exactly that number, so callers that need the total
+    (a share-of-total, an n for a test statistic) can embed it as a
+    literal instead of paying a separate aggregation job + broadcast
+    join over the same input."""
+    from pyspark.sql import types as T
+
     names = list(vals)
     d = df.withColumn("__b", bucket)
     for nm in names:
@@ -88,26 +100,53 @@ def global_cumsum_multi(
     totals = d.groupBy("__b").agg(
         *[F.sum(f"__v_{nm}").alias(f"__t_{nm}") for nm in names]
     )
-    # prefix-sum over the totals table WITHOUT any single-partition
-    # stage: a broadcast triangular self-join (strictly-smaller buckets)
-    # + hash agg is O(n_buckets²) pairs — trivial at ≤ 256 buckets, and
-    # every stage of the whole construction stays partitioned (an
-    # unpartitioned window here, though bounded, was the one WindowExec
-    # single-partition plan in the repo).
-    t2 = totals.select(
-        F.col("__b").alias("__b2"),
-        *[F.col(f"__t_{nm}").alias(f"__t2_{nm}") for nm in names],
+    # prefix-sum the ≤ n_buckets totals ON THE DRIVER: O(buckets) rows of
+    # driver traffic (bounded by the bucket count, never the data — the
+    # same exchange RangePartitioner/zipWithIndex do), then broadcast the
+    # offsets back as a LITERAL local relation. The previous construction
+    # (broadcast triangular self-join over the totals) was also bounded,
+    # but cost two extra jobs that each re-scanned the input to rebuild
+    # the totals for their broadcast — at 150 bench queries that fixed
+    # per-query job overhead dominated; on a cluster it wasted two full
+    # input scans.
+    trows = totals.collect()
+    casts = {}  # python-side coercion to each sum's Spark type
+    for nm in names:
+        dt = totals.schema[f"__t_{nm}"].dataType
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            casts[nm] = float
+        elif isinstance(dt, T.DecimalType):
+            from decimal import Decimal
+
+            casts[nm] = Decimal
+        else:
+            casts[nm] = int
+    run: dict[str, object] = {nm: casts[nm](0) for nm in names}
+    offs_rows = []
+    for r in sorted(
+        (r for r in trows if r["__b"] is not None), key=lambda r: r["__b"]
+    ):
+        offs_rows.append(tuple([r["__b"]] + [run[nm] for nm in names]))
+        for nm in names:
+            v = r[f"__t_{nm}"]
+            if v is not None:
+                run[nm] = run[nm] + v
+    # a null bucket (null sort key) contributes to no other bucket and
+    # starts at 0 — same semantics the triangular join's null comparisons
+    # produced
+    for r in trows:
+        if r["__b"] is None:
+            offs_rows.append(tuple([None] + [casts[nm](0) for nm in names]))
+    if grand_totals is not None:
+        grand_totals.update(run)
+    offs_schema = T.StructType(
+        [totals.schema["__b"]]
+        + [
+            T.StructField(f"__off_{nm}", totals.schema[f"__t_{nm}"].dataType, True)
+            for nm in names
+        ]
     )
-    offs = (
-        totals.join(F.broadcast(t2), F.col("__b2") < F.col("__b"), "left")
-        .groupBy("__b")
-        .agg(
-            *[
-                F.coalesce(F.sum(f"__t2_{nm}"), F.lit(0)).alias(f"__off_{nm}")
-                for nm in names
-            ]
-        )
-    )
+    offs = df.sparkSession.createDataFrame(offs_rows, offs_schema)
     out = d.join(F.broadcast(offs), "__b")
     for nm in names:
         out = out.withColumn(
@@ -124,11 +163,12 @@ def global_cumsum(
     val: Column,
     bucket: Column,
     out: str = "cum",
+    grand_totals: dict | None = None,
 ) -> DataFrame:
     """Running SUM(val) over the total order of ``key`` (inclusive frame),
     distributed via ``bucket`` (must be monotone in ``key``; see module
     docstring). Adds column ``out``; keeps all input columns."""
-    return global_cumsum_multi(df, key, {out: val}, bucket)
+    return global_cumsum_multi(df, key, {out: val}, bucket, grand_totals)
 
 
 def global_row_number(

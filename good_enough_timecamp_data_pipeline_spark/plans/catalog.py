@@ -86,6 +86,36 @@ QUERY_CONF: dict[str, dict[str, str]] = {
         "x_range_join",
     )
 }
+# The small-input session profile turns whole-stage codegen OFF (see
+# session.tuned_conf_for: a one-shot sub-second query never amortizes
+# its Janino compile). These entries are the measured exceptions — scan
+# + agg kernels over enough rows that compiled eval wins even one-shot
+# (3-run interleaved A/B at sf0.1, fresh process per run, median
+# improvement > 0.05 s required; e.g. t_cooccurrence_lift 1.19 vs
+# 1.91 s, q_nation_trade 0.96 vs 1.42 s). At ≥ 2 GiB the session leaves
+# codegen on everywhere and this profile is a no-op.
+CODEGEN_ON = {"spark.sql.codegen.wholeStage": "true"}
+QUERY_CONF.update(
+    {
+        name: CODEGEN_ON
+        for name in (
+            "e_peak_concurrency",
+            "a_winsorize",
+            "t_cooccurrence_lift",
+            "q_nation_trade",
+            "q_local_supplier_volume",
+            "a_corr_stats",
+            "x_profile",
+            "a_conditional_agg",
+            "x_rollup",
+            "a_histogram",
+            "a_groupsum_pricing",
+            "a_stats_minmax",
+            "q_shipping_priority",
+            "w_pareto_share",
+        )
+    }
+)
 
 
 def apply_query_conf(spark: SparkSession, name: str):
@@ -180,10 +210,16 @@ def warmup(spark: SparkSession, sf_dir: str) -> None:
             fn = QUERIES.get(name)
             if fn is None:
                 continue
+            # warm under the entry's own conf profile so the engine
+            # state (e.g. which generated classes exist) matches what
+            # the timed sf_dir run will execute under
+            restore = apply_query_conf(spark, name)
             try:
                 fn(spark, small).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
+            finally:
+                restore()
             spark.catalog.clearCache()
 
 

@@ -324,27 +324,31 @@ def w_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each re-run the orders scan + groupBy. Checkpoint targets the
     # COMPRESSED per-customer table, never the orders fact.
     keyed = rev.withColumn("__k", key).localCheckpoint(eager=True)
-    total = keyed.agg(F.sum("rev_cents").alias("t"))
+    # the cumsum's driver-side prefix pass ends on the grand total —
+    # embed t as a literal instead of a total-agg job + broadcast join
+    gt: dict = {}
     cum = global_cumsum(
         keyed,
         F.col("__k"),
         F.col("rev_cents"),
         long_range_bucket(keyed, F.col("__k")),
         out="cum_cents",
+        grand_totals=gt,
     ).drop("__k")
+    t = int(gt.get("cum_cents") or 0)
     # degenerate contract: an all-zero-revenue input has no shares to
     # apportion — cum_share pins to 0.0 (ANSI division would throw),
     # is_top80 to false ((cum−rev)·10 < 0 is false); found by
     # tests/test_properties_curation.py.
-    share = F.when(
-        F.col("t") > 0, F.col("cum_cents").cast("double") / F.col("t")
-    ).otherwise(F.lit(0.0))
-    return cum.join(F.broadcast(total)).select(
+    share = (
+        (F.col("cum_cents").cast("double") / F.lit(t)) if t > 0 else F.lit(0.0)
+    )
+    return cum.select(
         "o_custkey",
         "rev_cents",
         "cum_cents",
         share.alias("cum_share"),
-        ((F.col("cum_cents") - F.col("rev_cents")) * 10 < F.col("t") * 8).alias(
+        ((F.col("cum_cents") - F.col("rev_cents")) * 10 < F.lit(t) * 8).alias(
             "is_top80"
         ),
     )

@@ -244,32 +244,30 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by value cardinality at any corpus size (bin first when unbounded,
     # per the exactness note above).
     g = g.localCheckpoint(eager=True)
+    # the cumsum's driver-side prefix pass already ends on the grand
+    # totals — embed n1/n2 as literals instead of a second aggregation
+    # job + broadcast join over g
+    gt: dict = {}
     cum = global_cumsum_multi(
         g,
         F.col("value"),
         {"c1": F.col("d1"), "c2": F.col("d2")},
         long_range_bucket(g, F.col("value")),
+        grand_totals=gt,
     )
-    stats = g.agg(
-        F.sum("d1").cast("long").alias("n1"), F.sum("d2").cast("long").alias("n2")
-    )
+    n1, n2 = int(gt["c1"]), int(gt["c2"])
     dec = "decimal(38,0)"
     diff = F.abs(
-        F.col("c1").cast(dec) * F.col("n2") - F.col("c2").cast(dec) * F.col("n1")
+        F.col("c1").cast(dec) * F.lit(n2) - F.col("c2").cast(dec) * F.lit(n1)
     )
     res = (
-        cum.crossJoin(F.broadcast(stats))  # 1-row stats side
-        .agg(
-            F.min("n1").alias("n1"),
-            F.min("n2").alias("n2"),
-            F.max(diff).alias("max_diff"),
-        )
+        cum.agg(F.max(diff).alias("max_diff"))
         .select(
-            "n1",
-            "n2",
+            F.lit(n1).cast("long").alias("n1"),
+            F.lit(n2).cast("long").alias("n2"),
             (
                 F.col("max_diff").cast("double")
-                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+                / (F.lit(n1).cast("double") * F.lit(n2).cast("double"))
             ).alias("ks_stat"),
         )
     )

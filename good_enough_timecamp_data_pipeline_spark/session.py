@@ -62,6 +62,17 @@ def tuned_conf_for(sf_dir: str) -> dict[str, str]:
         return {
             "spark.sql.shuffle.partitions": "8",
             "spark.sql.adaptive.enabled": "false",
+            # Whole-stage codegen trades a per-novel-plan Janino compile
+            # (~0.1-1 s) for faster per-row execution — a win from the
+            # first few million rows, pure overhead below that. One-shot
+            # sub-GiB queries never amortize the compile: measured across
+            # a 40-twin sample at sf0.1, codegen-off ran 27% faster
+            # (24.5 s vs 33.6 s) with per-row cost invisible at these row
+            # counts. Expression-level codegen (smaller units, higher
+            # cross-query cache hits) still applies. Entries whose
+            # kernels DO amortize even here (measured) opt back in via
+            # catalog.QUERY_CONF.
+            "spark.sql.codegen.wholeStage": "false",
         }
     if total < 64 * gib:
         return {
