@@ -189,11 +189,16 @@ SHAPE_WARMUP = (
 )
 
 
-def warmup(spark: SparkSession, sf_dir: str) -> None:
+def warmup(spark: SparkSession, sf_dir: str, shapes: bool = True) -> None:
     """Run the warm-up set through the noop sink (used by bench.py and
-    tools/duckdb_baseline.py before any timed query)."""
+    tools/duckdb_baseline.py before any timed query). ``shapes=False``
+    (or env SPARK_GRAFT_SHAPE_WARMUP=0) skips the per-entry shape
+    warm-up — the "cold engine" protocol, published alongside the
+    shape-warmed one so readers see both."""
     import os
 
+    if os.environ.get("SPARK_GRAFT_SHAPE_WARMUP", "1") == "0":
+        shapes = False
     flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in WARMUP_QUERIES:
         try:
@@ -201,6 +206,8 @@ def warmup(spark: SparkSession, sf_dir: str) -> None:
         except Exception:
             pass
     spark.catalog.clearCache()
+    if not shapes:
+        return
     # shape warm-up at the smallest available SF (skipped when absent or
     # when sf_dir IS the smallest)
     norm = os.path.normpath(sf_dir)
@@ -491,3 +498,46 @@ register("s_pq_recall", round5g.s_pq_recall)
 register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
+
+# --- round-8 driver window ------------------------------------------------
+# The driver's correctness gate samples the FIRST 50 entries of queries().
+# Round-7 closed full coverage (151/151 twins driver-confirmed at least
+# once), so from round 8 on the window's job is RE-confirmation: rotate to
+# the entries whose implementations moved since their last driver row,
+# plus the longest-unconfirmed rows (r1-r2). This round's window therefore
+# holds (a) the lexical-dedup family + both flagship reports + hierarchy
+# entries (shared shingle/closure checkpoints, round-8 reworks), (b) the
+# tokenized-corpus text family (session-materialized corpus), (c) the
+# entries whose conf profile changed in the codegen A/B, and (d) the
+# oldest r1-r2 rows — and NONE of the round-7 window (slots re-sampled
+# last round). Relative order of everything else is preserved.
+WINDOW_R8 = (
+    # (a) impl-touched: dedup family, reports, hierarchy
+    "d_minhash_lsh", "d_ngram_jaccard", "d_cc_clusters", "d_dedup_survivors",
+    "d_exact_dedup", "d_simhash_pairs",
+    "report_task_budget", "report_project_budget",
+    "h_closure_pairs", "h_breadcrumb_levels",
+    # (b) tokenized-corpus text family
+    "t_tfidf", "t_winnow", "t_decontam", "t_repetition", "t_corpus_prep",
+    "t_bigram_lm", "t_topk_tokens", "t_token_stats", "t_fingerprint",
+    "t_simhash", "t_quality", "t_langid", "t_split", "t_balanced_sample",
+    "t_seq_pack", "t_mixture_weights", "t_shard_assign", "t_chunking",
+    "t_bpe_tokens",
+    # (c) conf-profile-touched (codegen / AQE A/B members outside the r7
+    # window)
+    "a_histogram", "a_corr_stats", "a_conditional_agg", "x_rollup",
+    "x_profile", "a_groupsum_pricing", "a_stats_minmax",
+    "e_dau_wau", "e_gapfill", "x_range_join", "e_sliding_window",
+    # (d) oldest driver rows (r1-r2)
+    "a_weighted_avg", "w_lag_delta_pct", "o_except_all", "f_bitwise_ops",
+    "f_epoch_roundtrip", "a_bool_aggs", "j_scd2_lookup", "e_windowed_funnel",
+    "s_cosine_topk", "e_retention_cohorts",
+)
+assert len(WINDOW_R8) == 50 and len(set(WINDOW_R8)) == 50
+_missing = [n for n in WINDOW_R8 if n not in QUERIES or n not in ORACLES]
+assert not _missing, f"window entries must be registered oracle twins: {_missing}"
+_window = {n: QUERIES[n] for n in WINDOW_R8}
+_rest = {n: f for n, f in QUERIES.items() if n not in _window}
+QUERIES.clear()
+QUERIES.update(_window)
+QUERIES.update(_rest)

@@ -416,6 +416,23 @@ def _near_dup_band_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct LSH candidate pairs from the shared band buckets,
+    shared-checkpointed: the bucket self-join is the costly half of both
+    `d_minhash_lsh` (which exact-verifies the candidates) and
+    `d_lsh_quality` (which measures them against ground truth) — one
+    pass serves both, the same artifact-reuse discipline as the shingle
+    and bucket tables."""
+    from .shared import shared_checkpoint
+
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        "neardup_cand_64x32",
+        lambda: dedup.band_bucket_candidates(_near_dup_band_buckets(spark, sf_dir)),
+    )
+
+
 def d_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _near_dup_truth_pairs(spark, sf_dir)
 
@@ -438,14 +455,12 @@ def d_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     → more candidates, but the exact-verify stage discards false
     positives, so the only cost is candidate-join width.
 
-    Shingles and the signature/band table are the session-shared
-    materializations (one pass serves the dedup family); the LSH
-    candidate join + exact verification — the parts that ARE this
-    operator — run here."""
+    Shingles, the signature/band table, and the candidate pair set are
+    the session-shared materializations (one pass serves the dedup
+    family); the exact verification — the part that IS this operator —
+    runs here."""
     sh = _near_dup_shingles(spark, sf_dir)
-    candidates = dedup._pin(
-        dedup.band_bucket_candidates(_near_dup_band_buckets(spark, sf_dir))
-    )
+    candidates = _near_dup_candidates(spark, sf_dir)
     return dedup.verify_candidate_pairs(sh, candidates, threshold=0.5)
 
 

@@ -264,23 +264,21 @@ def d_lsh_quality(
     )
     from .northstar import (
         _docs_near_dup,
-        _near_dup_band_buckets,
-        _near_dup_shingles,
+        _near_dup_candidates,
         _near_dup_truth_pairs,
     )
 
     default_audit = sample_fraction is None and max_shingle_df is None
     if default_audit:
-        # the exact truth and the signature/band table are the
+        # the exact truth and the LSH candidate pair set are the
         # session-shared materializations d_ngram_jaccard /
         # d_minhash_lsh already computed over the identical corpus with
         # identical parameters — an audit should read the artifacts it
         # audits, not re-derive both sides from the raw text
-        sh = _near_dup_shingles(spark, sf_dir)
         exact = _near_dup_truth_pairs(spark, sf_dir).select(
             "id_a", "id_b", F.lit(1).alias("in_exact")
         )
-        bb = _near_dup_band_buckets(spark, sf_dir)
+        candidates = _near_dup_candidates(spark, sf_dir)
     else:
         docs = _docs_near_dup(spark, sf_dir)
         if sample_fraction is not None:
@@ -294,7 +292,7 @@ def d_lsh_quality(
                 docs, n=5, threshold=0.5, max_shingle_df=max_shingle_df, shingles=sh
             ).select("id_a", "id_b", F.lit(1).alias("in_exact"))
         )
-        bb = minhash_band_buckets(sh, 64, 32)
+        candidates = band_bucket_candidates(minhash_band_buckets(sh, 64, 32))
     # The LSH side's VERIFIED pair set is, by definition, its candidate
     # set intersected with {pairs at jaccard ≥ τ} — exactly the ground
     # truth this audit computes anyway (any candidate pair at ≥ τ shares
@@ -302,7 +300,6 @@ def d_lsh_quality(
     # pinned truth therefore yields the identical verified set without
     # re-running the 3-join exact-verify stage a standalone
     # `minhash_lsh_pairs` needs.
-    candidates = band_bucket_candidates(bb)
     lsh = candidates.join(exact.select("id_a", "id_b"), ["id_a", "id_b"]).select(
         "id_a", "id_b", F.lit(1).alias("in_lsh")
     )

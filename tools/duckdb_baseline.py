@@ -113,6 +113,12 @@ def main() -> int:
     ratios = sorted(r["ratio"] for r in rows.values() if r["ratio"] is not None)
     summary = {
         "sf_dir": sf_dir,
+        "protocol": (
+            "shape-warmed engine (per-entry shape warm-up at sf0.001; "
+            "plans built cold per query)"
+            if os.environ.get("SPARK_GRAFT_SHAPE_WARMUP", "1") != "0"
+            else "cold engine (no shape warm-up; kernel-family warm-up only)"
+        ),
         "n_queries": len(rows),
         "spark_total_s": round(t_spark_total, 2),
         "duckdb_total_s": round(t_duck_total, 2),
