@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def md5_prefix_bucket(key: Column, hex_digits: int = 2) -> Column:
@@ -54,7 +55,10 @@ def long_range_bucket(df: DataFrame, key: Column, n_buckets: int = 256) -> Colum
     ``md5_prefix_bucket`` over ``F.md5(key)`` for arbitrary key types.
     """
     row = df.select(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
-    lo, hi = row["lo"], row["hi"]
+    return _range_bucket_col(row["lo"], row["hi"], key, n_buckets)
+
+
+def _range_bucket_col(lo, hi, key: Column, n_buckets: int) -> Column:
     if lo is None:  # empty (or all-null-key) input
         return F.lit(0).cast("int")
     if isinstance(lo, bool) or not isinstance(lo, (int, float)):
@@ -66,6 +70,24 @@ def long_range_bucket(df: DataFrame, key: Column, n_buckets: int = 256) -> Colum
     span = max(int(hi) - int(lo) + 1, 1)
     width = max(span // n_buckets + (1 if span % n_buckets else 0), 1)
     return ((key - F.lit(int(lo))) / F.lit(width)).cast("int")
+
+
+def pin_with_range_bucket(
+    df: DataFrame, key: Column, n_buckets: int = 256
+) -> tuple[DataFrame, Column]:
+    """Persist ``df`` AND compute its numeric key range in ONE action:
+    the min/max aggregation that ``long_range_bucket`` needs anyway is
+    what materializes the persisted blocks, so callers that previously
+    paid an eager ``localCheckpoint`` job PLUS a bounds-collect job pay
+    one job total. Returns ``(pinned_df, bucket_col)``; the pinned frame
+    is what the cumsum's remaining passes (totals collect + main window
+    pass) must consume. MEMORY_AND_DISK: the pinned table is the
+    COMPRESSED pre-aggregated input (distinct values / per-entity
+    totals), never the raw fact — it spills rather than OOMs if a
+    caller breaks that contract."""
+    d = df.persist(StorageLevel.MEMORY_AND_DISK)
+    row = d.select(F.min(key).alias("lo"), F.max(key).alias("hi")).collect()[0]
+    return d, _range_bucket_col(row["lo"], row["hi"], key, n_buckets)
 
 
 def global_cumsum_multi(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.layout import fan_out_scan
-from ..operators.order import global_cumsum, long_range_bucket
+from ..operators.order import global_cumsum, pin_with_range_bucket
 from .extensions import bigram_lm, doc_bigram_rows
 from .testdata import load_table
 
@@ -323,15 +323,18 @@ def w_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (total agg, bucket-bounds collect, totals scan, main cumsum) would
     # each re-run the orders scan + groupBy. Checkpoint targets the
     # COMPRESSED per-customer table, never the orders fact.
-    keyed = rev.withColumn("__k", key).localCheckpoint(eager=True)
-    # the cumsum's driver-side prefix pass ends on the grand total —
-    # embed t as a literal instead of a total-agg job + broadcast join
+    # pin + bucket-bounds in ONE action (pin_with_range_bucket); the
+    # cumsum's driver-side prefix pass ends on the grand total — embed t
+    # as a literal instead of a total-agg job + broadcast join
+    keyed, bucket = pin_with_range_bucket(
+        rev.withColumn("__k", key), F.col("__k")
+    )
     gt: dict = {}
     cum = global_cumsum(
         keyed,
         F.col("__k"),
         F.col("rev_cents"),
-        long_range_bucket(keyed, F.col("__k")),
+        bucket,
         out="cum_cents",
         grand_totals=gt,
     ).drop("__k")

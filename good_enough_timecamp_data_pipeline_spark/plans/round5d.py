@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import containment_pairs
-from ..operators.order import global_cumsum_multi, long_range_bucket
+from ..operators.order import global_cumsum_multi, pin_with_range_bucket
 from ..operators.text import tokenize
 from .northstar import TOKS_SQL, _shingles_sql
 from .round5 import MAX_SESSION_US, _session_bounds
@@ -237,13 +237,14 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("d2"),
     )
-    # materialize the DISTINCT-VALUE histogram once: three consumers
-    # (bucket-bounds collect, totals scan, main cumsum pass) would each
-    # otherwise re-run the events scan + groupBy. The checkpoint targets
-    # the compressed table (distinct values), never the fact — bounded
-    # by value cardinality at any corpus size (bin first when unbounded,
-    # per the exactness note above).
-    g = g.localCheckpoint(eager=True)
+    # pin the DISTINCT-VALUE histogram once — the bucket-bounds agg
+    # doubles as the materializing action (pin_with_range_bucket), so
+    # the remaining consumers (totals collect, main cumsum pass) read
+    # cached blocks instead of re-running the events scan + groupBy.
+    # The pinned table is the compressed histogram (distinct values),
+    # never the fact — bounded by value cardinality at any corpus size
+    # (bin first when unbounded, per the exactness note above).
+    g, bucket = pin_with_range_bucket(g, F.col("value"))
     # the cumsum's driver-side prefix pass already ends on the grand
     # totals — embed n1/n2 as literals instead of a second aggregation
     # job + broadcast join over g
@@ -252,7 +253,7 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         g,
         F.col("value"),
         {"c1": F.col("d1"), "c2": F.col("d2")},
-        long_range_bucket(g, F.col("value")),
+        bucket,
         grand_totals=gt,
     )
     n1, n2 = int(gt["c1"]), int(gt["c2"])

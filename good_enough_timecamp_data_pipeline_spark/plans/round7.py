@@ -151,13 +151,16 @@ def a_weighted_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     millions-of-distinct-prices histogram through one task at 100 TB).
     Weights are integral sums of integral quantities, so the driver's
     integer prefix and both engines' running sums are exact."""
-    from ..operators.order import long_range_bucket
+    from ..operators.order import pin_with_range_bucket
 
     li = load_table(spark, sf_dir, "lineitem")
-    hist = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
-        F.sum("l_quantity").alias("wt")
-    ).localCheckpoint(eager=True)
-    b = hist.withColumn("__b", long_range_bucket(hist, F.col("v")))
+    hist, bucket = pin_with_range_bucket(
+        li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+            F.sum("l_quantity").alias("wt")
+        ),
+        F.col("v"),
+    )
+    b = hist.withColumn("__b", bucket)
     totals = sorted(
         (r["__b"], int(r["t"]))
         for r in b.groupBy("__b").agg(F.sum("wt").alias("t")).collect()

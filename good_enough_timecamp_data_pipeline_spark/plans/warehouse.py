@@ -305,21 +305,22 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact cannot overflow; the two final divisions are double ops on
     exactly-representable inputs, bit-identical cross-engine.
     """
-    from ..operators.order import global_row_number, long_range_bucket
+    from ..operators.order import global_row_number, pin_with_range_bucket
 
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
     # unique ascending sort key: (x, custkey) packed into one long;
-    # checkpoint the customer-sized table once — bounds collect, totals
-    # and main rank pass would each re-run the orders scan + groupBy
+    # pin the customer-sized table once, with the bucket-bounds agg as
+    # the materializing action — totals and main rank pass then read
+    # cached blocks instead of re-running the orders scan + groupBy
     # (compressed table only, never the fact)
     key = F.col("x") * F.lit(1 << 24) + F.col("o_custkey")
-    keyed = rev.withColumn("__k", key).localCheckpoint(eager=True)
-    ranked = global_row_number(
-        keyed, F.col("__k"), long_range_bucket(keyed, F.col("__k")), out="i"
+    keyed, bucket = pin_with_range_bucket(
+        rev.withColumn("__k", key), F.col("__k")
     )
+    ranked = global_row_number(keyed, F.col("__k"), bucket, out="i")
     return ranked.agg(
         F.count("*").alias("n_customers"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("sum_cents"),
