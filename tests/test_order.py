@@ -80,3 +80,64 @@ def test_long_range_bucket_non_numeric_key_fails_fast(spark):
     df = spark.range(5).withColumn("k", F.md5(F.col("id").cast("string")))
     with pytest.raises(TypeError, match="numeric key"):
         long_range_bucket(df, F.col("k"))
+
+
+def test_grand_totals_out_param(spark):
+    df = _sample(spark, 2000)
+    gt: dict = {}
+    global_cumsum(
+        df,
+        F.col("__k"),
+        F.col("v"),
+        md5_prefix_bucket(F.col("__k")),
+        out="cum",
+        grand_totals=gt,
+    )
+    expect = df.agg(F.sum("v")).collect()[0][0]
+    assert gt == {"cum": expect}
+
+
+def test_grand_totals_double_type(spark):
+    df = _sample(spark, 500).withColumn("d", F.col("v") * 0.5)
+    gt: dict = {}
+    got = global_cumsum(
+        df,
+        F.col("__k"),
+        F.col("d"),
+        md5_prefix_bucket(F.col("__k")),
+        out="cum",
+        grand_totals=gt,
+    )
+    assert isinstance(gt["cum"], float) and gt["cum"] > 0
+    # offsets stay double-typed end to end (createDataFrame coercion)
+    assert dict(got.dtypes)["cum"] == "bigint"  # output contract: cast long
+
+
+def test_pin_with_range_bucket_one_action_and_monotone(spark):
+    from good_enough_timecamp_data_pipeline_spark.operators.order import (
+        pin_with_range_bucket,
+    )
+
+    df = spark.range(0, 5000, 7).withColumn("k", F.col("id") + 100)
+    pinned, bucket = pin_with_range_bucket(df, F.col("k"), n_buckets=16)
+    try:
+        assert pinned.storageLevel.useMemory  # persisted by the helper
+        rows = pinned.select("k", bucket.alias("b")).collect()
+        srt = sorted(rows, key=lambda r: r["k"])
+        assert all(a["b"] <= c["b"] for a, c in zip(srt, srt[1:]))
+        assert len({r["b"] for r in rows}) > 8
+    finally:
+        pinned.unpersist()
+
+
+def test_pin_with_range_bucket_empty_input(spark):
+    from good_enough_timecamp_data_pipeline_spark.operators.order import (
+        pin_with_range_bucket,
+    )
+
+    df = spark.range(0).withColumn("k", F.col("id"))
+    pinned, bucket = pin_with_range_bucket(df, F.col("k"))
+    try:
+        assert pinned.select(bucket.alias("b")).count() == 0
+    finally:
+        pinned.unpersist()
