@@ -58,18 +58,36 @@ def _bucket_expr(tok) -> F.Column:
     return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % HASH_BUCKETS
 
 
+def _weight_table() -> list[int]:
+    """The V=1024 bucket weights md5('w' || bucket) defines, computed
+    once on the driver (hashlib.md5 hex == Spark's F.md5 — the repo-wide
+    hash contract). The per-token expression then does ONE md5 (the
+    feature hash) + a constant-folded array lookup instead of chaining a
+    second md5 + hex-conv per token inside the interpreted HOF lambda —
+    measured ~2× on the classifier/calibration scans, and exactly what
+    "swap for trained weights" already promised the plan shape allows."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"w{b}".encode()).hexdigest()[:8], 16) % WEIGHT_MOD - 1000
+        for b in range(HASH_BUCKETS)
+    ]
+
+
+_WEIGHTS = _weight_table()
+
+
 def _weight_expr(tok) -> F.Column:
-    """Deterministic per-bucket weight in [-1000, 1000]: md5('w' || bucket).
-    Stand-in for trained weights; INTEGER so per-document sums are exact
+    """Deterministic per-bucket weight in [-1000, 1000]: md5('w' || bucket),
+    materialized as a literal V-vector (see `_weight_table`) and indexed
+    by the feature hash. INTEGER so per-document sums are exact
     regardless of token order (float weights would make the sum depend on
     Spark's partition-local accumulation order and break the oracle)."""
     b = _bucket_expr(tok)
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit("w"), b.cast("string"))), 1, 8), 16, 10
-        ).cast("long")
-        % WEIGHT_MOD
-    ) - 1000
+    # CreateArray of literals constant-folds to one Literal array; 1-based
+    return F.element_at(
+        F.array(*[F.lit(w).cast("long") for w in _WEIGHTS]), b.cast("int") + 1
+    )
 
 
 def t_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

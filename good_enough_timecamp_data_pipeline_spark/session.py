@@ -59,21 +59,27 @@ def tuned_conf_for(sf_dir: str) -> dict[str, str]:
         return {}
     gib = 1024**3
     if total < 2 * gib:
-        return {
+        conf = {
             "spark.sql.shuffle.partitions": "8",
             "spark.sql.adaptive.enabled": "false",
+        }
+        if total < 64 * 1024**2:
             # Whole-stage codegen trades a per-novel-plan Janino compile
             # (~0.1-1 s) for faster per-row execution — a win from the
-            # first few million rows, pure overhead below that. One-shot
-            # sub-GiB queries never amortize the compile: measured across
-            # a 40-twin sample at sf0.1, codegen-off ran 27% faster
-            # (24.5 s vs 33.6 s) with per-row cost invisible at these row
-            # counts. Expression-level codegen (smaller units, higher
-            # cross-query cache hits) still applies. Entries whose
-            # kernels DO amortize even here (measured) opt back in via
-            # catalog.QUERY_CONF.
-            "spark.sql.codegen.wholeStage": "false",
-        }
+            # first tens of MB of hot data per query, pure overhead
+            # below that. One-shot queries over the tiny local SFs never
+            # amortize the compile: measured across a 40-twin sample at
+            # sf0.1 (17 MiB), codegen-off ran 27% faster (24.5 s vs
+            # 33.6 s). At the synthesized sf1 (167 MiB) the balance
+            # flips — per-row interpreted eval over 10× the tokens costs
+            # more than the compile (t_ccnet_buckets 8.4 s interpreted
+            # vs 4.6 s compiled) — so codegen stays ON from 64 MiB up
+            # (the cutoff sits between the two measured points).
+            # Expression-level codegen still applies below the cutoff,
+            # and entries whose kernels amortize even at sf0.1
+            # (measured) opt back in via catalog.QUERY_CONF.
+            conf["spark.sql.codegen.wholeStage"] = "false"
+        return conf
     if total < 64 * gib:
         return {
             "spark.sql.shuffle.partitions": str(2 * DEFAULT_CPUS),
