@@ -377,15 +377,19 @@ def test_lateral_topn_decorrelates_to_one_window(spark, sf_dir):
 
 
 def test_lm_perplexity_is_two_corpus_passes(spark, sf_dir):
-    """bigram_lm checkpoints the vocabulary-sized count table, so the
-    final scoring plan must contain exactly ONE scan of documents (the
-    scoring pass; the LM-build pass already ran into the checkpoint).
-    Regression for the round-5 4-passes-per-query defect."""
+    """bigram_lm checkpoints the vocabulary-sized count table, and since
+    the round-8 tokenized-corpus materialization the scoring pass reads
+    the session-shared `docs_alpha_toks` checkpoint (an ExistingRDD
+    scan) rather than re-tokenizing raw parquet. The final plan must
+    therefore contain NO raw documents scan at all and at least one
+    checkpoint-block scan — and never the round-5 defect shape (4 raw
+    corpus passes per query)."""
     from good_enough_timecamp_data_pipeline_spark.plans import extensions
 
     plan = plan_of(extensions.t_lm_perplexity(spark, sf_dir))
     doc_scans = [s for s in scans(plan) if "documents" in s]
-    assert len(doc_scans) == 1, plan
+    assert len(doc_scans) == 0, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_variant_shred_single_scan_partial_agg(spark, sf_dir):
