@@ -510,9 +510,14 @@ register("f_variant_write_shred", round7.f_variant_write_shred)
 # tokenized-corpus text family (session-materialized corpus), (c) the
 # entries whose conf profile changed in the codegen A/B, and (d) the
 # oldest r1-r2 rows — and NONE of the round-7 window (slots re-sampled
-# last round). Relative order of everything else is preserved.
+# last round) except ``a_weighted_quantile``, which the round-7 VERDICT
+# explicitly asked to re-enter because its implementation changed this
+# round (single-partition cumulative window → two-level bucket refine;
+# impl-changed re-entry trumps the no-overlap rule, as in the r5
+# rotation). Relative order of everything else is preserved.
 WINDOW_R8 = (
-    # (a) impl-touched: dedup family, reports, hierarchy
+    # (a) impl-touched: dedup family, reports, hierarchy, reworked quantile
+    "a_weighted_quantile",
     "d_minhash_lsh", "d_ngram_jaccard", "d_cc_clusters", "d_dedup_survivors",
     "d_exact_dedup", "d_simhash_pairs",
     "report_task_budget", "report_project_budget",
@@ -526,7 +531,7 @@ WINDOW_R8 = (
     # (c) conf-profile-touched (codegen / AQE A/B members outside the r7
     # window)
     "a_histogram", "a_corr_stats", "a_conditional_agg", "x_rollup",
-    "x_profile", "a_groupsum_pricing", "a_stats_minmax",
+    "x_profile", "a_groupsum_pricing",
     "e_dau_wau", "e_gapfill", "x_range_join", "e_sliding_window",
     # (d) oldest driver rows (r1-r2)
     "a_weighted_avg", "w_lag_delta_pct", "o_except_all", "f_bitwise_ops",
