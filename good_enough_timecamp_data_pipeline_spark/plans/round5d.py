@@ -90,6 +90,40 @@ def _weight_expr(tok) -> F.Column:
     )
 
 
+def docs_hash_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text, n_tokens, score_raw) — ONE hashed-classifier
+    inference pass over the corpus as a session-shared checkpoint.
+
+    The per-token md5 fold is the heaviest narrow compute in the
+    catalog, and two entries need its output (``t_hashed_classifier``
+    and ``t_calibration_bins``'s reliability bins); in production the
+    scored corpus is a materialized table every downstream gate reads,
+    not a per-query recompute (the ``docs_alpha_toks`` discipline,
+    extensions.py). Both oracle twins still re-derive the scores from
+    raw text inside their own SQL."""
+    from ..operators.layout import fan_out_scan
+    from .shared import shared_checkpoint
+
+    def build() -> DataFrame:
+        # fan the one-file local scan out before the per-token md5 fold;
+        # no-op on many-file inputs
+        docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+        d = docs.withColumn("__toks", tokenize(F.col("text")))
+        score_raw = F.aggregate(
+            F.transform(F.col("__toks"), lambda t: _weight_expr(t)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return d.select(
+            "doc_id",
+            "text",
+            F.size("__toks").cast("int").alias("n_tokens"),
+            score_raw.alias("score_raw"),
+        )
+
+    return shared_checkpoint(spark, sf_dir, "docs_hash_scored", build)
+
+
 def t_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score every document with a hashed linear classifier and flag the
     keepers — the model-based quality-filter tier (beyond t_quality's
@@ -98,27 +132,14 @@ def t_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: tokenize → per-token weight lookup → integer fold, all
     inside one ``transform``/``aggregate`` expression per row — the scan
-    IS the inference pass. A trained model swaps `_weight_expr` for a
-    literal array lookup (`F.element_at` on a broadcast V-vector) with
-    the same plan. Score = mean token weight in [-1, 1]; keep = score>0.
+    IS the inference pass (shared once per session, `docs_hash_scored`).
+    A trained model swaps `_weight_expr` for a literal array lookup
+    (`F.element_at` on a broadcast V-vector) with the same plan.
+    Score = mean token weight in [-1, 1]; keep = score>0.
     """
-    from ..operators.layout import fan_out_scan
-
-    # fan the one-file local scan out before the per-token md5 fold (the
-    # heaviest narrow compute in the catalog); no-op on many-file inputs
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    d = docs.withColumn("__toks", tokenize(F.col("text")))
-    score_raw = F.aggregate(
-        F.transform(F.col("__toks"), lambda t: _weight_expr(t)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     return (
-        d.select(
-            "doc_id",
-            F.size("__toks").cast("int").alias("n_tokens"),
-            score_raw.alias("score_raw"),
-        )
+        docs_hash_scored(spark, sf_dir)
+        .select("doc_id", "n_tokens", "score_raw")
         .withColumn(
             "score",
             F.when(

@@ -59,17 +59,16 @@ def t_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     label := quality >= 0.6 with quality exactly as `t_quality` computes
     it (operand order mirrored in the SQL twin, so the IEEE doubles and
-    hence the boundary comparisons agree engine-to-engine)."""
-    from ..operators.layout import fan_out_scan
+    hence the boundary comparisons agree engine-to-engine).
 
-    docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    d = docs.withColumn("__toks", text.tokenize(F.col("text")))
-    score_raw = F.aggregate(
-        F.transform(F.col("__toks"), lambda t: _weight_expr(t)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_toks = F.size("__toks")
+    The per-doc (n_tokens, score_raw) inference pass is the session-
+    shared scored corpus (`round5d.docs_hash_scored`) — the md5-per-token
+    fold runs once per session, not once per consumer entry."""
+    from .round5d import docs_hash_scored
+
+    d = docs_hash_scored(spark, sf_dir)
+    score_raw = F.col("score_raw")
+    n_toks = F.col("n_tokens")
     score = F.when(
         n_toks > 0,
         score_raw.cast("double") / (n_toks.cast("double") * 1000.0),
