@@ -1,0 +1,231 @@
+"""End-to-end corpus-curation pipeline CLI.
+
+The catalog proves each curation operator individually (exact dedup,
+MinHash-LSH near-dup, quality/classifier gates, language ID, splits);
+this module composes them into the runnable pipeline a training-data
+team actually ships::
+
+    python -m good_enough_timecamp_data_pipeline_spark.curate \
+        --input  /data/documents.parquet \
+        --output ./curated \
+        --min-quality 0.5 --neardup-threshold 0.6 \
+        --splits train=0.9,val=0.05,test=0.05 --shards 64
+
+Stage order (any stage is removable with ``--skip``):
+
+1. ``scrub``      — mask emails/URLs in the text (map-only projection).
+2. ``exact``      — one winner (min id) per exact content hash.
+3. ``neardup``    — MinHash-LSH verified pairs → connected components →
+                    per-cluster survivor (longest doc, ties to min id) —
+                    the ``d_dedup_survivors`` policy.
+4. ``quality``    — heuristic gate: ``quality_score(text) >= min_quality``.
+5. ``classifier`` — hashed-linear-classifier gate: mean token weight > 0
+                    (the model-based tier; swap weights for a trained
+                    model with the same plan shape).
+6. ``annotate``   — lang_pred / n_tokens / quality columns (always on).
+7. ``split``      — deterministic md5-bucket split assignment.
+8. ``shard``      — stable shard id in [0, --shards).
+
+Scale shape: stages 1/4/5/6/7/8 are pure column expressions that fuse
+into the scan; stage 2 is one hash groupBy + semi-join; stage 3 is the
+banded-LSH pipeline (never all-pairs) plus a node-sized label
+propagation. Per-stage row counts are collected with ``df.observe`` so
+the single output write materializes every counter — no second pass
+over the corpus (the round-7 "observe on the write job" discipline).
+
+Reference parity note: the reference pipeline has no curation surface —
+this is part of the SURVEY §2.11 north-star extension (LLM-training
+data ops), built entirely from the operators the catalog already
+verifies against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import text
+from .operators.dedup import exact_dedup, minhash_lsh_pairs
+from .operators.graph import connected_components
+from .operators.layout import fan_out_scan
+from .operators.sampling import hash_bucket, hash_split
+
+STAGES = ("scrub", "exact", "neardup", "quality", "classifier", "split", "shard")
+
+# RE2-compatible, identical to the t_scrub_pii catalog entry
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ ]+"
+
+
+def _classifier_score() -> F.Column:
+    """Mean hashed-bucket token weight in [-1, 1] (t_hashed_classifier)."""
+    from .plans.round5d import _weight_expr
+
+    toks = text.tokenize(F.col("text"))
+    raw = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + _weight_expr(t)
+    )
+    n = F.size(toks)
+    return F.when(
+        n > 0, raw.cast("double") / (n.cast("double") * 1000.0)
+    ).otherwise(F.lit(0.0))
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    *,
+    min_quality: float = 0.5,
+    clf_threshold: float = 0.0,
+    neardup_threshold: float = 0.6,
+    splits: dict[str, float] | None = None,
+    shards: int = 64,
+    skip: frozenset[str] = frozenset(),
+) -> tuple[DataFrame, dict[str, Observation]]:
+    """Compose the curation plan over ``docs`` (doc_id, text, ...).
+
+    Returns (curated DataFrame, {stage: Observation}) — the caller's
+    write/collect action fills every observation; read counts only
+    after materializing."""
+    unknown = skip - set(STAGES)
+    if unknown:
+        raise ValueError(f"unknown stages in --skip: {sorted(unknown)}")
+
+    obs: dict[str, Observation] = {}
+
+    def observed(df: DataFrame, stage: str) -> DataFrame:
+        o = Observation(f"curate_{stage}")
+        obs[stage] = o
+        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+
+    d = observed(fan_out_scan(docs, "doc_id"), "input")
+
+    if "scrub" not in skip:
+        clean = F.regexp_replace(
+            F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"),
+            URL_RE,
+            "<URL>",
+        )
+        d = d.withColumn("text", clean)
+
+    if "exact" not in skip:
+        winners = exact_dedup(d).select(F.col("winner_id").alias("doc_id"))
+        d = observed(d.join(winners, "doc_id", "left_semi"), "exact")
+
+    if "neardup" not in skip:
+        pairs = minhash_lsh_pairs(d, threshold=neardup_threshold)
+        edges = pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        # over-segmentation on non-convergence keeps more docs — safe
+        # for dedup (the connected_components contract)
+        labels = connected_components(edges, on_nonconverged="warn")
+        labeled = d.join(
+            labels, d["doc_id"] == labels["node"], "left"
+        ).select(
+            d["*"],
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("__cluster"),
+        )
+        w = Window.partitionBy("__cluster").orderBy(
+            F.desc(F.size(text.tokenize(F.col("text")))), F.asc("doc_id")
+        )
+        d = observed(
+            labeled.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__cluster", "__rk"),
+            "neardup",
+        )
+
+    d = d.withColumn("quality", text.quality_score(F.col("text")))
+    if "quality" not in skip:
+        d = observed(d.filter(F.col("quality") >= F.lit(min_quality)), "quality")
+
+    if "classifier" not in skip:
+        d = d.withColumn("clf_score", _classifier_score())
+        d = observed(
+            d.filter(F.col("clf_score") > F.lit(clf_threshold)), "classifier"
+        )
+
+    # annotate (always on): downstream mixers need these columns
+    d = d.withColumn("lang_pred", text.lang_id(F.col("text"))).withColumn(
+        "n_tokens", text.token_count(F.col("text")).cast("int")
+    )
+
+    if "split" not in skip:
+        d = hash_split(
+            d, "doc_id", splits or {"train": 0.90, "val": 0.05, "test": 0.05}
+        )
+    if "shard" not in skip:
+        d = d.withColumn("shard", hash_bucket("doc_id", shards).cast("int"))
+
+    return observed(d, "output"), obs
+
+
+def _parse_splits(raw: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in raw.split(","):
+        name, _, w = part.partition("=")
+        if not _:
+            raise ValueError(f"--splits expects name=weight, got {part!r}")
+        out[name.strip()] = float(w)
+    return out
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="curate", description="Corpus-curation pipeline (dedup → gates → splits)"
+    )
+    p.add_argument("--input", required=True, help="documents parquet path/dir")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--clf-threshold", type=float, default=0.0)
+    p.add_argument("--neardup-threshold", type=float, default=0.6)
+    p.add_argument("--splits", type=_parse_splits,
+                   default={"train": 0.90, "val": 0.05, "test": 0.05},
+                   help="comma list name=weight summing to 1")
+    p.add_argument("--shards", type=int, default=64)
+    p.add_argument("--skip", default="",
+                   help=f"comma list of stages to skip (of {','.join(STAGES)})")
+    return p.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    skip = frozenset(s.strip() for s in args.skip.split(",") if s.strip())
+
+    from .session import get_spark
+
+    spark = get_spark("curate")
+    docs = spark.read.parquet(args.input)
+    curated, obs = curate(
+        spark,
+        docs,
+        min_quality=args.min_quality,
+        clf_threshold=args.clf_threshold,
+        neardup_threshold=args.neardup_threshold,
+        splits=args.splits,
+        shards=args.shards,
+        skip=skip,
+    )
+
+    out_docs = os.path.join(args.output, "docs")
+    writer = curated.write.mode("overwrite")
+    if "split" not in skip:
+        writer = writer.partitionBy("split")
+    writer.parquet(out_docs)
+
+    stats = {stage: o.get["rows"] for stage, o in obs.items()}
+    stats["output_path"] = out_docs
+    with open(os.path.join(args.output, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=1)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""End-to-end tests for the corpus-curation pipeline CLI (curate.py)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from good_enough_timecamp_data_pipeline_spark import curate as cur
+
+
+@pytest.fixture()
+def corpus(spark):
+    """Small corpus with known exact dups, near dups, and junk docs."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the green forest to find some quiet water and rest "
+        "for a while before the long journey home through the hills"
+    )
+    near = base.replace("quiet water", "calm water")  # ~1-shingle delta
+    rows = [
+        (1, base),
+        (2, base),            # exact dup of 1
+        (3, near),            # near dup of 1
+        (4, "an entirely different document about the history of steam "
+            "engines and the people who built them across many countries "
+            "during the early industrial era with great effort and care"),
+        (5, "123 456 789 @@@ ### $$$"),  # junk: low alpha ratio, no stopwords
+        (6, ""),              # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_curate_stage_counts_and_schema(spark, corpus):
+    out, obs = cur.curate(spark, corpus, min_quality=0.5, skip=frozenset({"classifier"}))
+    rows = out.collect()
+    stats = {k: o.get["rows"] for k, o in obs.items()}
+
+    assert stats["input"] == 6
+    assert stats["exact"] == 5          # doc 2 dropped (exact dup)
+    assert stats["neardup"] == 4        # doc 3 dropped (near dup of 1)
+    assert stats["quality"] == 2        # junk + empty dropped
+    assert stats["output"] == len(rows) == 2
+    kept = sorted(r.doc_id for r in rows)
+    assert kept == [1, 4]
+
+    cols = set(out.columns)
+    assert {"doc_id", "text", "quality", "lang_pred", "n_tokens",
+            "split", "shard"} <= cols
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        assert 0 <= r.shard < 64
+        assert r.lang_pred == "en"
+        assert r.quality >= 0.5
+
+
+def test_curate_survivor_policy_prefers_longest(spark):
+    """Within a near-dup cluster the longest doc wins, ties to min id."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")
+    longer = base + " psi omega extra tokens beyond the shared prefix"
+    df = spark.createDataFrame(
+        [(10, base), (11, longer)], "doc_id long, text string"
+    )
+    out, _ = cur.curate(
+        spark, df, min_quality=0.0, neardup_threshold=0.5,
+        skip=frozenset({"classifier", "quality", "scrub"}),
+    )
+    kept = [r.doc_id for r in out.collect()]
+    assert kept == [11]
+
+
+def test_curate_scrub_masks_pii(spark):
+    filler = " ".join(["the quick brown fox jumps over lazy dogs"] * 5)
+    df = spark.createDataFrame(
+        [(1, f"{filler} contact bob@example.com or https://ex.com/x")],
+        "doc_id long, text string",
+    )
+    out, _ = cur.curate(
+        spark, df, skip=frozenset({"exact", "neardup", "quality", "classifier"})
+    )
+    txt = out.collect()[0].text
+    assert "<EMAIL>" in txt and "<URL>" in txt
+    assert "bob@example.com" not in txt and "ex.com" not in txt
+
+
+def test_curate_split_deterministic_and_skip_validation(spark, corpus):
+    out1, _ = cur.curate(spark, corpus, skip=frozenset({"classifier"}))
+    out2, _ = cur.curate(spark, corpus, skip=frozenset({"classifier"}))
+    a = {(r.doc_id, r.split, r.shard) for r in out1.collect()}
+    b = {(r.doc_id, r.split, r.shard) for r in out2.collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="unknown stages"):
+        cur.curate(spark, corpus, skip=frozenset({"nonsense"}))
+
+
+def test_curate_cli_end_to_end(spark, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "curated")
+    rc = cur.main([
+        "--input", os.path.join(sf_dir, "documents.parquet"),
+        "--output", out_dir,
+        "--min-quality", "0.3",
+        "--skip", "classifier",
+        "--splits", "train=0.8,val=0.1,test=0.1",
+        "--shards", "8",
+    ])
+    assert rc == 0
+    stats = json.load(open(os.path.join(out_dir, "stats.json")))
+    assert stats["input"] > 0
+    assert 0 < stats["output"] <= stats["input"]
+    got = spark.read.parquet(os.path.join(out_dir, "docs"))
+    assert got.count() == stats["output"]
+    # the pipeline's invariants hold on the written output
+    assert got.filter(F.col("quality") < 0.3).count() == 0
+    dup = got.groupBy(F.md5("text")).count().filter(F.col("count") > 1)
+    assert dup.count() == 0
+    assert set(r.split for r in got.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
