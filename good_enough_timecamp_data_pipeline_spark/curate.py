@@ -19,9 +19,14 @@ Stage order (any stage is removable with ``--skip``):
                     per-cluster survivor (longest doc, ties to min id) —
                     the ``d_dedup_survivors`` policy.
 4. ``quality``    — heuristic gate: ``quality_score(text) >= min_quality``.
-5. ``classifier`` — hashed-linear-classifier gate: mean token weight > 0
-                    (the model-based tier; swap weights for a trained
-                    model with the same plan shape).
+5. ``classifier`` — model-based gate, two modes:
+                    ``hashed`` (default): deterministic md5-weight linear
+                    classifier, mean token weight > ``--clf-threshold``;
+                    ``trained``: the DCLM/fastText flow — train a hashed
+                    logistic regression on the HEURISTIC gate's labels
+                    over a deterministic pre-gate sample
+                    (``operators/classifier.py``), then gate on
+                    ``p_keep > --clf-threshold`` (default 0.5 there).
 6. ``annotate``   — lang_pred / n_tokens / quality columns (always on).
 7. ``split``      — deterministic md5-bucket split assignment.
 8. ``shard``      — stable shard id in [0, --shards).
@@ -81,7 +86,10 @@ def curate(
     docs: DataFrame,
     *,
     min_quality: float = 0.5,
-    clf_threshold: float = 0.0,
+    clf_mode: str = "hashed",
+    clf_threshold: float | None = None,
+    clf_train_fraction: float = 0.5,
+    clf_train_iters: int = 10,
     neardup_threshold: float = 0.6,
     splits: dict[str, float] | None = None,
     shards: int = 64,
@@ -95,6 +103,8 @@ def curate(
     unknown = skip - set(STAGES)
     if unknown:
         raise ValueError(f"unknown stages in --skip: {sorted(unknown)}")
+    if clf_mode not in ("hashed", "trained"):
+        raise ValueError(f"clf_mode must be 'hashed' or 'trained', got {clf_mode!r}")
 
     obs: dict[str, Observation] = {}
 
@@ -142,14 +152,39 @@ def curate(
         )
 
     d = d.withColumn("quality", text.quality_score(F.col("text")))
+
+    # trained mode learns from the heuristic gate's labels on the
+    # PRE-gate corpus (post-gate labels would be all-positive)
+    model = None
+    if "classifier" not in skip and clf_mode == "trained":
+        from .operators.classifier import train_logreg_hashed
+        from .operators.sampling import deterministic_sample
+
+        labeled = d.select(
+            "doc_id",
+            "text",
+            (F.col("quality") >= F.lit(min_quality)).cast("int").alias("label"),
+        )
+        if clf_train_fraction < 1.0:
+            labeled = deterministic_sample(labeled, "doc_id", clf_train_fraction)
+        model = train_logreg_hashed(labeled, n_iter=clf_train_iters)
+
     if "quality" not in skip:
         d = observed(d.filter(F.col("quality") >= F.lit(min_quality)), "quality")
 
     if "classifier" not in skip:
-        d = d.withColumn("clf_score", _classifier_score())
-        d = observed(
-            d.filter(F.col("clf_score") > F.lit(clf_threshold)), "classifier"
-        )
+        if clf_mode == "trained":
+            from .operators.classifier import score_with_model
+
+            d = score_with_model(d, model)
+            thr = 0.5 if clf_threshold is None else clf_threshold
+            d = observed(d.filter(F.col("p_keep") > F.lit(thr)), "classifier")
+        else:
+            d = d.withColumn("clf_score", _classifier_score())
+            thr = 0.0 if clf_threshold is None else clf_threshold
+            d = observed(
+                d.filter(F.col("clf_score") > F.lit(thr)), "classifier"
+            )
 
     # annotate (always on): downstream mixers need these columns
     d = d.withColumn("lang_pred", text.lang_id(F.col("text"))).withColumn(
@@ -183,7 +218,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--input", required=True, help="documents parquet path/dir")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--min-quality", type=float, default=0.5)
-    p.add_argument("--clf-threshold", type=float, default=0.0)
+    p.add_argument("--clf-mode", choices=("hashed", "trained"), default="hashed",
+                   help="'trained' learns a hashed logreg from the heuristic "
+                        "gate's labels and gates on p_keep")
+    p.add_argument("--clf-threshold", type=float, default=None,
+                   help="score cut (default 0.0 hashed, 0.5 trained)")
+    p.add_argument("--clf-train-fraction", type=float, default=0.5)
+    p.add_argument("--clf-train-iters", type=int, default=10)
     p.add_argument("--neardup-threshold", type=float, default=0.6)
     p.add_argument("--splits", type=_parse_splits,
                    default={"train": 0.90, "val": 0.05, "test": 0.05},
@@ -206,7 +247,10 @@ def main(argv: list[str] | None = None) -> int:
         spark,
         docs,
         min_quality=args.min_quality,
+        clf_mode=args.clf_mode,
         clf_threshold=args.clf_threshold,
+        clf_train_fraction=args.clf_train_fraction,
+        clf_train_iters=args.clf_train_iters,
         neardup_threshold=args.neardup_threshold,
         splits=args.splits,
         shards=args.shards,

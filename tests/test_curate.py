@@ -117,3 +117,26 @@ def test_curate_cli_end_to_end(spark, tmp_path, sf_dir):
     assert set(r.split for r in got.select("split").distinct().collect()) <= {
         "train", "val", "test"
     }
+
+
+def test_curate_trained_classifier_gate(spark, sf_dir):
+    """Trained mode: the model learns the heuristic gate's labels well
+    enough that its gate agrees with the heuristic on most docs."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    out, obs = cur.curate(
+        spark, docs, min_quality=0.5, clf_mode="trained",
+        clf_train_fraction=1.0, clf_train_iters=8,
+        skip=frozenset({"scrub", "exact", "neardup"}),
+    )
+    rows = out.collect()
+    stats = {k: o.get["rows"] for k, o in obs.items()}
+    assert "p_keep" in out.columns
+    # the quality gate already passed these docs (label=1 for all of
+    # them at training time), so a minimally-fit model keeps most
+    assert stats["classifier"] >= 0.8 * stats["quality"]
+    assert all(r.p_keep > 0.5 for r in rows)
+
+
+def test_curate_rejects_bad_clf_mode(spark, corpus):
+    with pytest.raises(ValueError, match="clf_mode"):
+        cur.curate(spark, corpus, clf_mode="nope")
