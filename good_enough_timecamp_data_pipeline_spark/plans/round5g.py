@@ -448,6 +448,37 @@ def s_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # s_pq_recall — ranking damage of PQ compression, measured
 # ---------------------------------------------------------------------------
 
+_PQ_CACHE: dict = {}
+
+
+def _pq_8x16(spark: SparkSession, sf_dir: str):
+    """The trained 8×16 PQ (codes, codebook) pair, once per session.
+
+    ``s_pq_recall`` and ``s_pq_rerank`` audit the SAME quantizer — the
+    expensive part is the per-subspace k-means training, identical in
+    both — so the pair is memoized per (session, sf_dir) and eagerly
+    checkpointed (the plans/shared.py discipline; a tuple of DataFrames,
+    hence a local memo instead of shared_checkpoint)."""
+    import weakref
+
+    key = (id(spark), sf_dir)
+    hit = _PQ_CACHE.get(key)
+    if hit is not None:
+        ref, pair = hit
+        if ref() is spark:
+            return pair
+        del _PQ_CACHE[key]
+    from ..operators.clustering import product_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes, codebook = product_quantize(emb, n_subspaces=8, n_centroids=16, n_iter=5)
+    pair = (
+        codes.localCheckpoint(eager=True),
+        codebook.localCheckpoint(eager=True),
+    )
+    _PQ_CACHE[key] = (weakref.ref(spark), pair)
+    return pair
+
 
 def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of PQ asymmetric distance vs exact L2 over a
@@ -462,10 +493,10 @@ def s_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank stage), never behind distortion alone. rows-only; a
     perfectly-codebook-representable corpus scores exactly 1.0 in
     tests/test_round5g.py."""
-    from ..operators.clustering import pq_recall_audit, product_quantize
+    from ..operators.clustering import pq_recall_audit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, codebook = product_quantize(emb, n_subspaces=8, n_centroids=16, n_iter=5)
+    codes, codebook = _pq_8x16(spark, sf_dir)
     return pq_recall_audit(emb, codes, codebook, query_mod=29, top_k=10)
 
 
@@ -480,8 +511,8 @@ def s_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings are PQ's worst case and need the full 20×; clustered
     corpora reach 1.0 at far smaller shortlists (tests/test_round5g).
     rows-only; recall floor asserted in tests/test_round5g.py."""
-    from ..operators.clustering import pq_rerank_audit, product_quantize
+    from ..operators.clustering import pq_rerank_audit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    codes, codebook = product_quantize(emb, n_subspaces=8, n_centroids=16, n_iter=5)
+    codes, codebook = _pq_8x16(spark, sf_dir)
     return pq_rerank_audit(emb, codes, codebook, query_mod=29, top_k=10, shortlist=200)
