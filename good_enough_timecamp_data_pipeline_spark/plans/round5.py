@@ -321,16 +321,31 @@ FROM pairs
 # g_pagerank — iterative PageRank over the part↔supplier supply graph
 # ---------------------------------------------------------------------------
 
+def part_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct part→supplier edge set from lineitem (suppliers
+    offset by 10M) — the graph both ``g_pagerank`` and ``g_kcore``
+    analyze. The distinct is a full fact-table shuffle, so the edge set
+    is a session-shared checkpoint (plans/shared.py) rather than a
+    per-entry recompute."""
+    from .shared import shared_checkpoint
+
+    def build() -> DataFrame:
+        li = load_table(spark, sf_dir, "lineitem")
+        return li.select(
+            F.col("l_partkey").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).alias("dst"),
+        ).distinct()
+
+    return shared_checkpoint(spark, sf_dir, "part_supplier_edges", build)
+
+
 def g_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the directed part→supplier graph from lineitem
     (which suppliers sit under the most supply pressure). Iterative —
     not SQL-expressible, so rows-only in the driver gate; invariants
     (mass conservation, uniform-graph degeneracy, hand-computed tiny
     graphs) are pinned in tests/test_round5.py."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_partkey").alias("src"), (F.col("l_suppkey") + 10_000_000).alias("dst")
-    ).distinct()
+    edges = part_supplier_edges(spark, sf_dir)
     return pagerank(edges, num_iter=8).orderBy(F.desc("rank"), F.asc("node")).limit(50)
 
 

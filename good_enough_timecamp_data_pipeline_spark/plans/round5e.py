@@ -417,9 +417,7 @@ def g_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem (suppliers offset by 10M, the g_pagerank convention).
     Iterative peeling — not single-statement SQL, so rows-only in the
     gate; brute-force references live in tests/test_round5e.py."""
-    li = load_table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_partkey").alias("src"),
-        (F.col("l_suppkey") + 10_000_000).alias("dst"),
-    ).distinct()
+    from .round5 import part_supplier_edges
+
+    edges = part_supplier_edges(spark, sf_dir)
     return kcore(edges, k=KCORE_K).orderBy("node")
