@@ -18,6 +18,15 @@ Stage order (any stage is removable with ``--skip``):
 3. ``neardup``    — MinHash-LSH verified pairs → connected components →
                     per-cluster survivor (longest doc, ties to min id) —
                     the ``d_dedup_survivors`` policy.
+
+**Incremental mode** (``--corpus``): curate a NEW batch against an
+already-curated corpus. The within-batch stages run unchanged; in
+addition the ``exact`` stage anti-joins the batch against the corpus'
+content hashes, and the ``neardup`` stage probes the corpus' write-once
+LSH index (``operators/dedup.py::build_lsh_index_cached`` +
+``incremental_lsh_pairs``) — per-batch cost is O(batch), never
+O(corpus), which is the only shape a continuously-growing corpus
+affords. The output is the append candidate set.
 4. ``quality``    — heuristic gate: ``quality_score(text) >= min_quality``.
 5. ``classifier`` — model-based gate, two modes:
                     ``hashed`` (default): deterministic md5-weight linear
@@ -67,6 +76,26 @@ EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 URL_RE = "https?://[^ ]+"
 
 
+class _CachedCount:
+    """Observation-shaped counter over a persisted stage frame: ``get``
+    returns ``{"rows": n}`` like ``pyspark.sql.Observation.get`` so the
+    stats code is mode-agnostic. The count runs at read time against the
+    cached blocks (the frame is always materialized by then — the output
+    write consumed it)."""
+
+    def __init__(self, df: DataFrame) -> None:
+        from pyspark.storagelevel import StorageLevel
+
+        self.df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        self._n: int | None = None
+
+    @property
+    def get(self) -> dict:
+        if self._n is None:
+            self._n = self.df.count()
+        return {"rows": self._n}
+
+
 def _classifier_score() -> F.Column:
     """Mean hashed-bucket token weight in [-1, 1] (t_hashed_classifier)."""
     from .plans.round5d import _weight_expr
@@ -94,6 +123,8 @@ def curate(
     splits: dict[str, float] | None = None,
     shards: int = 64,
     skip: frozenset[str] = frozenset(),
+    corpus: DataFrame | None = None,
+    lsh_cache_key: str | None = None,
 ) -> tuple[DataFrame, dict[str, Observation]]:
     """Compose the curation plan over ``docs`` (doc_id, text, ...).
 
@@ -109,6 +140,19 @@ def curate(
     obs: dict[str, Observation] = {}
 
     def observed(df: DataFrame, stage: str) -> DataFrame:
+        if corpus is not None:
+            # incremental mode: the LSH probe's iterative internals
+            # (pinned shingle sets, label propagation's per-round
+            # actions and local checkpoints) execute the stage subtrees
+            # outside one clean query, which breaks df.observe (metrics
+            # nodes re-execute or fire through RDD actions and report
+            # empty rows). The batch is O(new docs) — small by
+            # definition — so each stage persists and the counter reads
+            # the cache lazily instead; downstream stages reuse the
+            # same cached frame, so nothing recomputes.
+            c = _CachedCount(df)
+            obs[stage] = c
+            return c.df
         o = Observation(f"curate_{stage}")
         obs[stage] = o
         return df.observe(o, F.count(F.lit(1)).alias("rows"))
@@ -126,6 +170,14 @@ def curate(
     if "exact" not in skip:
         winners = exact_dedup(d).select(F.col("winner_id").alias("doc_id"))
         d = observed(d.join(winners, "doc_id", "left_semi"), "exact")
+        if corpus is not None:
+            seen = corpus.select(F.md5("text").alias("__h")).distinct()
+            d = observed(
+                d.withColumn("__h", F.md5("text"))
+                .join(seen, "__h", "left_anti")
+                .drop("__h"),
+                "exact_vs_corpus",
+            )
 
     if "neardup" not in skip:
         pairs = minhash_lsh_pairs(d, threshold=neardup_threshold)
@@ -150,6 +202,31 @@ def curate(
             .drop("__cluster", "__rk"),
             "neardup",
         )
+        if corpus is not None:
+            from .operators.dedup import (
+                build_lsh_index,
+                build_lsh_index_cached,
+                incremental_lsh_pairs,
+            )
+
+            # d is already persisted by this stage's _CachedCount — the
+            # probe (shingle input) and the anti-join's left side read
+            # the same cached blocks instead of re-running the batch
+            # pipeline per consumer
+
+            # probe the corpus' write-once index; without a cache key
+            # the index is derived in-session (one corpus pass)
+            if lsh_cache_key is not None:
+                index = build_lsh_index_cached(spark, corpus, lsh_cache_key)
+            else:
+                index = build_lsh_index(corpus)
+            cross = incremental_lsh_pairs(
+                d, index=index, threshold=neardup_threshold
+            )
+            dup_new = cross.select(F.col("id_new").alias("doc_id")).distinct()
+            d = observed(
+                d.join(dup_new, "doc_id", "left_anti"), "neardup_vs_corpus"
+            )
 
     d = d.withColumn("quality", text.quality_score(F.col("text")))
 
@@ -232,6 +309,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--shards", type=int, default=64)
     p.add_argument("--skip", default="",
                    help=f"comma list of stages to skip (of {','.join(STAGES)})")
+    p.add_argument("--corpus", default=None,
+                   help="parquet path of an already-curated corpus: "
+                        "incremental mode — the batch is also deduped "
+                        "against the corpus (exact + LSH probe)")
+    p.add_argument("--corpus-key", default=None,
+                   help="stable fingerprint of --corpus for the write-once "
+                        "LSH index cache (default: derived from path+mtime)")
     return p.parse_args(argv)
 
 
@@ -243,6 +327,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("curate")
     docs = spark.read.parquet(args.input)
+    corpus = None
+    corpus_key = None
+    if args.corpus is not None:
+        corpus = spark.read.parquet(args.corpus)
+        corpus_key = args.corpus_key
+        if corpus_key is None:
+            # path + latest mtime: stable across re-probes of the same
+            # corpus version, invalidated when the corpus is rewritten
+            mt = int(os.path.getmtime(args.corpus))
+            corpus_key = f"{os.path.abspath(args.corpus)}@{mt}"
     curated, obs = curate(
         spark,
         docs,
@@ -255,6 +349,8 @@ def main(argv: list[str] | None = None) -> int:
         splits=args.splits,
         shards=args.shards,
         skip=skip,
+        corpus=corpus,
+        lsh_cache_key=corpus_key,
     )
 
     out_docs = os.path.join(args.output, "docs")

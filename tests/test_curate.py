@@ -140,3 +140,67 @@ def test_curate_trained_classifier_gate(spark, sf_dir):
 def test_curate_rejects_bad_clf_mode(spark, corpus):
     with pytest.raises(ValueError, match="clf_mode"):
         cur.curate(spark, corpus, clf_mode="nope")
+
+
+def test_curate_incremental_against_corpus(spark):
+    """Incremental mode: batch docs already in (or near) the corpus are
+    dropped; genuinely new docs survive."""
+    corp_a = ("the quick brown fox jumps over the lazy dog and then runs "
+              "far away into the deep green forest to find calm water and "
+              "rest for a while before the long journey home through hills")
+    corp_b = ("steam engines changed the shape of industry and the people "
+              "who built them worked across many countries with great "
+              "effort and care during the early era of mechanical power")
+    corpus = spark.createDataFrame(
+        [(1, corp_a), (2, corp_b)], "doc_id long, text string"
+    )
+    fresh = ("a completely new treatise about gardens and the quiet art "
+             "of growing tomatoes beans and flowers through the seasons "
+             "with patience water sunshine and a little bit of luck")
+    batch = spark.createDataFrame(
+        [
+            (101, corp_a),                                    # exact dup of corpus
+            (102, corp_b.replace("great effort", "huge effort")),  # near dup
+            (103, fresh),                                     # genuinely new
+        ],
+        "doc_id long, text string",
+    )
+    out, obs = cur.curate(
+        spark, batch, min_quality=0.0, neardup_threshold=0.5,
+        skip=frozenset({"classifier", "quality", "scrub"}),
+        corpus=corpus,
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    stats = {k: o.get["rows"] for k, o in obs.items()}
+    assert kept == [103]
+    assert stats["input"] == 3
+    assert stats["exact_vs_corpus"] == 2      # 101 dropped
+    assert stats["neardup_vs_corpus"] == 1    # 102 dropped
+    assert stats["output"] == 1
+
+
+def test_curate_incremental_cached_index(spark, tmp_path):
+    """The cached-index path probes the same pairs as the in-session
+    index and is idempotent across calls."""
+    corp = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega and some more words to pad the shingle set out")
+    corpus = spark.createDataFrame([(1, corp)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(201, corp.replace("pad", "fill")), (202, "totally unrelated words "
+          "about cooking pasta with garlic olive oil and fresh basil "
+          "leaves picked from the garden just before dinner was served")],
+        "doc_id long, text string",
+    )
+    import good_enough_timecamp_data_pipeline_spark.operators.dedup as dd
+
+    kept = []
+    for _ in range(2):  # second call must hit the on-disk artifact
+        out, _ = cur.curate(
+            spark, batch, min_quality=0.0, neardup_threshold=0.5,
+            skip=frozenset({"classifier", "quality", "scrub"}),
+            corpus=corpus,
+            lsh_cache_key="test_curate_incr_v1",
+        )
+        kept.append(sorted(r.doc_id for r in out.collect()))
+    assert kept[0] == kept[1] == [202]
