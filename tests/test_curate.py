@@ -204,3 +204,38 @@ def test_curate_incremental_cached_index(spark, tmp_path):
         )
         kept.append(sorted(r.doc_id for r in out.collect()))
     assert kept[0] == kept[1] == [202]
+
+
+def test_curate_cli_incremental(spark, tmp_path):
+    """CLI incremental flow: land a corpus, curate a delta batch against
+    it, and check the cross-corpus stages appear in stats.json."""
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water and "
+            "rest for a while before the long journey home through hills")
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, corp)], "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    batch_path = str(tmp_path / "batch")
+    fresh = ("a brand new essay on the craft of baking bread with flour "
+             "water salt and patience where the slow rise of the dough "
+             "rewards the baker who waits for the oven to warm through")
+    spark.createDataFrame(
+        [(101, corp), (102, fresh)], "doc_id long, text string"
+    ).write.parquet(batch_path)
+
+    out_dir = str(tmp_path / "delta")
+    rc = cur.main([
+        "--input", batch_path,
+        "--output", out_dir,
+        "--corpus", corpus_path,
+        "--min-quality", "0.0",
+        "--skip", "classifier,quality",
+    ])
+    assert rc == 0
+    stats = json.load(open(os.path.join(out_dir, "stats.json")))
+    assert stats["input"] == 2
+    assert stats["exact_vs_corpus"] == 1   # the corpus copy dropped
+    assert stats["output"] == 1
+    got = spark.read.parquet(os.path.join(out_dir, "docs"))
+    assert [r.doc_id for r in got.collect()] == [102]
