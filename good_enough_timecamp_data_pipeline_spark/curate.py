@@ -278,6 +278,26 @@ def curate(
     return observed(d, "output"), obs
 
 
+def profile_curated(df: DataFrame) -> DataFrame:
+    """One-pass (split, lang) profile of a curated corpus: doc/token
+    counts, quality moments, token-length spread — the acceptance report
+    a curator reads before shipping. Single hash aggregation over the
+    output; group count is bounded by splits × languages."""
+    keys = [c for c in ("split", "lang_pred") if c in df.columns]
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.round(F.avg("n_tokens"), 2).alias("mean_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy(*keys)
+    )
+
+
 def _parse_splits(raw: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for part in raw.split(","):
@@ -316,6 +336,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--corpus-key", default=None,
                    help="stable fingerprint of --corpus for the write-once "
                         "LSH index cache (default: derived from path+mtime)")
+    p.add_argument("--profile", action="store_true",
+                   help="also write a (split, lang) acceptance profile "
+                        "of the curated output to <output>/profile.json")
     return p.parse_args(argv)
 
 
@@ -363,6 +386,12 @@ def main(argv: list[str] | None = None) -> int:
     stats["output_path"] = out_docs
     with open(os.path.join(args.output, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
+    if args.profile:
+        prof = [
+            r.asDict() for r in profile_curated(spark.read.parquet(out_docs)).collect()
+        ]
+        with open(os.path.join(args.output, "profile.json"), "w") as f:
+            json.dump(prof, f, indent=1)
     print(json.dumps(stats))
     return 0
 

@@ -239,3 +239,22 @@ def test_curate_cli_incremental(spark, tmp_path):
     assert stats["output"] == 1
     got = spark.read.parquet(os.path.join(out_dir, "docs"))
     assert [r.doc_id for r in got.collect()] == [102]
+
+
+def test_curate_cli_profile(spark, tmp_path, sf_dir):
+    out_dir = str(tmp_path / "curated_prof")
+    rc = cur.main([
+        "--input", os.path.join(sf_dir, "documents.parquet"),
+        "--output", out_dir,
+        "--min-quality", "0.3",
+        "--skip", "classifier,neardup",
+        "--profile",
+    ])
+    assert rc == 0
+    prof = json.load(open(os.path.join(out_dir, "profile.json")))
+    stats = json.load(open(os.path.join(out_dir, "stats.json")))
+    assert prof and all(
+        {"split", "lang_pred", "n_docs", "total_tokens",
+         "mean_quality"} <= set(p) for p in prof
+    )
+    assert sum(p["n_docs"] for p in prof) == stats["output"]
