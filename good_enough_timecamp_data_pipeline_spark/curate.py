@@ -278,6 +278,93 @@ def curate(
     return observed(d, "output"), obs
 
 
+def curate_stream(
+    spark: SparkSession,
+    feed_dir: str,
+    corpus_path: str,
+    output_dir: str,
+    *,
+    lsh_cache_key: str | None = None,
+    checkpoint_dir: str | None = None,
+    **curate_kwargs,
+) -> str:
+    """Continuous curation: arriving document micro-batches are curated
+    INCREMENTALLY against a fixed curated corpus and appended to
+    ``output_dir``/docs. Returns that path after draining the feed.
+
+    Shape (the ``streaming_incremental_dedup`` discipline, extended to
+    the full pipeline): the corpus' LSH index is write-once
+    (``lsh_cache_key``); each ``foreachBatch`` runs the batch pipeline +
+    corpus probe at O(batch) cost, then also drops exact copies of docs
+    ACCEPTED from earlier micro-batches (content-hash anti-join against
+    the landed output — hashes, never shingles, so the growing output
+    costs one narrow scan). Cross-arrival NEAR-dups are deliberately out
+    of scope per micro-batch — the production pattern is periodic index
+    compaction (rebuild the corpus index to absorb accepted docs), not
+    per-batch index mutation.
+
+    Idempotence under replay: each batch lands at ``docs/batch=<id>``
+    with overwrite, so a crash between sink write and checkpoint commit
+    re-emits the same partition instead of duplicating it (the
+    epoch-keyed sink pattern from the streaming timecamp source tests).
+    """
+    import glob as _glob
+    import tempfile
+
+    feed_schema = spark.read.parquet(feed_dir).schema
+    stream = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    out_docs = os.path.join(output_dir, "docs")
+    stats_dir = os.path.join(output_dir, "stats")
+    os.makedirs(stats_dir, exist_ok=True)
+
+    def one_batch(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        corp = sess.read.parquet(corpus_path)
+        out, obs = curate(
+            sess, batch, corpus=corp, lsh_cache_key=lsh_cache_key, **curate_kwargs
+        )
+        if _glob.glob(os.path.join(out_docs, "batch=*", "*.parquet")):
+            accepted = (
+                sess.read.parquet(out_docs)
+                .select(F.md5("text").alias("__h"))
+                .distinct()
+            )
+            out = (
+                out.withColumn("__h", F.md5("text"))
+                .join(accepted, "__h", "left_anti")
+                .drop("__h")
+            )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_docs, f"batch={batch_id}")
+        )
+        stats = {k: o.get["rows"] for k, o in obs.items()}
+        with open(os.path.join(stats_dir, f"batch_{batch_id}.json"), "w") as f:
+            json.dump(stats, f)
+
+    ckpt_ctx = (
+        tempfile.TemporaryDirectory() if checkpoint_dir is None else None
+    )
+    ckpt = checkpoint_dir if checkpoint_dir is not None else ckpt_ctx.name
+    try:
+        q = (
+            stream.writeStream.foreachBatch(one_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if ckpt_ctx is not None:
+            ckpt_ctx.cleanup()
+    return out_docs
+
+
 def profile_curated(df: DataFrame) -> DataFrame:
     """One-pass (split, lang) profile of a curated corpus: doc/token
     counts, quality moments, token-length spread — the acceptance report

@@ -258,3 +258,55 @@ def test_curate_cli_profile(spark, tmp_path, sf_dir):
          "mean_quality"} <= set(p) for p in prof
     )
     assert sum(p["n_docs"] for p in prof) == stats["output"]
+
+
+def test_curate_stream_continuous(spark, tmp_path):
+    """Streaming curation: per-micro-batch incremental curation against
+    the corpus, plus exact dedup against previously ACCEPTED arrivals."""
+    import glob
+    import shutil
+
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water and "
+            "rest for a while before the long journey home through hills")
+    fresh_b = ("an essay on kites and the wind that carries them over the "
+               "beach where children run with string in hand while gulls "
+               "wheel above the waves in the bright light of afternoon")
+    fresh_c = ("notes about the night sky and the slow wheel of stars "
+               "that turns above the sleeping town while the lighthouse "
+               "blinks its patient code out across the dark water")
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame([(1, corp)], "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def land(batch_rows, name):
+        staging = str(tmp_path / f"staging_{name}")
+        spark.createDataFrame(
+            batch_rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.move(part, str(feed / f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    land([(101, corp), (102, fresh_b)], "b0")          # 101 = corpus dup
+    land([(201, fresh_b), (202, fresh_c)], "b1")       # 201 = dup of accepted 102
+
+    out_dir = str(tmp_path / "stream_out")
+    out_docs = cur.curate_stream(
+        spark, str(feed), corpus_path, out_dir,
+        min_quality=0.0,
+        skip=frozenset({"classifier", "quality", "scrub"}),
+    )
+    got = spark.read.parquet(out_docs)
+    kept = sorted(r.doc_id for r in got.collect())
+    assert kept == [102, 202]
+    stats0 = json.load(open(os.path.join(out_dir, "stats", "batch_0.json")))
+    assert stats0["input"] == 2 and stats0["exact_vs_corpus"] == 1
+    # per-batch partition dirs exist (the replay-idempotent sink layout)
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(out_docs, "batch=*"))
+    ) == ["batch=0", "batch=1"]
