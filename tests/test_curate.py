@@ -310,3 +310,55 @@ def test_curate_stream_continuous(spark, tmp_path):
     assert sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(out_docs, "batch=*"))
     ) == ["batch=0", "batch=1"]
+
+
+def test_curate_stream_restart_resumes(spark, tmp_path):
+    """Restart with the same checkpoint: already-processed feed files
+    are not re-emitted; new arrivals land as the next batch id."""
+    import glob
+    import shutil
+
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water and "
+            "rest for a while before the long journey home through hills")
+    doc_b = ("a pocket guide to rivers and the stones they polish on the "
+             "way down from the mountains to the sea through valleys and "
+             "quiet farmland where herons stand and watch the current")
+    doc_c = ("a short history of bicycles and the roads they opened for "
+             "people who had never traveled past the edge of their own "
+             "village before the wheel made the horizon reachable")
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame([(1, corp)], "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def land(batch_rows, name):
+        staging = str(tmp_path / f"staging_{name}")
+        spark.createDataFrame(
+            batch_rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.move(part, str(feed / f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    common = dict(min_quality=0.0,
+                  skip=frozenset({"classifier", "quality", "scrub"}))
+
+    land([(11, doc_b)], "b0")
+    out_docs = cur.curate_stream(
+        spark, str(feed), corpus_path, out_dir, checkpoint_dir=ckpt, **common
+    )
+    first = sorted(r.doc_id for r in spark.read.parquet(out_docs).collect())
+    assert first == [11]
+
+    land([(12, doc_c)], "b1")
+    cur.curate_stream(
+        spark, str(feed), corpus_path, out_dir, checkpoint_dir=ckpt, **common
+    )
+    rows = spark.read.parquet(out_docs).collect()
+    assert sorted(r.doc_id for r in rows) == [11, 12]  # no dup, no loss
+    assert {r.batch for r in rows} == {0, 1}
