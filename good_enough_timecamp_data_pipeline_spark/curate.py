@@ -365,6 +365,41 @@ def curate_stream(
     return out_docs
 
 
+def compact_index(
+    spark: SparkSession,
+    corpus_path: str,
+    accepted_path: str,
+    compacted_path: str,
+    *,
+    lsh_cache_key: str,
+) -> str:
+    """Periodic index compaction: fold stream-accepted docs back into
+    the corpus and build the NEXT write-once LSH index over the union.
+
+    This is the second half of the ``curate_stream`` contract — the
+    stream probes a FIXED index (O(batch) arrivals), and compaction runs
+    on a schedule: land corpus ∪ accepted as the new corpus generation,
+    then build its index under a NEW cache key (the key is the corpus
+    fingerprint, so the old artifact is never silently reused — the
+    `_LSH_INDEX_FORMAT` discipline applied to data versions). After
+    compaction the stream's cross-arrival near-dup blind spot closes for
+    everything accepted before the compaction point.
+
+    Returns ``compacted_path``; the caller restarts the stream with
+    ``corpus_path=compacted_path`` and the new key."""
+    from .operators.dedup import build_lsh_index_cached
+
+    corp = spark.read.parquet(corpus_path).select("doc_id", "text")
+    acc = spark.read.parquet(accepted_path).select("doc_id", "text")
+    merged = corp.unionByName(acc)
+    merged.write.mode("overwrite").parquet(compacted_path)
+    # build from the LANDED generation (not the in-memory union) so the
+    # artifact provably matches what the next stream run reads
+    landed = spark.read.parquet(compacted_path)
+    build_lsh_index_cached(spark, landed, lsh_cache_key)
+    return compacted_path
+
+
 def profile_curated(df: DataFrame) -> DataFrame:
     """One-pass (split, lang) profile of a curated corpus: doc/token
     counts, quality moments, token-length spread — the acceptance report

@@ -362,3 +362,47 @@ def test_curate_stream_restart_resumes(spark, tmp_path):
     rows = spark.read.parquet(out_docs).collect()
     assert sorted(r.doc_id for r in rows) == [11, 12]  # no dup, no loss
     assert {r.batch for r in rows} == {0, 1}
+
+
+def test_compact_index_closes_cross_arrival_blind_spot(spark, tmp_path):
+    """After compaction, a near-dup of a STREAM-ACCEPTED doc (invisible
+    to the original corpus index) is caught by the next generation."""
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water and "
+            "rest for a while before the long journey home through hills")
+    accepted = ("a pocket guide to rivers and the stones they polish on "
+                "the way down from the mountains to the sea through green "
+                "valleys and quiet farmland where herons watch the water")
+    corpus_path = str(tmp_path / "corpus")
+    accepted_path = str(tmp_path / "accepted")
+    spark.createDataFrame([(1, corp)], "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    spark.createDataFrame(
+        [(101, accepted)], "doc_id long, text string"
+    ).write.parquet(accepted_path)
+
+    compacted = cur.compact_index(
+        spark, corpus_path, accepted_path, str(tmp_path / "gen2"),
+        lsh_cache_key="test_compact_gen2",
+    )
+    # probe a near-dup of the ACCEPTED doc against the new generation
+    batch = spark.createDataFrame(
+        [(201, accepted.replace("quiet farmland", "still farmland"))],
+        "doc_id long, text string",
+    )
+    out, obs = cur.curate(
+        spark, batch, min_quality=0.0, neardup_threshold=0.5,
+        skip=frozenset({"classifier", "quality", "scrub"}),
+        corpus=spark.read.parquet(compacted),
+        lsh_cache_key="test_compact_gen2",
+    )
+    assert out.collect() == []
+    assert obs["neardup_vs_corpus"].get["rows"] == 0
+    # the old corpus index alone would NOT have caught it
+    out_old, _ = cur.curate(
+        spark, batch, min_quality=0.0, neardup_threshold=0.5,
+        skip=frozenset({"classifier", "quality", "scrub"}),
+        corpus=spark.read.parquet(corpus_path),
+    )
+    assert [r.doc_id for r in out_old.collect()] == [201]
