@@ -71,6 +71,8 @@ from .operators.sampling import hash_bucket, hash_split
 
 STAGES = ("scrub", "exact", "neardup", "quality", "classifier", "split", "shard")
 
+_RUN_SEQ = __import__("itertools").count()
+
 # RE2-compatible, identical to the t_scrub_pii catalog entry
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 URL_RE = "https?://[^ ]+"
@@ -93,6 +95,40 @@ class _CachedCount:
     def get(self) -> dict:
         if self._n is None:
             self._n = self.df.count()
+        return {"rows": self._n}
+
+
+class _StageCounter:
+    """``df.observe`` counter with a deterministic recount fallback.
+
+    The observation fills for free on the output write (no extra pass —
+    the primary path). But when the neardup stage's iterative internals
+    (pinned shingle sets, label propagation's per-round counts and local
+    checkpoints) execute the observed subtree through their own actions,
+    Spark can leave the metrics row EMPTY for upstream observations
+    (seen as ``Some([])`` / a toPyRow assertion). Every stage plan here
+    is deterministic, so the fallback — re-counting the stage frame — is
+    exact; it costs one narrow pass and only runs on the degraded path."""
+
+    def __init__(self, df: DataFrame, name: str) -> None:
+        self._o = Observation(name)
+        self.df = df.observe(self._o, F.count(F.lit(1)).alias("rows"))
+        self._n: int | None = None
+
+    @property
+    def get(self) -> dict:
+        if self._n is None:
+            # non-blocking probe: Observation.get WAITS forever on a
+            # never-filled observation, so inspect the underlying row
+            # option instead and recount when it is absent or empty
+            try:
+                opt = self._o._jo.getRowOrEmpty()
+                if opt.isDefined() and opt.get().length() > 0:
+                    self._n = int(opt.get().getLong(0))
+            except Exception:
+                self._n = None
+            if self._n is None:
+                self._n = self.df.count()
         return {"rows": self._n}
 
 
@@ -138,6 +174,11 @@ def curate(
         raise ValueError(f"clf_mode must be 'hashed' or 'trained', got {clf_mode!r}")
 
     obs: dict[str, Observation] = {}
+    # metric names must be unique per QUERY, and a composed plan can
+    # contain a previous curate() call's CollectMetrics nodes in its
+    # lineage (e.g. re-curating a curated frame) — suffix every name
+    # with a per-invocation sequence number
+    run_seq = next(_RUN_SEQ)
 
     def observed(df: DataFrame, stage: str) -> DataFrame:
         if corpus is not None:
@@ -153,9 +194,9 @@ def curate(
             c = _CachedCount(df)
             obs[stage] = c
             return c.df
-        o = Observation(f"curate_{stage}")
-        obs[stage] = o
-        return df.observe(o, F.count(F.lit(1)).alias("rows"))
+        sc = _StageCounter(df, f"curate_{stage}_{run_seq}")
+        obs[stage] = sc
+        return sc.df
 
     d = observed(fan_out_scan(docs, "doc_id"), "input")
 

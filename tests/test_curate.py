@@ -406,3 +406,24 @@ def test_compact_index_closes_cross_arrival_blind_spot(spark, tmp_path):
         corpus=spark.read.parquet(corpus_path),
     )
     assert [r.doc_id for r in out_old.collect()] == [201]
+
+
+def test_curate_idempotent_on_own_output(spark, sf_dir, tmp_path):
+    """Curating an already-curated corpus is the identity: no stage may
+    drop anything the pipeline itself produced. (The re-run reads the
+    LANDED output, the production shape — re-curation starts from
+    storage, not from a live lineage of the first pipeline.)"""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    once, _ = cur.curate(spark, docs, min_quality=0.3,
+                         skip=frozenset({"classifier"}))
+    landed = str(tmp_path / "once")
+    once.select("doc_id", "text").write.parquet(landed)
+    base = spark.read.parquet(landed)
+    twice, obs = cur.curate(spark, base, min_quality=0.3,
+                            skip=frozenset({"classifier"}))
+    stats = {k: o.get["rows"] for k, o in obs.items()}
+    assert stats["input"] == stats["exact"] == stats["neardup"] \
+        == stats["quality"] == stats["output"]
+    a = sorted(r.doc_id for r in base.collect())
+    b = sorted(r.doc_id for r in twice.collect())
+    assert a == b
