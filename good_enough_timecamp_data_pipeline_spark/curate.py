@@ -56,6 +56,7 @@ verifies against the DuckDB oracle.
 from __future__ import annotations
 
 import argparse
+import itertools
 import json
 import os
 import sys
@@ -71,7 +72,7 @@ from .operators.sampling import hash_bucket, hash_split
 
 STAGES = ("scrub", "exact", "neardup", "quality", "classifier", "split", "shard")
 
-_RUN_SEQ = __import__("itertools").count()
+_RUN_SEQ = itertools.count()
 
 # RE2-compatible, identical to the t_scrub_pii catalog entry
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
