@@ -503,6 +503,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--profile", action="store_true",
                    help="also write a (split, lang) acceptance profile "
                         "of the curated output to <output>/profile.json")
+    p.add_argument("--compact", action="store_true",
+                   help="compaction mode: fold --input (accepted docs) "
+                        "into --corpus, land the union at --output, and "
+                        "build its write-once LSH index under "
+                        "--corpus-key (required)")
     return p.parse_args(argv)
 
 
@@ -513,6 +518,16 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark("curate")
+    if args.compact:
+        if args.corpus is None or args.corpus_key is None:
+            print("--compact requires --corpus and --corpus-key", file=sys.stderr)
+            return 2
+        path = compact_index(
+            spark, args.corpus, args.input, args.output,
+            lsh_cache_key=args.corpus_key,
+        )
+        print(json.dumps({"compacted_path": path, "corpus_key": args.corpus_key}))
+        return 0
     docs = spark.read.parquet(args.input)
     corpus = None
     corpus_key = None

@@ -427,3 +427,31 @@ def test_curate_idempotent_on_own_output(spark, sf_dir, tmp_path):
     a = sorted(r.doc_id for r in base.collect())
     b = sorted(r.doc_id for r in twice.collect())
     assert a == b
+
+
+def test_curate_cli_compact(spark, tmp_path):
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water")
+    acc = ("notes about the night sky and the slow wheel of stars that "
+           "turns above the sleeping town while the lighthouse blinks")
+    corpus_path = str(tmp_path / "c")
+    accepted_path = str(tmp_path / "a")
+    spark.createDataFrame([(1, corp)], "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    spark.createDataFrame([(2, acc)], "doc_id long, text string").write.parquet(
+        accepted_path
+    )
+    out = str(tmp_path / "gen2")
+    rc = cur.main([
+        "--compact",
+        "--input", accepted_path,
+        "--corpus", corpus_path,
+        "--corpus-key", "test_cli_compact_v1",
+        "--output", out,
+    ])
+    assert rc == 0
+    assert spark.read.parquet(out).count() == 2
+    # missing key is a usage error
+    assert cur.main(["--compact", "--input", accepted_path,
+                     "--corpus", corpus_path, "--output", out]) == 2
