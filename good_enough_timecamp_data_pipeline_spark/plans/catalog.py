@@ -113,6 +113,11 @@ QUERY_CONF.update(
             "a_stats_minmax",
             "q_shipping_priority",
             "w_pareto_share",
+            # the scored-corpus build (shared first consumer): 1M-token
+            # interpreted md5 fold ≈ 2.4 s vs ≈ 0.3 s compiled (round-8
+            # clean-window A/B); the Janino+JIT cost lands in the shape
+            # warm-up
+            "t_hashed_classifier",
         )
     }
 )
@@ -173,19 +178,25 @@ WARMUP_QUERIES = (
 # are "pre-warmed" by construction). Without this the first execution of
 # each md5/HOF-heavy generated class runs interpreted over ~1M rows:
 # measured t_dsir_weights 3.6→2.0 s, s_cosine_neardup 2.3→0.9 s.
-# Members = every twin that measured ≥1 s in the quiet-window baseline.
+# Members = every twin that measured ≥~0.8 s in the quiet-window
+# baseline (round-8 clean-window re-measure added t_hashed_classifier —
+# now the scored-corpus first consumer — plus the 0.8-0.9 s band:
+# x_profile, a_gini, s_cosine_topk, t_seq_pack).
 SHAPE_WARMUP = (
-    "a_ks_test", "a_mad_outliers", "a_weighted_quantile", "d_cc_clusters",
+    "a_gini", "a_ks_test", "a_mad_outliers", "a_weighted_quantile",
+    "d_cc_clusters",
     "d_containment", "d_dedup_survivors", "d_incremental_dedup",
     "d_lsh_quality", "d_minhash_lsh", "d_ngram_jaccard", "d_simhash_pairs",
     "d_threshold_curve", "e_peak_concurrency", "g_triangle_count",
     "h_breadcrumb_levels", "h_closure_pairs", "report_project_budget",
-    "report_task_budget", "s_cosine_neardup", "t_bm25_topk",
+    "report_task_budget", "s_cosine_neardup", "s_cosine_topk", "t_bm25_topk",
     "t_ccnet_buckets", "t_calibration_bins", "t_cooccurrence_lift",
-    "t_corpus_prep", "t_dsir_resample", "t_dsir_weights", "t_line_dedup",
-    "t_lm_perplexity", "t_ngram_novelty", "t_repetition", "t_simhash",
+    "t_corpus_prep", "t_dsir_resample", "t_dsir_weights",
+    "t_hashed_classifier", "t_line_dedup",
+    "t_lm_perplexity", "t_ngram_novelty", "t_repetition", "t_seq_pack",
+    "t_simhash",
     "t_token_kl_drift", "w_pareto_share", "x_geo_knn", "x_ordered_paths",
-    "x_range_join_bucketed",
+    "x_profile", "x_range_join_bucketed",
 )
 
 

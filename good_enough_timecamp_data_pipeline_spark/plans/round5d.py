@@ -76,6 +76,22 @@ def _weight_table() -> list[int]:
 
 _WEIGHTS = _weight_table()
 
+# The V=1024 literal array Column is built ONCE per process: each
+# F.lit() is a Py4J round-trip, so constructing it inside every
+# _weight_expr call put ~1-2 s of pure driver chatter into every fresh
+# classifier plan (the r7 "cached Column lists" lesson). A Column is a
+# reusable expression wrapper — safe to share across plans and sessions
+# in one process.
+_WEIGHT_ARRAY_COL: list = []
+
+
+def _weight_array_col() -> F.Column:
+    if not _WEIGHT_ARRAY_COL:
+        _WEIGHT_ARRAY_COL.append(
+            F.array(*[F.lit(w).cast("long") for w in _WEIGHTS])
+        )
+    return _WEIGHT_ARRAY_COL[0]
+
 
 def _weight_expr(tok) -> F.Column:
     """Deterministic per-bucket weight in [-1000, 1000]: md5('w' || bucket),
@@ -85,13 +101,11 @@ def _weight_expr(tok) -> F.Column:
     Spark's partition-local accumulation order and break the oracle)."""
     b = _bucket_expr(tok)
     # CreateArray of literals constant-folds to one Literal array; 1-based
-    return F.element_at(
-        F.array(*[F.lit(w).cast("long") for w in _WEIGHTS]), b.cast("int") + 1
-    )
+    return F.element_at(_weight_array_col(), b.cast("int") + 1)
 
 
 def docs_hash_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, text, n_tokens, score_raw) — ONE hashed-classifier
+    """(doc_id, n_tokens, score_raw, quality) — ONE hashed-classifier
     inference pass over the corpus as a session-shared checkpoint.
 
     The per-token md5 fold is the heaviest narrow compute in the
@@ -99,9 +113,14 @@ def docs_hash_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ``t_calibration_bins``'s reliability bins); in production the
     scored corpus is a materialized table every downstream gate reads,
     not a per-query recompute (the ``docs_alpha_toks`` discipline,
-    extensions.py). Both oracle twins still re-derive the scores from
-    raw text inside their own SQL."""
+    extensions.py). The artifact carries the DERIVED ``quality`` score
+    (what the calibration label needs) instead of the raw text — the
+    checkpoint is then four numeric columns, and materialization stops
+    paying to serialize the corpus body (measured 2.4 → 0.5 s at
+    sf0.1). Both oracle twins still re-derive everything from raw text
+    inside their own SQL."""
     from ..operators.layout import fan_out_scan
+    from ..operators.text import quality_score
     from .shared import shared_checkpoint
 
     def build() -> DataFrame:
@@ -121,9 +140,9 @@ def docs_hash_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return d.select(
             "doc_id",
-            "text",
             F.size("__toks").cast("int").alias("n_tokens"),
             score_raw.alias("score_raw"),
+            quality_score(F.col("text")).alias("quality"),
         )
 
     return shared_checkpoint(spark, sf_dir, "docs_hash_scored", build)

@@ -61,9 +61,10 @@ def t_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     it (operand order mirrored in the SQL twin, so the IEEE doubles and
     hence the boundary comparisons agree engine-to-engine).
 
-    The per-doc (n_tokens, score_raw) inference pass is the session-
-    shared scored corpus (`round5d.docs_hash_scored`) — the md5-per-token
-    fold runs once per session, not once per consumer entry."""
+    The per-doc (n_tokens, score_raw, quality) inference pass is the
+    session-shared scored corpus (`round5d.docs_hash_scored`) — the
+    md5-per-token fold and the quality heuristic run once per session,
+    not once per consumer entry."""
     from .round5d import docs_hash_scored
 
     d = docs_hash_scored(spark, sf_dir)
@@ -73,7 +74,7 @@ def t_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_toks > 0,
         score_raw.cast("double") / (n_toks.cast("double") * 1000.0),
     ).otherwise(F.lit(0.0))
-    label = (text.quality_score(F.col("text")) >= 0.6).cast("int")
+    label = (F.col("quality") >= 0.6).cast("int")
     scored = d.select(
         F.least(
             F.lit(9), F.floor((score + F.lit(1.0)) / F.lit(0.2)).cast("int")
