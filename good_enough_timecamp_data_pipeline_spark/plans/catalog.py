@@ -510,49 +510,46 @@ register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
 
-# --- round-8 driver window ------------------------------------------------
+# --- round-9 driver window ------------------------------------------------
 # The driver's correctness gate samples the FIRST 50 entries of queries().
-# Round-7 closed full coverage (151/151 twins driver-confirmed at least
-# once), so from round 8 on the window's job is RE-confirmation: rotate to
-# the entries whose implementations moved since their last driver row,
-# plus the longest-unconfirmed rows (r1-r2). This round's window therefore
-# holds (a) the lexical-dedup family + both flagship reports + hierarchy
-# entries (shared shingle/closure checkpoints, round-8 reworks), (b) the
-# tokenized-corpus text family (session-materialized corpus), (c) the
-# entries whose conf profile changed in the codegen A/B, and (d) the
-# oldest r1-r2 rows — and NONE of the round-7 window (slots re-sampled
-# last round) except ``a_weighted_quantile``, which the round-7 VERDICT
-# explicitly asked to re-enter because its implementation changed this
-# round (single-partition cumulative window → two-level bucket refine;
-# impl-changed re-entry trumps the no-overlap rule, as in the r5
-# rotation). Relative order of everything else is preserved.
-WINDOW_R8 = (
-    # (a) impl-touched: dedup family, reports, hierarchy, reworked quantile
-    "a_weighted_quantile",
-    "d_minhash_lsh", "d_ngram_jaccard", "d_cc_clusters", "d_dedup_survivors",
-    "d_exact_dedup", "d_simhash_pairs",
-    "report_task_budget", "report_project_budget",
-    "h_closure_pairs", "h_breadcrumb_levels",
-    # (b) tokenized-corpus text family
-    "t_tfidf", "t_winnow", "t_decontam", "t_repetition", "t_corpus_prep",
-    "t_bigram_lm", "t_topk_tokens", "t_token_stats", "t_fingerprint",
-    "t_simhash", "t_quality", "t_langid", "t_split", "t_balanced_sample",
-    "t_seq_pack", "t_mixture_weights", "t_shard_assign", "t_chunking",
-    "t_bpe_tokens",
-    # (c) conf-profile-touched (codegen / AQE A/B members outside the r7
-    # window)
-    "a_histogram", "a_corr_stats", "a_conditional_agg", "x_rollup",
-    "x_profile", "a_groupsum_pricing",
-    "e_dau_wau", "e_gapfill", "x_range_join", "e_sliding_window",
-    # (d) oldest driver rows (r1-r2)
-    "a_weighted_avg", "w_lag_delta_pct", "o_except_all", "f_bitwise_ops",
-    "f_epoch_roundtrip", "a_bool_aggs", "j_scd2_lookup", "e_windowed_funnel",
-    "s_cosine_topk", "e_retention_cohorts",
+# Coverage is 151/151 cumulative, so the window's job is RE-confirmation
+# (round-8 discipline). Composition, exactly as the round-8 VERDICT
+# prescribed ("Next round" item 2): (a) the six twins whose
+# implementations moved AFTER the r8 window froze (round-8 job-count /
+# shared-checkpoint reworks: scored-corpus classifier pair, shared LSH
+# candidates, driver-prefix cumsum family) — their r7 driver rows predate
+# the current code, so they lead; (b) the QUERY_CONF conf-profile members
+# (codegen / AQE A/B opt-ins) not re-sampled in the r8 window; (c) ALL 33
+# longest-unconfirmed rows (last driver-confirmed r3/r4); (d) three
+# oldest r6 rows to fill the window, including s_cosine_neardup (a cold-
+# protocol target this round). Zero overlap with the r8 window.
+WINDOW_R9 = (
+    # (a) post-r8-freeze impl-touched (judge re-ran all six green; these
+    # driver rows make it official)
+    "t_hashed_classifier", "t_calibration_bins", "d_lsh_quality",
+    "a_ks_test", "w_pareto_share", "a_gini",
+    # (b) QUERY_CONF members not re-sampled in r8
+    "t_token_kl_drift", "g_triangle_count", "e_peak_concurrency",
+    "a_winsorize", "t_cooccurrence_lift", "q_nation_trade",
+    "q_local_supplier_volume", "q_shipping_priority",
+    # (c) oldest driver rows — all of r3...
+    "a_dedup_pk", "a_distinct_ids", "a_salted_skew_sum", "a_stats_minmax",
+    "j_anti", "j_assembly_left_defaults", "j_broadcast_lookup",
+    "j_first_group_enrich", "j_fuzzy_match", "j_semi", "p_filter_pushdown",
+    "p_null_canonicalization", "p_type_coercion",
+    # ...and all of r4
+    "a_count_distinct", "a_mode", "a_percentiles", "a_zscore_outliers",
+    "f_date_explode", "f_dates", "f_formatting_wide", "f_json_props",
+    "f_regex_extract", "f_string_ids", "o_latest_per_key", "o_set_ops",
+    "o_sort_topk", "s_embedding_stats", "w_frames", "w_running_rank",
+    "x_cube", "x_pivot", "x_topk_per_group", "x_unpivot",
+    # (d) oldest r6 rows
+    "s_cosine_neardup", "a_grouping_sets", "a_partial_agg_merge",
 )
-assert len(WINDOW_R8) == 50 and len(set(WINDOW_R8)) == 50
-_missing = [n for n in WINDOW_R8 if n not in QUERIES or n not in ORACLES]
+assert len(WINDOW_R9) == 50 and len(set(WINDOW_R9)) == 50
+_missing = [n for n in WINDOW_R9 if n not in QUERIES or n not in ORACLES]
 assert not _missing, f"window entries must be registered oracle twins: {_missing}"
-_window = {n: QUERIES[n] for n in WINDOW_R8}
+_window = {n: QUERIES[n] for n in WINDOW_R9}
 _rest = {n: f for n, f in QUERIES.items() if n not in _window}
 QUERIES.clear()
 QUERIES.update(_window)
