@@ -320,6 +320,60 @@ def curate(
     return observed(d, "output"), obs
 
 
+def _curate_one_batch(
+    batch: DataFrame,
+    batch_id: int,
+    *,
+    corpus_path: str,
+    out_docs: str,
+    stats_dir: str,
+    lsh_cache_key: str | None,
+    **curate_kwargs,
+) -> None:
+    """One ``curate_stream`` micro-batch, module-level so the replay
+    path is directly testable: curate the batch against the corpus,
+    anti-join against docs accepted by EARLIER batches (the current
+    batch's own ``batch=<id>`` partition is excluded — on replay of an
+    uncommitted micro-batch it already holds this batch's landed copy,
+    and an unfiltered anti-join would match every doc against itself
+    and re-emit the partition empty, round-8 ADVICE item 1), then land
+    at ``docs/batch=<id>`` with overwrite (idempotent under replay)."""
+    import glob as _glob
+
+    sess = batch.sparkSession
+    corp = sess.read.parquet(corpus_path)
+    out, obs = curate(
+        sess, batch, corpus=corp, lsh_cache_key=lsh_cache_key, **curate_kwargs
+    )
+    if _glob.glob(os.path.join(out_docs, "batch=*", "*.parquet")):
+        # partition discovery exposes ``batch`` as a column, so the
+        # != filter also partition-prunes the directory being
+        # overwritten out of the read
+        accepted = (
+            sess.read.parquet(out_docs)
+            .filter(F.col("batch") != F.lit(batch_id))
+            .select(F.md5("text").alias("__h"))
+            .distinct()
+        )
+        out = (
+            out.withColumn("__h", F.md5("text"))
+            .join(accepted, "__h", "left_anti")
+            .drop("__h")
+        )
+    # 'landed' = rows actually written after the cross-batch anti-join;
+    # curate()'s own 'output' counter is pre-anti-join, so a batch of
+    # all-dups reports output>0 but landed=0 (round-8 ADVICE item 4).
+    # The observation fills on the write.
+    landed = _StageCounter(out, f"landed_{batch_id}_{next(_RUN_SEQ)}")
+    landed.df.write.mode("overwrite").parquet(
+        os.path.join(out_docs, f"batch={batch_id}")
+    )
+    stats = {k: o.get["rows"] for k, o in obs.items()}
+    stats["landed"] = landed.get["rows"]
+    with open(os.path.join(stats_dir, f"batch_{batch_id}.json"), "w") as f:
+        json.dump(stats, f)
+
+
 def curate_stream(
     spark: SparkSession,
     feed_dir: str,
@@ -350,7 +404,6 @@ def curate_stream(
     re-emits the same partition instead of duplicating it (the
     epoch-keyed sink pattern from the streaming timecamp source tests).
     """
-    import glob as _glob
     import tempfile
 
     feed_schema = spark.read.parquet(feed_dir).schema
@@ -364,28 +417,15 @@ def curate_stream(
     os.makedirs(stats_dir, exist_ok=True)
 
     def one_batch(batch: DataFrame, batch_id: int) -> None:
-        sess = batch.sparkSession
-        corp = sess.read.parquet(corpus_path)
-        out, obs = curate(
-            sess, batch, corpus=corp, lsh_cache_key=lsh_cache_key, **curate_kwargs
+        _curate_one_batch(
+            batch,
+            batch_id,
+            corpus_path=corpus_path,
+            out_docs=out_docs,
+            stats_dir=stats_dir,
+            lsh_cache_key=lsh_cache_key,
+            **curate_kwargs,
         )
-        if _glob.glob(os.path.join(out_docs, "batch=*", "*.parquet")):
-            accepted = (
-                sess.read.parquet(out_docs)
-                .select(F.md5("text").alias("__h"))
-                .distinct()
-            )
-            out = (
-                out.withColumn("__h", F.md5("text"))
-                .join(accepted, "__h", "left_anti")
-                .drop("__h")
-            )
-        out.write.mode("overwrite").parquet(
-            os.path.join(out_docs, f"batch={batch_id}")
-        )
-        stats = {k: o.get["rows"] for k, o in obs.items()}
-        with open(os.path.join(stats_dir, f"batch_{batch_id}.json"), "w") as f:
-            json.dump(stats, f)
 
     ckpt_ctx = (
         tempfile.TemporaryDirectory() if checkpoint_dir is None else None
@@ -436,9 +476,11 @@ def compact_index(
     merged = corp.unionByName(acc)
     merged.write.mode("overwrite").parquet(compacted_path)
     # build from the LANDED generation (not the in-memory union) so the
-    # artifact provably matches what the next stream run reads
+    # artifact provably matches what the next stream run reads;
+    # expect_fresh makes a reused --corpus-key an error instead of a
+    # silent stale-index read (round-8 ADVICE item 2)
     landed = spark.read.parquet(compacted_path)
-    build_lsh_index_cached(spark, landed, lsh_cache_key)
+    build_lsh_index_cached(spark, landed, lsh_cache_key, expect_fresh=True)
     return compacted_path
 
 
@@ -460,6 +502,32 @@ def profile_curated(df: DataFrame) -> DataFrame:
         )
         .orderBy(*keys)
     )
+
+
+def _corpus_fingerprint(path: str) -> str:
+    """Default write-once-index cache key for a corpus directory: the
+    absolute path plus a digest of the file LISTING (sorted relative
+    names, sizes, mtime_ns). A corpus rewritten in-place changes file
+    names/sizes/nanosecond mtimes even within the same wall-clock
+    second, so the stale-index hazard of the old ``int(mtime)`` key
+    (round-8 ADVICE item 3) is gone, while re-probes of the same landed
+    generation still hit the cache."""
+    import hashlib
+
+    root = os.path.abspath(path)
+    h = hashlib.md5()
+    if os.path.isdir(root):
+        for dirpath, dirnames, filenames in sorted(os.walk(root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                full = os.path.join(dirpath, fn)
+                st = os.stat(full)
+                rel = os.path.relpath(full, root)
+                h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    else:
+        st = os.stat(root)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return f"{root}@{h.hexdigest()[:16]}"
 
 
 def _parse_splits(raw: str) -> dict[str, float]:
@@ -535,10 +603,7 @@ def main(argv: list[str] | None = None) -> int:
         corpus = spark.read.parquet(args.corpus)
         corpus_key = args.corpus_key
         if corpus_key is None:
-            # path + latest mtime: stable across re-probes of the same
-            # corpus version, invalidated when the corpus is rewritten
-            mt = int(os.path.getmtime(args.corpus))
-            corpus_key = f"{os.path.abspath(args.corpus)}@{mt}"
+            corpus_key = _corpus_fingerprint(args.corpus)
     curated, obs = curate(
         spark,
         docs,

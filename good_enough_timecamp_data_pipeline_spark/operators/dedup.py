@@ -380,6 +380,7 @@ def build_lsh_index_cached(
     num_hashes: int = 64,
     bands: int = 32,
     cache_root: str | None = None,
+    expect_fresh: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """`build_lsh_index` materialized as a WRITE-ONCE parquet artifact:
     the first call per ``cache_key`` (corpus fingerprint + parameters)
@@ -406,7 +407,14 @@ def build_lsh_index_cached(
     existing artifact is trusted only if this process owns it and it is
     a real directory — a world-shared predictable /tmp path would let
     another local user pre-plant parquet we'd silently read (round-6
-    ADVICE item 1)."""
+    ADVICE item 1).
+
+    ``expect_fresh=True`` makes the write-once semantics EXPLICIT for
+    callers that are building a NEW corpus generation (index
+    compaction): if an artifact already exists under this key the call
+    raises instead of silently reading it — a reused ``cache_key``
+    across generations would otherwise leave cross-arrival near-dups
+    permanently invisible (round-8 ADVICE item 2)."""
     import hashlib
     import os
     import shutil
@@ -436,6 +444,14 @@ def build_lsh_index_cached(
             f"LSH index artifact {art!r} exists but is a symlink, not a "
             "directory, or owned by another user; refusing to read it — "
             "pass cache_root= to relocate"
+        )
+    if expect_fresh and os.path.isdir(art):
+        raise FileExistsError(
+            f"LSH index artifact for cache_key={cache_key!r} already exists "
+            f"at {art!r} but the caller expected to BUILD a fresh one "
+            "(expect_fresh=True). Reusing a cache key across corpus "
+            "generations would silently probe a stale index; derive the key "
+            "from the new generation's fingerprint instead."
         )
     if not os.path.isdir(art):
         tmp = art + f".tmp.{os.getpid()}"

@@ -382,9 +382,13 @@ def test_compact_index_closes_cross_arrival_blind_spot(spark, tmp_path):
         [(101, accepted)], "doc_id long, text string"
     ).write.parquet(accepted_path)
 
+    # key is unique per test invocation: compact_index builds with
+    # expect_fresh=True, so a key recycled across pytest sessions would
+    # (correctly) be rejected as a stale-index hazard
+    gen2_key = f"test_compact_gen2_{tmp_path}"
     compacted = cur.compact_index(
         spark, corpus_path, accepted_path, str(tmp_path / "gen2"),
-        lsh_cache_key="test_compact_gen2",
+        lsh_cache_key=gen2_key,
     )
     # probe a near-dup of the ACCEPTED doc against the new generation
     batch = spark.createDataFrame(
@@ -395,7 +399,7 @@ def test_compact_index_closes_cross_arrival_blind_spot(spark, tmp_path):
         spark, batch, min_quality=0.0, neardup_threshold=0.5,
         skip=frozenset({"classifier", "quality", "scrub"}),
         corpus=spark.read.parquet(compacted),
-        lsh_cache_key="test_compact_gen2",
+        lsh_cache_key=gen2_key,
     )
     assert out.collect() == []
     assert obs["neardup_vs_corpus"].get["rows"] == 0
@@ -406,6 +410,111 @@ def test_compact_index_closes_cross_arrival_blind_spot(spark, tmp_path):
         corpus=spark.read.parquet(corpus_path),
     )
     assert [r.doc_id for r in out_old.collect()] == [201]
+
+
+def test_curate_stream_replay_uncommitted_batch(spark, tmp_path):
+    """Replay of an UNCOMMITTED micro-batch (crash between sink write
+    and checkpoint commit) re-emits the same partition intact instead of
+    anti-joining the batch against its own landed copy and rewriting the
+    partition empty (round-8 ADVICE item 1)."""
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water and "
+            "rest for a while before the long journey home through hills")
+    doc_b = ("a pocket guide to rivers and the stones they polish on the "
+             "way down from the mountains to the sea through valleys and "
+             "quiet farmland where herons stand and watch the current")
+    doc_c = ("a short history of bicycles and the roads they opened for "
+             "people who had never traveled past the edge of their own "
+             "village before the wheel made the horizon reachable")
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame([(1, corp)], "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    out_docs = str(tmp_path / "out" / "docs")
+    stats_dir = str(tmp_path / "out" / "stats")
+    os.makedirs(stats_dir)
+    common = dict(corpus_path=corpus_path, out_docs=out_docs,
+                  stats_dir=stats_dir, lsh_cache_key=None, min_quality=0.0,
+                  skip=frozenset({"classifier", "quality", "scrub"}))
+
+    b0 = spark.createDataFrame([(11, doc_b)], "doc_id long, text string")
+    cur._curate_one_batch(b0, 0, **common)
+    assert sorted(r.doc_id for r in spark.read.parquet(out_docs).collect()) == [11]
+
+    # replay batch 0 (its partition is already landed): must re-emit it
+    cur._curate_one_batch(b0, 0, **common)
+    rows = spark.read.parquet(out_docs).collect()
+    assert sorted(r.doc_id for r in rows) == [11]
+    stats0 = json.load(open(os.path.join(stats_dir, "batch_0.json")))
+    assert stats0["landed"] == 1
+
+    # batch 1: one dup of the batch-0 accepted doc + one fresh doc; the
+    # cross-batch anti-join still applies to EARLIER batches
+    b1 = spark.createDataFrame(
+        [(21, doc_b), (22, doc_c)], "doc_id long, text string"
+    )
+    cur._curate_one_batch(b1, 1, **common)
+    assert sorted(r.doc_id for r in spark.read.parquet(out_docs).collect()) \
+        == [11, 22]
+    stats1 = json.load(open(os.path.join(stats_dir, "batch_1.json")))
+    # 'output' counts the pre-anti-join candidate set, 'landed' what was
+    # actually written after dropping dups of earlier accepted arrivals
+    assert stats1["output"] == 2 and stats1["landed"] == 1
+
+    # replay batch 1 too: converges to the same state
+    cur._curate_one_batch(b1, 1, **common)
+    assert sorted(r.doc_id for r in spark.read.parquet(out_docs).collect()) \
+        == [11, 22]
+    stats1 = json.load(open(os.path.join(stats_dir, "batch_1.json")))
+    assert stats1["landed"] == 1
+
+
+def test_compact_index_rejects_reused_key(spark, tmp_path):
+    """Reusing a --corpus-key for a NEW generation is an error, not a
+    silent stale-index read (round-8 ADVICE item 2)."""
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water")
+    acc = ("notes about the night sky and the slow wheel of stars that "
+           "turns above the sleeping town while the lighthouse blinks")
+    corpus_path = str(tmp_path / "c")
+    accepted_path = str(tmp_path / "a")
+    spark.createDataFrame([(1, corp)], "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    spark.createDataFrame([(2, acc)], "doc_id long, text string").write.parquet(
+        accepted_path
+    )
+    key = f"test_reused_key_{tmp_path}"
+    cur.compact_index(
+        spark, corpus_path, accepted_path, str(tmp_path / "gen2"),
+        lsh_cache_key=key,
+    )
+    with pytest.raises(FileExistsError, match="already exists"):
+        cur.compact_index(
+            spark, str(tmp_path / "gen2"), accepted_path,
+            str(tmp_path / "gen3"), lsh_cache_key=key,
+        )
+
+
+def test_corpus_fingerprint_tracks_rewrites(tmp_path):
+    """The default incremental cache key changes when the corpus is
+    rewritten — even within the same wall-clock second (round-8 ADVICE
+    item 3) — and is stable across re-reads of the same generation."""
+    root = tmp_path / "corpus"
+    root.mkdir()
+    f = root / "part-000.parquet"
+    f.write_bytes(b"generation-one")
+    fp1 = cur._corpus_fingerprint(str(root))
+    assert fp1 == cur._corpus_fingerprint(str(root))  # stable
+    # same file name + size, mtime bumped by one NANOsecond (same second)
+    st = os.stat(f)
+    os.utime(f, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    assert cur._corpus_fingerprint(str(root)) != fp1
+    # different file listing (Spark rewrites land new part names)
+    f.rename(root / "part-001.parquet")
+    assert cur._corpus_fingerprint(str(root)) not in (
+        fp1, cur._corpus_fingerprint(str(tmp_path))
+    )
 
 
 def test_curate_idempotent_on_own_output(spark, sf_dir, tmp_path):
@@ -447,7 +556,7 @@ def test_curate_cli_compact(spark, tmp_path):
         "--compact",
         "--input", accepted_path,
         "--corpus", corpus_path,
-        "--corpus-key", "test_cli_compact_v1",
+        "--corpus-key", f"test_cli_compact_{tmp_path}",
         "--output", out,
     ])
     assert rc == 0
