@@ -71,6 +71,17 @@ def main() -> None:
         lsh_build_sec = round(time.time() - t0, 3)
     except Exception as e:
         print(f"lsh index prewarm failed: {e}", file=sys.stderr)
+    # warm-up 3: the same discipline for every cross-entry shared
+    # materialization (shingle/bucket/candidate tables, scored corpus,
+    # bigram/DSIR tables, ...): build them ONCE here and report per-tag
+    # build seconds, so each entry's number times the entry — not
+    # whichever corpus-wide artifact it happened to consume first
+    # (round-8 VERDICT item 3).
+    shared_build_sec: dict[str, float] = {}
+    try:
+        shared_build_sec = catalog.prewarm_shared(spark, sf_dir)
+    except Exception as e:
+        print(f"shared artifact prewarm failed: {e}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -96,6 +107,10 @@ def main() -> None:
         # one-time corpus index build (amortized across every later probe;
         # d_incremental_dedup's per-query line above is the warm probe)
         "lsh_index_build_sec": lsh_build_sec,
+        # per-tag one-time builds of cross-entry shared materializations
+        # (consumers above time their own work against the built artifact)
+        "shared_build_sec": shared_build_sec,
+        "shared_build_total_s": round(sum(shared_build_sec.values()), 3),
     }
     print(json.dumps(detail))
     sys.stdout.flush()

@@ -200,6 +200,12 @@ SHAPE_WARMUP = (
 )
 
 
+def _pandas_identity(pdf):
+    import numpy  # noqa: F401  — warm the worker's heavy imports too
+
+    return pdf
+
+
 def warmup(spark: SparkSession, sf_dir: str, shapes: bool = True) -> None:
     """Run the warm-up set through the noop sink (used by bench.py and
     tools/duckdb_baseline.py before any timed query). ``shapes=False``
@@ -216,6 +222,18 @@ def warmup(spark: SparkSession, sf_dir: str, shapes: bool = True) -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         except Exception:
             pass
+    # Arrow/pandas-UDF kernel family: the FIRST grouped-map in a session
+    # spawns the Python worker pool and imports pandas/numpy inside each
+    # worker (~2 s measured at local[32], s_cosine_neardup 3.4 → 1.0 s
+    # cold) — engine startup, not query work; DuckDB's process is warm by
+    # construction. A 64-row no-op grouped map pays it here so whichever
+    # pandas-UDF entry runs first doesn't absorb it.
+    try:
+        spark.range(64).repartition(32).groupBy("id").applyInPandas(
+            _pandas_identity, "id long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
     spark.catalog.clearCache()
     if not shapes:
         return
@@ -239,6 +257,50 @@ def warmup(spark: SparkSession, sf_dir: str, shapes: bool = True) -> None:
             finally:
                 restore()
             spark.catalog.clearCache()
+
+
+# Accessors for every cross-entry shared materialization (plans/shared.py
+# tags). The bench/baseline harnesses build these BEFORE the timed loop and
+# report per-tag build seconds (shared.build_times) next to the per-query
+# numbers — the ``lsh_index_build_sec`` discipline extended to every
+# shared_checkpoint tag, so no first consumer's timing silently carries a
+# corpus-wide artifact build (round-8 VERDICT item 3). In production each
+# tag is a materialized view / persisted table whose build is a separate,
+# amortized job — exactly how the timing now reports it.
+def _shared_artifact_accessors():
+    from . import round5 as _r5
+    from . import round5d as _r5d
+    from . import round5f as _r5f
+
+    return (
+        northstar._near_dup_shingles,
+        northstar._near_dup_band_buckets,
+        northstar._near_dup_candidates,
+        northstar._near_dup_truth_pairs,
+        _r5d.docs_hash_scored,
+        extensions.docs_alpha_toks_shared,
+        extensions.bigram_counts_shared,
+        analytics.tf_doc_tok_shared,
+        advanced._fingerprint_labels,
+        _r5f._docs_shingles_shared,
+        _r5.part_supplier_edges,
+        _r5._dsir_doc_sb,
+        reports.task_closure_shared,
+    )
+
+
+def prewarm_shared(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Materialize every shared artifact at ``sf_dir``; returns per-tag
+    build seconds (tags already built this session cost ~0 and keep
+    their recorded time)."""
+    from . import shared
+
+    for fn in _shared_artifact_accessors():
+        try:
+            fn(spark, sf_dir)
+        except Exception:  # a broken artifact must not kill the harness
+            pass
+    return shared.build_times(sf_dir)
 
 
 # Registration order is deliberate: the driver's correctness gate checks the

@@ -674,6 +674,35 @@ def t_semdedup(
 # t_dsir_weights — DSIR importance weights (hashed-bigram log-ratio)
 # ---------------------------------------------------------------------------
 
+def _dsir_doc_sb(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 512
+) -> DataFrame:
+    """Shared (doc, source, bucket) hashed-bigram count table — the one
+    corpus pass both DSIR entries reduce over (see t_dsir_weights)."""
+    from .extensions import bigram_rows_from_toks, docs_alpha_toks_shared
+
+    pairs = bigram_rows_from_toks(
+        docs_alpha_toks_shared(spark, sf_dir), extra_cols=("source",)
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 8), 16, 10
+            ).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    return shared_checkpoint(
+        spark,
+        sf_dir,
+        f"dsir_doc_sb_{n_buckets}",
+        lambda: pairs.groupBy("doc_id", "source", "bucket").agg(
+            F.count("*").alias("n")
+        ),
+    )
+
+
 def t_dsir_weights(
     spark: SparkSession, sf_dir: str, n_buckets: int = 512
 ) -> DataFrame:
@@ -693,20 +722,6 @@ def t_dsir_weights(
     identical double inputs in both engines; the per-doc sum is rounded
     4dp to absorb summation-order ulps (the t_lm_perplexity contract).
     """
-    from .extensions import bigram_rows_from_toks, docs_alpha_toks_shared
-
-    pairs = bigram_rows_from_toks(
-        docs_alpha_toks_shared(spark, sf_dir), extra_cols=("source",)
-    ).select(
-        "doc_id",
-        "source",
-        (
-            F.conv(
-                F.substring(F.md5(F.concat_ws(" ", "w1", "w2")), 1, 8), 16, 10
-            ).cast("long")
-            % n_buckets
-        ).alias("bucket"),
-    )
     # ONE corpus pass: the (doc, source, bucket) count table is the
     # common reduction of everything downstream (per-doc counts, both
     # distribution estimates, both totals), and it is materialized as a
@@ -715,14 +730,7 @@ def t_dsir_weights(
     # or per catalog entry (t_dsir_resample builds on these weights;
     # see plans/shared.py). Source is functionally dependent on doc_id,
     # so adding it to the keys does not grow the table.
-    doc_sb = shared_checkpoint(
-        spark,
-        sf_dir,
-        f"dsir_doc_sb_{n_buckets}",
-        lambda: pairs.groupBy("doc_id", "source", "bucket").agg(
-            F.count("*").alias("n")
-        ),
-    )
+    doc_sb = _dsir_doc_sb(spark, sf_dir, n_buckets)
     doc_b = doc_sb.select("doc_id", "bucket", "n")
     bucket_counts = doc_sb.groupBy("bucket").agg(
         F.sum("n").alias("c_c"),
