@@ -360,8 +360,8 @@ class _ApplicationsReader(DataSourceReader):
             yield _application_row(d)
 
 
-class _EntriesStreamReader(SimpleDataSourceStreamReader):
-    """Incremental entries sync as a Structured Streaming source.
+class _DateWindowStreamReader(SimpleDataSourceStreamReader):
+    """Shared incremental-sync machinery for date-windowed datasets.
 
     The reference syncs by re-running the extract on a cron and letting
     dlt merge state; here the same behavior is a native streaming
@@ -370,7 +370,8 @@ class _EntriesStreamReader(SimpleDataSourceStreamReader):
     sync resumable/exactly-once downstream (foreachBatch upsert or an
     append sink both work). ``to`` bounds the backfill for tests;
     unbounded mode follows yesterday (the immutable-past horizon —
-    today's entries are still mutable, the S12 contract).
+    today's rows are still mutable, the S12 contract). Subclasses
+    implement ``_fetch(from_date, to_date)``.
     """
 
     def __init__(self, opts: dict):
@@ -424,11 +425,52 @@ class _EntriesStreamReader(SimpleDataSourceStreamReader):
         return self._fetch(str(d0), str(d1))
 
     def _fetch(self, from_date: str, to_date: str) -> Iterator[tuple]:
+        raise NotImplementedError
+
+
+class _EntriesStreamReader(_DateWindowStreamReader):
+    """``readStream`` ``dataset=entries`` — one ≤chunk_days entry window
+    per micro-batch."""
+
+    def _fetch(self, from_date: str, to_date: str) -> Iterator[tuple]:
         client = _make_client(self.opts)
         raw = client.get_time_entries(
             from_date, to_date, opt_fields="tags,breadcrumps"
         )
         return iter([_entry_row(r) for r in raw])
+
+
+class _ActivitiesStreamReader(_DateWindowStreamReader):
+    """``readStream`` ``dataset=computer_activities`` — the dataset the
+    reference re-syncs on a cron (``dlt_fetch_timecamp.py:194-237``:
+    yesterday + today, every run) as a checkpointed incremental stream.
+    Each micro-batch covers one ≤``chunk_days`` date window; within the
+    window the fetch uses the same per-user × ≤``dates_per_request``
+    batching as the batch reader (``_ActivitiesReader``), so one
+    micro-batch issues the identical request grid the reference's loop
+    would. ``user_ids`` is optional — absent means the workspace-wide
+    fetch."""
+
+    def __init__(self, opts: dict):
+        super().__init__(opts)
+        self.dates_per_request = int(opts.get("dates_per_request", "20"))
+        uid_opt = opts.get("user_ids")
+        self.user_ids: list[int] | None = (
+            [int(u) for u in str(uid_opt).split(",") if u] if uid_opt else None
+        )
+
+    def _fetch(self, from_date: str, to_date: str) -> Iterator[tuple]:
+        client = _make_client(self.opts)
+        d0 = _dt.date.fromisoformat(from_date)
+        d1 = _dt.date.fromisoformat(to_date)
+        dates = [str(d0 + _dt.timedelta(days=k)) for k in range((d1 - d0).days + 1)]
+        raw = client.get_computer_activities(
+            dates,
+            include="application,window_title",
+            user_ids=self.user_ids,
+            dates_per_request=self.dates_per_request,
+        )
+        return iter([_activity_row(r) for r in raw])
 
 
 class TimecampDataSource(DataSource):
@@ -457,9 +499,14 @@ class TimecampDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
         ds = self.options.get("dataset", "entries")
-        if ds != "entries":
-            raise ValueError("streaming timecamp source supports dataset=entries")
-        return _EntriesStreamReader(dict(self.options))
+        if ds == "entries":
+            return _EntriesStreamReader(dict(self.options))
+        if ds == "computer_activities":
+            return _ActivitiesStreamReader(dict(self.options))
+        raise ValueError(
+            "streaming timecamp source supports "
+            "dataset=entries|computer_activities"
+        )
 
     def reader(self, schema) -> DataSourceReader:
         ds = self.options.get("dataset", "entries")

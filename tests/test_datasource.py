@@ -291,6 +291,133 @@ def test_application_names_source_matches_builder(registered):
     assert rows_s == rows_b and rows_s
 
 
+def test_streaming_activities_source_incremental_sync(registered, tmp_path):
+    """readStream dataset=computer_activities: the bounded backfill
+    drains in date-window micro-batches to exactly the batch-reader
+    result, and a checkpoint restart re-emits nothing (the reference's
+    activities cron re-sync, dlt_fetch_timecamp.py:194-237, as a native
+    stream)."""
+    spark = registered
+    out = str(tmp_path / "act_out")
+    ckpt = str(tmp_path / "act_ckpt")
+
+    def run_stream():
+        q = (
+            spark.readStream.format("timecamp")
+            .option("dataset", "computer_activities")
+            .option("from", "2026-01-01")
+            .option("to", "2026-01-08")
+            .option("chunk_days", "4")
+            .option("user_ids", "101,102")
+            .option("mode", "offline-demo")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    for _ in range(4):  # one micro-batch per start() + drain margin
+        run_stream()
+    got = spark.read.parquet(out)
+    want = (
+        spark.read.format("timecamp")
+        .option("dataset", "computer_activities")
+        .option("from", "2026-01-01")
+        .option("to", "2026-01-08")
+        .option("user_ids", "101,102")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    assert got.schema == want.schema
+    got_rows = sorted(map(tuple, got.collect()), key=str)
+    want_rows = sorted(map(tuple, want.collect()), key=str)
+    assert got_rows == want_rows and got_rows
+
+    # restart on the same checkpoint: caught up -> nothing re-emitted
+    n_before = len(got_rows)
+    run_stream()
+    assert spark.read.parquet(out).count() == n_before
+
+
+def test_streaming_activities_source_crash_mid_batch(registered, tmp_path):
+    """The entries crash-replay contract holds for the activities
+    stream: a writer crash after PARTIAL side effects replays the same
+    date window (readBetweenOffsets), and an epoch-keyed idempotent
+    sink converges to exactly-once."""
+    spark = registered
+    out = str(tmp_path / "act_crash_out")
+    ckpt = str(tmp_path / "act_crash_ckpt")
+    crashed = {"done": False}
+    seen_epochs: list[int] = []
+
+    def epoch_writer(crash_on: int | None):
+        def write(df, epoch_id):
+            rows = df.collect()
+            seen_epochs.append(epoch_id)
+            target = f"{out}/epoch={epoch_id}"
+            if crash_on == epoch_id and not crashed["done"]:
+                crashed["done"] = True
+                df.sparkSession.createDataFrame(
+                    rows[: len(rows) // 2], df.schema
+                ).write.mode("overwrite").parquet(target)
+                raise RuntimeError("injected crash mid-batch")
+            df.sparkSession.createDataFrame(rows, df.schema).write.mode(
+                "overwrite"
+            ).parquet(target)
+
+        return write
+
+    def run_once(crash_on=None) -> bool:
+        q = (
+            spark.readStream.format("timecamp")
+            .option("dataset", "computer_activities")
+            .option("from", "2026-01-01")
+            .option("to", "2026-01-08")
+            .option("chunk_days", "4")
+            .option("user_ids", "101,102")
+            .option("mode", "offline-demo")
+            .load()
+            .writeStream.foreachBatch(epoch_writer(crash_on))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        except Exception:
+            return False
+        finally:
+            q.stop()
+        return q.exception() is None
+
+    assert run_once()  # epoch 0 (2026-01-01..04, empty window) lands
+    # epoch 1 covers 2026-01-05..08 — the window with all demo activity
+    # rows; crash it after partial writes
+    assert not run_once(crash_on=1), "the injected crash must fail the run"
+    assert crashed["done"]
+    for _ in range(4):  # recovery + drain
+        run_once()
+
+    assert seen_epochs.count(1) >= 2  # the crashed window was replayed
+    got = spark.read.option("basePath", out).parquet(out)
+    want = (
+        spark.read.format("timecamp")
+        .option("dataset", "computer_activities")
+        .option("from", "2026-01-01")
+        .option("to", "2026-01-08")
+        .option("user_ids", "101,102")
+        .option("mode", "offline-demo")
+        .load()
+    )
+    got_rows = sorted(map(tuple, got.drop("epoch").collect()), key=str)
+    want_rows = sorted(map(tuple, want.collect()), key=str)
+    assert got_rows == want_rows and len(got_rows) >= 3
+
+
 def test_streaming_entries_source_crash_mid_batch(registered, tmp_path):
     """Checkpoint resume after a CRASH, not a clean stop: the writer
     dies partway through one micro-batch (offsets WAL already holds the
