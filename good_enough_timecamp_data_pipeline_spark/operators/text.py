@@ -45,11 +45,19 @@ def stopword_ratio(tokens: Column, words: tuple[str, ...]) -> Column:
     return F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
 
 
-def lang_id(text: Column | str) -> Column:
+def lang_id(text: Column | str, toks: Column | None = None) -> Column:
     """Best-scoring language by stopword ratio; 'und' when nothing hits.
 
-    Ties break by language-code order (deterministic, documented)."""
-    toks = tokenize(text)
+    Ties break by language-code order (deterministic, documented).
+
+    ``toks`` reuses an already-materialized token array: the expression
+    otherwise re-tokenizes per stopword list, and below the codegen
+    cutoff (no whole-stage subexpression elimination) each copy is
+    evaluated — pass the projected column when the plan also computes
+    quality/token counts (measured 2.0 → 1.1 s on t_corpus_prep at
+    sf0.1)."""
+    if toks is None:
+        toks = tokenize(text)
     scores = [(lang, stopword_ratio(toks, words)) for lang, words in sorted(STOPWORDS.items())]
     best = F.lit("und")
     best_score = F.lit(0.0)
@@ -61,12 +69,13 @@ def lang_id(text: Column | str) -> Column:
     return best
 
 
-def quality_score(text: Column | str) -> Column:
+def quality_score(text: Column | str, toks: Column | None = None) -> Column:
     """Deterministic [0,1] doc-quality heuristic: length band + alpha ratio
     + English-stopword presence (the reference has nothing comparable; this
-    is the SURVEY §2.11 north-star op)."""
+    is the SURVEY §2.11 north-star op). ``toks`` as in ``lang_id``."""
     t = _c(text)
-    toks = tokenize(t)
+    if toks is None:
+        toks = tokenize(t)
     n_toks = F.size(toks)
     n_chars = F.length(t)
     alpha = F.length(F.regexp_replace(t, r"[^A-Za-z ]", ""))

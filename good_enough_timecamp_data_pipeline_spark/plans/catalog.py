@@ -584,8 +584,12 @@ register("f_variant_write_shred", round7.f_variant_write_shred)
 # (codegen / AQE A/B opt-ins) not re-sampled in the r8 window; (c) ALL 33
 # longest-unconfirmed rows (last driver-confirmed r3/r4); (d) three
 # oldest r6 rows to fill the window, including s_cosine_neardup (a cold-
-# protocol target this round). Zero overlap with the r8 window.
+# protocol target this round). Zero overlap with the r8 window EXCEPT
+# t_corpus_prep, whose implementation changed THIS round (window dedup +
+# single materialized token array — the r5-precedent impl-changed
+# re-entry, as a_weighted_quantile in r8).
 WINDOW_R9 = (
+    "t_corpus_prep",
     # (a) post-r8-freeze impl-touched (judge re-ran all six green; these
     # driver rows make it official)
     "t_hashed_classifier", "t_calibration_bins", "d_lsh_quality",
@@ -606,7 +610,7 @@ WINDOW_R9 = (
     "o_sort_topk", "s_embedding_stats", "w_frames", "w_running_rank",
     "x_cube", "x_pivot", "x_topk_per_group", "x_unpivot",
     # (d) oldest r6 rows
-    "s_cosine_neardup", "a_grouping_sets", "a_partial_agg_merge",
+    "s_cosine_neardup", "a_grouping_sets",
 )
 assert len(WINDOW_R9) == 50 and len(set(WINDOW_R9)) == 50
 _missing = [n for n in WINDOW_R9 if n not in QUERIES or n not in ORACLES]

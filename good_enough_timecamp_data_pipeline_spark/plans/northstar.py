@@ -17,7 +17,7 @@ Portability notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, text
@@ -225,27 +225,36 @@ def t_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-injected docs → exact-dedup (keep min-id winner) → quality
     gate (≥ 0.5) → language ID + token stats for the surviving docs.
 
-    The composition is the point: dedup winners come from a groupBy on the
-    content hash, the gate and stats are pure column expressions, and
-    Catalyst fuses it all into one job with a single wide shuffle (the
-    hash groupBy) — the same shape it would have at 100 TB.
+    The composition is the point: dedup winners are row_number()=1 over a
+    content-hash window (ONE wide shuffle of the corpus — the former
+    groupBy + semi-join shape paid that shuffle PLUS a second doc_id
+    shuffle for the join), the gate and stats are pure column
+    expressions over a single materialized token array (below the
+    codegen cutoff each quality/lang/count term otherwise re-runs the
+    tokenizer — no whole-stage subexpression elimination), and Catalyst
+    fuses it all into one job — the same shape it would have at 100 TB.
+    Measured 2.0 → 1.1 s at sf0.1; identical output.
     """
     docs = fan_out_scan(_docs_exact_dup(spark, sf_dir), "doc_id")
-    winners = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    kept = (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    kept = docs.join(winners, "doc_id", "left_semi")
-    toks = text.tokenize(F.col("text"))
+    toked = kept.select(
+        "doc_id", "text", text.tokenize(F.col("text")).alias("__toks")
+    )
     return (
-        kept.withColumn("quality", text.quality_score(F.col("text")))
+        toked.withColumn(
+            "quality", text.quality_score(F.col("text"), toks=F.col("__toks"))
+        )
         .filter(F.col("quality") >= 0.5)
         .select(
             "doc_id",
             "quality",
-            text.lang_id(F.col("text")).alias("lang_pred"),
-            F.size(toks).alias("n_tokens"),
+            text.lang_id(F.col("text"), toks=F.col("__toks")).alias("lang_pred"),
+            F.size("__toks").alias("n_tokens"),
         )
     )
 
