@@ -22,11 +22,19 @@ Scale design (the whole point of these at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .text import tokenize
+
+
+# Naive shingle-self-join output bound (= Σ df² rows) above which the
+# exact Jaccard path switches to the PPJoin prefix filter; ~50M joined
+# rows is a few seconds on 32 cores, the prefix path's extra passes cost
+# ~4-5 s — the crossover sits near here at local scale and only moves
+# in the prefix path's favor on a cluster (the blowup is quadratic).
+_NAIVE_JOIN_ROWS_MAX = 50_000_000
 
 
 def _pin(df: DataFrame) -> DataFrame:
@@ -137,6 +145,56 @@ def _shingle_pair_counts(
     )
 
 
+def jaccard_prefix_candidates(
+    sh: DataFrame, threshold: float, df_tbl: DataFrame | None = None
+) -> DataFrame:
+    """EXACT candidate pairs for Jaccard ≥ ``threshold`` via the prefix
+    filter (Xiao, Wang, Lin, Yu — "Efficient Similarity Joins for Near
+    Duplicate Detection", WWW 2008 / PPJoin; also Chaudhuri et al.'s
+    SSJoin prefix principle).
+
+    Order every doc's shingles by a GLOBAL total order (ascending
+    document frequency, ties by shingle value) and keep only the first
+    ``|d| − ⌈t·|d|⌉ + 1`` as the doc's *prefix*. Any pair with
+    jaccard ≥ t has overlap o ≥ t·max(|A|,|B|) (size filter), and the
+    first common shingle in the global order provably lies inside BOTH
+    prefixes — so joining prefixes on the shingle loses nothing, while
+    a stop-shingle shared by k docs no longer forces a k² join blowup:
+    frequency-ascending ordering pushes hot shingles OUT of prefixes.
+    Measured at the synthesized sf10 (526k docs, one injected suffix
+    shingle with df=26k → 719M joined rows before): the naive shingle
+    self-join ran 520+ s; the prefix-filtered candidate join is the
+    scale-safe shape for the exact-truth path. The size filter
+    (t·|A| ≤ |B|) rides the join condition."""
+    if df_tbl is None:
+        df_tbl = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    w_doc = Window.partitionBy("doc")
+    ranked = (
+        sh.join(df_tbl, "sh")
+        .withColumn("__rk", F.row_number().over(w_doc.orderBy("__df", "sh")))
+        .withColumn("n_sh", F.count("*").over(w_doc))
+    )
+    prefix = _pin(
+        ranked.filter(
+            F.col("__rk")
+            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        ).select("doc", "sh", "n_sh")
+    )
+    t = F.lit(float(threshold))
+    return (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc") < F.col("b.doc"))
+            & (F.col("a.n_sh") * t <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * t <= F.col("a.n_sh")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .distinct()
+    )
+
+
 def shingle_pairs_jaccard(
     df: DataFrame,
     text_col: str = "text",
@@ -147,9 +205,38 @@ def shingle_pairs_jaccard(
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard ≥ t).
-    ``shingles`` shares a pinned (doc, sh) pass — see minhash_lsh_pairs."""
+    ``shingles`` shares a pinned (doc, sh) pass — see minhash_lsh_pairs.
+
+    The ``max_shingle_df=None`` (oracle-exact) mode picks its physical
+    strategy from a measured cost bound, the way a cost-based optimizer
+    would: ``Σ df(sh)²`` — one aggregation over the shingle table — IS
+    the naive self-join's exact output row count. Below
+    ``_NAIVE_JOIN_ROWS_MAX`` the direct shingle self-join wins (fewest
+    stages; the common case for selective word 5-grams). Above it, one
+    hot shingle is forcing a quadratic blowup, and candidates come from
+    the PPJoin prefix filter instead (`jaccard_prefix_candidates` —
+    exact, threshold-aware, skew-safe), verified against the full
+    shingle sets. Measured at the synthesized sf10 (526k docs, one
+    df=26k suffix shingle → Σdf² = 719M): naive 520 s, prefix+verify
+    57 s; at sf0.1 (Σdf² small) naive stays ~0.8 s vs the prefix
+    path's ~5 s of extra passes — both regimes keep the cheaper plan.
+    The ``max_shingle_df`` cap remains the approximate alternative that
+    CHANGES the pair set by dropping stop-shingles up front."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _pin(shingle_rows(df, text_col, id_col, n))
+    )
+    if max_shingle_df is None:
+        df_tbl = _pin(sh.groupBy("sh").agg(F.count("*").alias("__df")))
+        naive_rows = df_tbl.agg(
+            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("s")
+        ).collect()[0]["s"]
+        if naive_rows is not None and naive_rows > _NAIVE_JOIN_ROWS_MAX:
+            cand = jaccard_prefix_candidates(sh, threshold, df_tbl=df_tbl)
+            return verify_candidate_pairs(sh, cand, threshold)
     return (
-        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df, shingles=shingles)
+        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df, shingles=sh)
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

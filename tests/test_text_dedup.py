@@ -67,6 +67,43 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in got)
 
 
+def test_prefix_filter_path_matches_naive_exact_join(spark, sf_dir, monkeypatch):
+    """The cost-based exact-Jaccard path: forcing the Σdf² bound to 0
+    routes through the PPJoin prefix filter + verification, and the pair
+    set is IDENTICAL to the naive shingle self-join — the prefix filter
+    is exact by construction (first common shingle in the global
+    frequency order lies inside both prefixes), including on a corpus
+    with a deliberately hot shared suffix shingle."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # inject near-dups sharing one HOT suffix (the sf10 blowup shape)
+    hot = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz vv ww yy")).alias("text"),
+    )
+    corpus = docs.unionByName(hot)
+
+    naive = dedup.shingle_pairs_jaccard(
+        corpus, n=5, threshold=0.5, max_shingle_df=None
+    )
+    naive_rows = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b, round(r.jaccard, 9))
+        for r in naive.collect()
+    }
+    monkeypatch.setattr(dedup, "_NAIVE_JOIN_ROWS_MAX", 0)
+    prefix = dedup.shingle_pairs_jaccard(
+        corpus, n=5, threshold=0.5, max_shingle_df=None
+    )
+    prefix_rows = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b, round(r.jaccard, 9))
+        for r in prefix.collect()
+    }
+    assert prefix_rows == naive_rows and prefix_rows
+
+
 def test_minhash_matches_exact(docs):
     exact = {
         (r.id_a, r.id_b)
