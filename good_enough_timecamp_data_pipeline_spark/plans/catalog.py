@@ -394,6 +394,11 @@ register("x_geo_knn", round5g.x_geo_knn, round5g.X_GEO_KNN_SQL)
 register("f_variant_shred", round6.f_variant_shred, round6.F_VARIANT_SHRED_SQL)
 register("x_lateral_topn", round6.x_lateral_topn, round6.X_LATERAL_TOPN_SQL)
 
+# --- new in r9: the binned (production-scale) KS mode ----------------------
+register(
+    "a_ks_test_binned", round5d.a_ks_test_binned, round5d.A_KS_TEST_BINNED_SQL
+)
+
 # --- (b) implementation changed in r7 --------------------------------------
 # build_lsh_index_cached gained a versioned, per-user, ownership-checked
 # artifact key (round-6 ADVICE item 1); re-confirm the probe query.
@@ -591,9 +596,10 @@ register("f_variant_write_shred", round7.f_variant_write_shred)
 WINDOW_R9 = (
     "t_corpus_prep",
     # (a) post-r8-freeze impl-touched (judge re-ran all six green; these
-    # driver rows make it official)
+    # driver rows make it official) + the round-9 addition right after
+    # its exact twin
     "t_hashed_classifier", "t_calibration_bins", "d_lsh_quality",
-    "a_ks_test", "w_pareto_share", "a_gini",
+    "a_ks_test", "a_ks_test_binned", "w_pareto_share", "a_gini",
     # (b) QUERY_CONF members not re-sampled in r8
     "t_token_kl_drift", "g_triangle_count", "e_peak_concurrency",
     "a_winsorize", "t_cooccurrence_lift", "q_nation_trade",
@@ -609,8 +615,8 @@ WINDOW_R9 = (
     "f_regex_extract", "f_string_ids", "o_latest_per_key", "o_set_ops",
     "o_sort_topk", "s_embedding_stats", "w_frames", "w_running_rank",
     "x_cube", "x_pivot", "x_topk_per_group", "x_unpivot",
-    # (d) oldest r6 rows
-    "s_cosine_neardup", "a_grouping_sets",
+    # (d) oldest r6 row
+    "s_cosine_neardup",
 )
 assert len(WINDOW_R9) == 50 and len(set(WINDOW_R9)) == 50
 _missing = [n for n in WINDOW_R9 if n not in QUERIES or n not in ORACLES]

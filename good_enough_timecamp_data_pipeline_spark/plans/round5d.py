@@ -379,6 +379,121 @@ FROM r
 """.strip()
 
 
+KS_BINS = 256
+
+
+def a_ks_test_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS — the PRODUCTION-SCALE mode of `a_ks_test`.
+
+    The exact test compresses the input to one row per DISTINCT value;
+    the round-9 sf10 probe measured that histogram growing with the
+    near-continuous `value` cardinality (13.6 s at 100× facts), exactly
+    the unbounded-cardinality case the exact twin's docstring defers to
+    binning. Here the ECDFs live on a fixed ``KS_BINS`` grid over
+    [min, max]: ONE hash aggregation reduces any corpus to ≤256 rows,
+    and every later step (cumsum window, totals, sup) runs on that
+    bounded table — the global window is scale-safe BECAUSE its input
+    is bounded by construction, never by the data. Binned D is a lower
+    bound of exact D (sup restricted to bin boundaries), so
+    `significant` is conservative. min/max come from an exact
+    aggregation (IEEE-identical across engines); bin arithmetic is
+    pure double ops + floor, bit-identical in DuckDB."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
+    )
+    mm = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = F.col("vmax") - F.col("vmin")
+    bin_col = F.when(width == 0, F.lit(0)).otherwise(
+        F.least(
+            F.lit(KS_BINS - 1),
+            F.floor((F.col("value") - F.col("vmin")) / width * KS_BINS).cast("int"),
+        )
+    )
+    g = (
+        ev.crossJoin(F.broadcast(mm))
+        .select(bin_col.alias("bin"), "event_type")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("d1"),
+            F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("d2"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        F.sum("d1").over(w).alias("c1"), F.sum("d2").over(w).alias("c2")
+    )
+    tot = g.agg(
+        F.sum("d1").cast("long").alias("n1"), F.sum("d2").cast("long").alias("n2")
+    )
+    dec = "decimal(38,0)"
+    m = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("n1").alias("n1"),
+            F.min("n2").alias("n2"),
+            F.max(
+                F.abs(
+                    F.col("c1").cast(dec) * F.col("n2")
+                    - F.col("c2").cast(dec) * F.col("n1")
+                )
+            ).alias("max_diff"),
+        )
+    )
+    res = m.select(
+        "n1",
+        "n2",
+        (
+            F.col("max_diff").cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_stat"),
+    )
+    crit = F.lit(KS_ALPHA_C) * F.sqrt(
+        (F.col("n1") + F.col("n2")).cast("double")
+        / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+    )
+    return res.withColumn("significant", F.col("ks_stat") > crit)
+
+
+A_KS_TEST_BINNED_SQL = f"""
+WITH ev AS (
+    SELECT value, event_type FROM events
+    WHERE value IS NOT NULL AND event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+),
+mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM ev),
+g AS (
+    SELECT CASE WHEN vmax = vmin THEN 0
+           ELSE LEAST({KS_BINS - 1},
+                CAST(FLOOR((value - vmin) / (vmax - vmin) * {KS_BINS}) AS INTEGER))
+           END AS bin,
+           SUM(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS d1,
+           SUM(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS d2
+    FROM ev CROSS JOIN mm GROUP BY 1
+),
+cum AS (
+    SELECT CAST(SUM(d1) OVER (ORDER BY bin) AS BIGINT) AS c1,
+           CAST(SUM(d2) OVER (ORDER BY bin) AS BIGINT) AS c2
+    FROM g
+),
+tot AS (SELECT CAST(SUM(d1) AS BIGINT) AS n1, CAST(SUM(d2) AS BIGINT) AS n2 FROM g),
+m AS (
+    SELECT MIN(n1) AS n1, MIN(n2) AS n2,
+           MAX(ABS(CAST(c1 AS DECIMAL(38,0)) * n2
+                   - CAST(c2 AS DECIMAL(38,0)) * n1)) AS max_diff
+    FROM cum CROSS JOIN tot
+),
+r AS (
+    SELECT n1, n2,
+           CAST(max_diff AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+    FROM m
+)
+SELECT n1, n2, ks_stat,
+       ks_stat > {KS_ALPHA_C} * SQRT(CAST(n1 + n2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS significant
+FROM r
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # e_interval_coverage — merged-interval billable time (gaps-and-islands)
 # ---------------------------------------------------------------------------

@@ -93,6 +93,46 @@ def test_ks_test_matches_scipy_style_reference(spark, sf_dir):
     assert abs(row.ks_stat - d / (n1 * n2)) < 1e-15
 
 
+def test_ks_test_binned_bounds_exact_and_matches_reference(spark, sf_dir):
+    """Binned KS against a plain-Python binned ECDF sweep; and binned D
+    is a lower bound of exact D (sup restricted to bin boundaries)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    a = [r.value for r in ev if r.event_type == round5d.KS_TYPE_A]
+    b = [r.value for r in ev if r.event_type == round5d.KS_TYPE_B]
+    vals = a + b
+    vmin, vmax = min(vals), max(vals)
+    B = round5d.KS_BINS
+
+    def bin_of(x):
+        if vmax == vmin:
+            return 0
+        import math
+
+        return min(B - 1, int(math.floor((x - vmin) / (vmax - vmin) * B)))
+
+    n1, n2 = len(a), len(b)
+    ha, hb = [0] * B, [0] * B
+    for x in a:
+        ha[bin_of(x)] += 1
+    for x in b:
+        hb[bin_of(x)] += 1
+    d, c1, c2 = 0, 0, 0
+    for k in range(B):
+        c1 += ha[k]
+        c2 += hb[k]
+        d = max(d, abs(c1 * n2 - c2 * n1))
+    row = round5d.a_ks_test_binned(spark, sf_dir).collect()[0]
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.ks_stat - d / (n1 * n2)) < 1e-15
+    exact = round5d.a_ks_test(spark, sf_dir).collect()[0]
+    assert row.ks_stat <= exact.ks_stat + 1e-15
+
+
 def test_interval_coverage_merges_overlaps(spark):
     """Hand-built intervals: [0,10) ∪ [5,15) ∪ [15,20) = one island of 20;
     [100,101) is its own island. Built through the same µs session
