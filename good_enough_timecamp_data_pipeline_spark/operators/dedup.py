@@ -264,9 +264,112 @@ def containment_pairs(
     resemblance and containment of documents", SEQUENCES 1997). Same
     one-self-join + one-hash-agg shape as `shingle_pairs_jaccard`; only
     the denominator differs (min of the two shingle-set sizes, so the
-    smaller side's coverage decides)."""
+    smaller side's coverage decides).
+
+    The exact mode (``max_shingle_df=None``) is cost-based like
+    `shingle_pairs_jaccard`, but containment needs the ASYMMETRIC
+    prefix filter: the symmetric Jaccard prefix is unsound here because
+    a huge doc's required overlap (t·min) can be tiny relative to its
+    own size. Soundness comes from the SMALLER side alone —
+    o ≥ ⌈t·|small|⌉, so the first common shingle in the global
+    frequency order lies inside the smaller doc's prefix — and the
+    candidate join is prefix(smaller) × FULL index(larger), ordered by
+    (n_sh, doc). A df=k stop-shingle then contributes k rows times the
+    few SMALL docs whose prefix retains it, not k²."""
+    sh = _pin(shingle_rows(df, text_col, id_col, n))
+    if max_shingle_df is None:
+        df_tbl = _pin(sh.groupBy("sh").agg(F.count("*").alias("__df")))
+        naive_rows = df_tbl.agg(
+            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("s")
+        ).collect()[0]["s"]
+        if naive_rows is not None and naive_rows > _NAIVE_JOIN_ROWS_MAX:
+            cand = containment_prefix_candidates(sh, threshold, df_tbl=df_tbl)
+            return _verify_containment(sh, cand, threshold)
     return (
-        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df)
+        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df, shingles=sh)
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "containment")
+    )
+
+
+def containment_prefix_candidates(
+    sh: DataFrame, threshold: float, df_tbl: DataFrame | None = None
+) -> DataFrame:
+    """Exact candidates for containment ≥ t: the smaller doc's
+    frequency-ordered prefix (length |d| − ⌈t·|d|⌉ + 1) joined against
+    the FULL shingle index of docs at least its size (ties by id). Any
+    pair with |A∩B| ≥ ⌈t·min⌉ collides here: at most
+    |small| − ⌈t·|small|⌉ of the smaller doc's shingles precede its
+    first common shingle in the global order (see
+    `jaccard_prefix_candidates` — same lemma, applied one-sided)."""
+    if df_tbl is None:
+        df_tbl = sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    w_doc = Window.partitionBy("doc")
+    ranked = _pin(
+        sh.join(df_tbl, "sh")
+        .withColumn("__rk", F.row_number().over(w_doc.orderBy("__df", "sh")))
+        .withColumn("n_sh", F.count("*").over(w_doc))
+    )
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+    ).select("doc", "sh", "n_sh")
+    full = ranked.select("doc", "sh", "n_sh")
+    return (
+        prefix.alias("a")
+        .join(
+            full.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (
+                (F.col("a.n_sh") < F.col("b.n_sh"))
+                | (
+                    (F.col("a.n_sh") == F.col("b.n_sh"))
+                    & (F.col("a.doc") < F.col("b.doc"))
+                )
+            ),
+        )
+        .select(
+            F.least(F.col("a.doc"), F.col("b.doc")).alias("id_a"),
+            F.greatest(F.col("a.doc"), F.col("b.doc")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def _verify_containment(
+    sh: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact containment verification of candidate pairs — the
+    `verify_candidate_pairs` shape with the min-size denominator."""
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("doc"))
+        .unionByName(candidates.select(F.col("id_b").alias("doc")))
+        .distinct()
+    )
+    sh_cand = _pin(sh.join(cand_ids, "doc", "left_semi"))
+    sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    inter = (
+        candidates.join(sh_cand.alias("a"), F.col("id_a") == F.col("a.doc"))
+        .join(
+            sh_cand.alias("b"),
+            (F.col("id_b") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"),
+            "id_b",
+        )
         .withColumn(
             "containment",
             F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b")),

@@ -104,6 +104,46 @@ def test_prefix_filter_path_matches_naive_exact_join(spark, sf_dir, monkeypatch)
     assert prefix_rows == naive_rows and prefix_rows
 
 
+def test_containment_prefix_path_matches_naive_exact_join(
+    spark, sf_dir, monkeypatch
+):
+    """The asymmetric (smaller-side) prefix filter for containment is
+    exact: forced via the Σdf² bound, it returns the identical pair set
+    to the naive join — including excerpt pairs (small ⊂ big) and pairs
+    whose only shared shingles are a hot suffix."""
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    # excerpts: first ~8 tokens of every 4th doc (containment ≈ 1 vs
+    # its source), plus a hot shared suffix on every 5th doc
+    excerpt = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", r"\s+"), 1, 8)).alias("text"),
+    )
+    hot = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qq zz vv ww yy")).alias("text"),
+    )
+    corpus = docs.unionByName(excerpt).unionByName(hot)
+
+    def rows(df):
+        return {
+            (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b, round(r.containment, 9))
+            for r in df.collect()
+        }
+
+    naive = rows(
+        dedup.containment_pairs(corpus, n=5, threshold=0.9, max_shingle_df=None)
+    )
+    monkeypatch.setattr(dedup, "_NAIVE_JOIN_ROWS_MAX", 0)
+    prefix = rows(
+        dedup.containment_pairs(corpus, n=5, threshold=0.9, max_shingle_df=None)
+    )
+    assert prefix == naive and prefix
+
+
 def test_minhash_matches_exact(docs):
     exact = {
         (r.id_a, r.id_b)
