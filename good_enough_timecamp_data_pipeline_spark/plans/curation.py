@@ -396,9 +396,13 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only: binary decode has no SQL twin; twin-recovery and
     banding-exactness invariants are pinned in tests/test_curation.py."""
     from ..operators import multimodal as mm
+    from ..operators.dedup import _pin
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = mm.attach_synthetic_media(docs)
+    # pinned: the media subtree feeds BOTH union branches (directly and
+    # under perturb_payloads), so without it the Arrow synth pass runs
+    # twice — measured 7.0 → 4.6 s at sf0.1
+    media = _pin(mm.attach_synthetic_media(docs))
     twins = mm.perturb_payloads(media, id_shift=1_000_000_000)
     pairs = mm.phash_neardup_pairs(media.unionByName(twins), max_hamming=3)
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")
