@@ -88,9 +88,11 @@ def main() -> int:
         p = os.path.join(REPO, doc)
         if not os.path.exists(p):
             continue
-        cited = set(re.findall(r"(\d\.\d{2})[x×]", open(p).read()))
+        body = open(p).read()
+        defers = "canonical" in body and "BASELINE_COMPARE" in body
+        cited = set(re.findall(r"(\d\.\d{2})[x×]", body))
         for label, val in canonical.items():
-            if val not in cited:
+            if val not in cited and not defers:
                 print(
                     f"  WARN: {doc} does not cite the committed {label} "
                     f"ratio {val}x — update it or point at the canonical "
