@@ -469,6 +469,27 @@ def test_curate_stream_replay_uncommitted_batch(spark, tmp_path):
     assert stats1["landed"] == 1
 
 
+def test_curate_stream_replay_read_prunes_current_partition(spark, tmp_path):
+    """The replay anti-join's ``batch != id`` filter must reach the scan
+    as a PARTITION filter: at scale the landed output is the whole
+    accepted corpus, and the filter is also what keeps the job from
+    reading the very directory it is about to overwrite."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "docs")
+    for b in (0, 1):
+        spark.range(5).withColumn("text", F.lit("x")).write.parquet(
+            f"{d}/batch={b}"
+        )
+    df = spark.read.parquet(d).filter(F.col("batch") != F.lit(1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "batch" in m.group(1) and "NOT" in m.group(1), plan[:800]
+    assert df.count() == 5  # only batch=0 rows survive
+
+
 def test_compact_index_rejects_reused_key(spark, tmp_path):
     """Reusing a --corpus-key for a NEW generation is an error, not a
     silent stale-index read (round-8 ADVICE item 2)."""
