@@ -144,6 +144,50 @@ def test_containment_prefix_path_matches_naive_exact_join(
     assert prefix == naive and prefix
 
 
+def test_prefix_filter_exactness_property(spark, monkeypatch):
+    """Hypothesis: over random small-vocabulary corpora (maximal shingle
+    collisions and hot shingles by construction) and random thresholds,
+    the forced prefix-filter path returns exactly the naive exact pair
+    set for BOTH Jaccard and containment."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup as dd
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    corpora = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=3, max_size=12),
+        min_size=2,
+        max_size=10,
+    )
+
+    @settings(
+        max_examples=6, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(
+        docs=corpora,
+        t=st.sampled_from([0.3, 0.5, 0.8]),
+        n=st.sampled_from([2, 3]),
+    )
+    def check(docs, t, n):
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+        for fn in (dd.shingle_pairs_jaccard, dd.containment_pairs):
+            monkeypatch.setattr(dd, "_NAIVE_JOIN_ROWS_MAX", 10**18)
+            naive = sorted(
+                map(tuple, fn(df, n=n, threshold=t, max_shingle_df=None).collect())
+            )
+            monkeypatch.setattr(dd, "_NAIVE_JOIN_ROWS_MAX", 0)
+            forced = sorted(
+                map(tuple, fn(df, n=n, threshold=t, max_shingle_df=None).collect())
+            )
+            assert forced == naive
+
+    check()
+
+
 def test_minhash_matches_exact(docs):
     exact = {
         (r.id_a, r.id_b)
