@@ -36,6 +36,22 @@ from .text import tokenize
 # in the prefix path's favor on a cluster (the blowup is quadratic).
 _NAIVE_JOIN_ROWS_MAX = 50_000_000
 
+# Absolute slack for threshold·size integer-bound arithmetic. t·n is
+# computed in binary floating point, so a product that is mathematically
+# an integer (0.56·25 = 14) can land a hair ABOVE it (14.000000000000002),
+# pushing ceil() across an integer and shortening a prefix / tightening a
+# size filter by one — silently DROPPING pairs at exactly-t boundaries
+# (thresholds like 0.54/0.56/0.68 reproduce it). Subtracting ε before
+# ceil() and loosening size comparisons by ε errs only toward EXTRA
+# candidates, which exact verification removes; ε = 1e-9 dominates the
+# ~1e-16-relative FP error for any realistic shingle-set size (≤ ~1e6).
+_T_EPS = 1e-9
+
+
+def _required_overlap(threshold: float, n_sh):
+    """⌈t·n⌉ with conservative (never-rounds-up-across-integers) FP."""
+    return F.ceil(F.lit(float(threshold)) * n_sh - F.lit(_T_EPS))
+
 
 def _pin(df: DataFrame) -> DataFrame:
     """Persist a DataFrame that the surrounding plan consumes several times.
@@ -177,18 +193,19 @@ def jaccard_prefix_candidates(
     prefix = _pin(
         ranked.filter(
             F.col("__rk")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+            <= F.col("n_sh") - _required_overlap(threshold, F.col("n_sh")) + 1
         ).select("doc", "sh", "n_sh")
     )
     t = F.lit(float(threshold))
+    eps = F.lit(_T_EPS)
     return (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.doc") < F.col("b.doc"))
-            & (F.col("a.n_sh") * t <= F.col("b.n_sh"))
-            & (F.col("b.n_sh") * t <= F.col("a.n_sh")),
+            & (F.col("a.n_sh") * t - eps <= F.col("b.n_sh"))
+            & (F.col("b.n_sh") * t - eps <= F.col("a.n_sh")),
         )
         .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .distinct()
@@ -316,7 +333,7 @@ def containment_prefix_candidates(
     )
     prefix = ranked.filter(
         F.col("__rk")
-        <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
+        <= F.col("n_sh") - _required_overlap(threshold, F.col("n_sh")) + 1
     ).select("doc", "sh", "n_sh")
     full = ranked.select("doc", "sh", "n_sh")
     return (

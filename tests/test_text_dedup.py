@@ -166,7 +166,10 @@ def test_prefix_filter_exactness_property(spark, monkeypatch):
     )
     @given(
         docs=corpora,
-        t=st.sampled_from([0.3, 0.5, 0.8]),
+        # 0.56 / 0.68 are FP-hostile: t·n for small integer n lands a hair
+        # above the mathematical integer (0.56·25 = 14.000000000000002),
+        # which un-epsiloned ceil()/size-filter arithmetic rounds across
+        t=st.sampled_from([0.3, 0.5, 0.56, 0.68, 0.8]),
         n=st.sampled_from([2, 3]),
     )
     def check(docs, t, n):
@@ -186,6 +189,42 @@ def test_prefix_filter_exactness_property(spark, monkeypatch):
             assert forced == naive
 
     check()
+
+
+def test_prefix_filter_boundary_thresholds_exact(spark, monkeypatch):
+    """Pairs whose similarity is EXACTLY the threshold survive the forced
+    prefix path at FP-hostile thresholds (round-9 ADVICE repro): 0.56·25
+    is 14.000000000000002 in doubles, so a non-epsiloned ⌈t·n⌉ prefix
+    bound and t·n_a ≤ n_b size filter both round across the integer and
+    silently drop qualifying pairs — making results depend on which
+    physical path the cost probe picks."""
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup as dd
+
+    # unigram shingles ≡ distinct-token sets → exact set sizes by
+    # construction. Jaccard pair: |A|=25, |B|=14, B ⊂ A → j = 14/25 = 0.56.
+    shared = [f"w{i}" for i in range(14)]
+    a_only = [f"a{i}" for i in range(11)]
+    jac = spark.createDataFrame(
+        [(1, " ".join(shared + a_only)), (2, " ".join(shared))],
+        "doc_id long, text string",
+    )
+    # Containment pair: |small|=25, |big|=30, 14 shared → c = 14/25 = 0.56.
+    small = shared + [f"s{i}" for i in range(11)]
+    big = shared + [f"b{i}" for i in range(16)]
+    con = spark.createDataFrame(
+        [(1, " ".join(small)), (2, " ".join(big))],
+        "doc_id long, text string",
+    )
+
+    monkeypatch.setattr(dd, "_NAIVE_JOIN_ROWS_MAX", 0)  # force prefix path
+    got_j = dd.shingle_pairs_jaccard(
+        jac, n=1, threshold=0.56, max_shingle_df=None
+    ).collect()
+    assert [(r.id_a, r.id_b, r.jaccard) for r in got_j] == [(1, 2, 0.56)]
+    got_c = dd.containment_pairs(
+        con, n=1, threshold=0.56, max_shingle_df=None
+    ).collect()
+    assert [(r.id_a, r.id_b, r.containment) for r in got_c] == [(1, 2, 0.56)]
 
 
 def test_minhash_matches_exact(docs):
