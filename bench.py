@@ -115,12 +115,14 @@ def main() -> None:
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         tmp = tempfile.mkdtemp(prefix="bench_curate_")
-        t0 = time.time()
-        out, obs = _cur.curate(spark, docs)
-        out.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
-        _ = {k: o.get["rows"] for k, o in obs.items()}
-        curate_pipeline_sec = round(time.time() - t0, 3)
-        shutil.rmtree(tmp, ignore_errors=True)
+        try:
+            t0 = time.time()
+            out, obs = _cur.curate(spark, docs)
+            out.write.mode("overwrite").parquet(os.path.join(tmp, "docs"))
+            _ = {k: o.get["rows"] for k, o in obs.items()}
+            curate_pipeline_sec = round(time.time() - t0, 3)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
         spark.catalog.clearCache()
     except Exception as e:
         print(f"curate pipeline bench failed: {e}", file=sys.stderr)
@@ -136,7 +138,9 @@ def main() -> None:
         # per-tag one-time builds of cross-entry shared materializations
         # (consumers above time their own work against the built artifact)
         "shared_build_sec": shared_build_sec,
-        "shared_build_total_s": round(sum(shared_build_sec.values()), 3),
+        "shared_build_total_s": round(
+            sum(v for v in shared_build_sec.values() if v >= 0), 3
+        ),
         # composed curate.py batch pipeline over sf_dir documents (scrub →
         # exact → LSH near-dup → gates → split/shard, counters on the
         # write) — regression-tracked across rounds like per-query entries

@@ -292,15 +292,25 @@ def _shared_artifact_accessors():
 def prewarm_shared(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Materialize every shared artifact at ``sf_dir``; returns per-tag
     build seconds (tags already built this session cost ~0 and keep
-    their recorded time)."""
+    their recorded time). A failed build must not kill the harness, but
+    it must not be INVISIBLE either — silence would revert the build
+    cost to the first consumer's per-query time, the exact
+    mis-attribution this function exists to eliminate — so failures go
+    to stderr and into the returned dict under ``failed::<fn>``."""
+    import sys as _sys
+
     from . import shared
 
+    times = {}
     for fn in _shared_artifact_accessors():
         try:
             fn(spark, sf_dir)
-        except Exception:  # a broken artifact must not kill the harness
-            pass
-    return shared.build_times(sf_dir)
+        except Exception as exc:  # a broken artifact must not kill the harness
+            name = getattr(fn, "__name__", repr(fn))
+            print(f"prewarm_shared: {name} failed: {exc!r}", file=_sys.stderr)
+            times[f"failed::{name}"] = -1.0
+    times.update(shared.build_times(sf_dir))
+    return times
 
 
 # Registration order is deliberate: the driver's correctness gate checks the
@@ -577,51 +587,54 @@ register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
 
-# --- round-9 driver window ------------------------------------------------
+# --- round-10 driver window ------------------------------------------------
 # The driver's correctness gate samples the FIRST 50 entries of queries().
-# Coverage is 151/151 cumulative, so the window's job is RE-confirmation
-# (round-8 discipline). Composition, exactly as the round-8 VERDICT
-# prescribed ("Next round" item 2): (a) the six twins whose
-# implementations moved AFTER the r8 window froze (round-8 job-count /
-# shared-checkpoint reworks: scored-corpus classifier pair, shared LSH
-# candidates, driver-prefix cumsum family) — their r7 driver rows predate
-# the current code, so they lead; (b) the QUERY_CONF conf-profile members
-# (codegen / AQE A/B opt-ins) not re-sampled in the r8 window; (c) ALL 33
-# longest-unconfirmed rows (last driver-confirmed r3/r4); (d) three
-# oldest r6 rows to fill the window, including s_cosine_neardup (a cold-
-# protocol target this round). Zero overlap with the r8 window EXCEPT
-# t_corpus_prep, whose implementation changed THIS round (window dedup +
-# single materialized token array — the r5-precedent impl-changed
-# re-entry, as a_weighted_quantile in r8).
-WINDOW_R9 = (
-    "t_corpus_prep",
-    # (a) post-r8-freeze impl-touched (judge re-ran all six green; these
-    # driver rows make it official) + the round-9 addition right after
-    # its exact twin
-    "t_hashed_classifier", "t_calibration_bins", "d_lsh_quality",
-    "a_ks_test", "a_ks_test_binned", "w_pareto_share", "a_gini",
-    # (b) QUERY_CONF members not re-sampled in r8
-    "t_token_kl_drift", "g_triangle_count", "e_peak_concurrency",
-    "a_winsorize", "t_cooccurrence_lift", "q_nation_trade",
-    "q_local_supplier_volume", "q_shipping_priority",
-    # (c) oldest driver rows — all of r3...
-    "a_dedup_pk", "a_distinct_ids", "a_salted_skew_sum", "a_stats_minmax",
-    "j_anti", "j_assembly_left_defaults", "j_broadcast_lookup",
-    "j_first_group_enrich", "j_fuzzy_match", "j_semi", "p_filter_pushdown",
-    "p_null_canonicalization", "p_type_coercion",
-    # ...and all of r4
-    "a_count_distinct", "a_mode", "a_percentiles", "a_zscore_outliers",
-    "f_date_explode", "f_dates", "f_formatting_wide", "f_json_props",
-    "f_regex_extract", "f_string_ids", "o_latest_per_key", "o_set_ops",
-    "o_sort_topk", "s_embedding_stats", "w_frames", "w_running_rank",
-    "x_cube", "x_pivot", "x_topk_per_group", "x_unpivot",
-    # (d) oldest r6 row
-    "s_cosine_neardup",
+# Coverage is 152/152 cumulative (every oracle twin driver-confirmed at
+# least once, r01-r09, zero failures), so the window's job remains
+# RE-confirmation. Composition, exactly as the round-9 VERDICT prescribed
+# ("Next round" item 1): (a) the cost-based-join twins whose call path
+# (shingle_pairs_jaccard / containment_pairs) gained the PPJoin branch
+# AFTER the r9 window froze and the FP-epsilon bound fix in round 10;
+# (b) the two entries whose implementations change THIS round (exact-KS
+# cardinality guard, s_cosine_topk constant cut); (c) ALL 18 rows last
+# confirmed in r6 — the oldest driver rows anywhere; (d) 25 of the 32
+# remaining r7-era rows, t_corpus_prep-adjacent text twins first.
+WINDOW_R10 = (
+    # (a) impl changed AFTER the r9 window froze: the cost-based
+    # prefix-filter branch landed in shingle_pairs_jaccard /
+    # containment_pairs post-freeze (round-9 judge re-ran all three
+    # green), and round 10 added the FP-epsilon bound fix on the same
+    # path; d_incremental_dedup shares the dedup family's shingle pass
+    "d_ngram_jaccard", "d_containment", "d_threshold_curve",
+    "d_incremental_dedup",
+    # (b) impl changed THIS round: exact-KS cardinality guard
+    # (delegates to the binned grid above a distinct-count bound) and
+    # the s_cosine_topk constant cut
+    "a_ks_test", "a_ks_test_binned", "s_cosine_topk",
+    # (c) ALL 18 longest-unconfirmed rows (last driver-confirmed r6)
+    "a_grouping_sets", "a_partial_agg_merge", "c_snapshot_diff",
+    "d_dq_violations", "e_funnel_stages", "e_sessionize",
+    "e_tumbling_window", "f_month_batches", "j_merge_upsert",
+    "j_scd2_dim", "s_quantize_int8", "t_scrub_pii", "w_ntile_quartiles",
+    "w_rank_distribution", "w_rolling_7d", "x_asof_join",
+    "x_grouped_list", "x_posexplode",
+    # (d) 25 of the 32 remaining r7-era rows, text (t_corpus_prep-
+    # adjacent) twins first; the 7 deferred pure-relational r7 rows
+    # (x_geo_grid_join, x_geo_knn, x_asof_forward, x_asof_nearest,
+    # f_array_ops, f_variant_shred, x_lateral_topn) rotate in r11
+    "t_line_dedup", "t_quality_gate", "t_ccnet_buckets", "t_bm25_topk",
+    "t_dsir_weights", "t_dsir_resample", "t_lm_perplexity",
+    "t_negative_sample", "t_ngram_novelty", "t_source_caps",
+    "t_temperature_mix", "a_benford", "a_chi_square", "a_mad_outliers",
+    "a_source_lang_entropy", "c_cdc_apply", "e_attribution",
+    "e_ewma_anomaly", "e_interval_coverage", "e_markov_transitions",
+    "j_salted_skew_join", "s_embedding_drift", "x_ordered_paths",
+    "x_range_join_bucketed", "x_skew_report",
 )
-assert len(WINDOW_R9) == 50 and len(set(WINDOW_R9)) == 50
-_missing = [n for n in WINDOW_R9 if n not in QUERIES or n not in ORACLES]
+assert len(WINDOW_R10) == 50 and len(set(WINDOW_R10)) == 50
+_missing = [n for n in WINDOW_R10 if n not in QUERIES or n not in ORACLES]
 assert not _missing, f"window entries must be registered oracle twins: {_missing}"
-_window = {n: QUERIES[n] for n in WINDOW_R9}
+_window = {n: QUERIES[n] for n in WINDOW_R10}
 _rest = {n: f for n, f in QUERIES.items() if n not in _window}
 QUERIES.clear()
 QUERIES.update(_window)

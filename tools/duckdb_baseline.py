@@ -122,6 +122,9 @@ def main() -> int:
     t_spark_total = sum(r["spark_s"] for r in rows.values())
     t_duck_total = sum(r["duckdb_s"] for r in rows.values())
     ratios = sorted(r["ratio"] for r in rows.values() if r["ratio"] is not None)
+    # failed prewarm builds are reported as failed::<fn> = -1.0 sentinels;
+    # exclude them from totals (their cost shows up in per-query numbers)
+    _shared_ok_total = sum(v for v in shared_build_sec.values() if v >= 0)
     summary = {
         "sf_dir": sf_dir,
         "protocol": (
@@ -138,12 +141,10 @@ def main() -> int:
         # being charged to their first consumer's per-query number; the
         # _incl variants add them back for the most conservative read
         "shared_build_sec": shared_build_sec,
-        "shared_build_total_s": round(sum(shared_build_sec.values()), 2),
-        "spark_total_incl_shared_s": round(
-            t_spark_total + sum(shared_build_sec.values()), 2
-        ),
+        "shared_build_total_s": round(_shared_ok_total, 2),
+        "spark_total_incl_shared_s": round(t_spark_total + _shared_ok_total, 2),
         "total_ratio_incl_shared": round(
-            (t_spark_total + sum(shared_build_sec.values())) / t_duck_total, 2
+            (t_spark_total + _shared_ok_total) / t_duck_total, 2
         )
         if t_duck_total > 0
         else None,
