@@ -276,7 +276,16 @@ KS_TYPE_B = "click"
 KS_ALPHA_C = 1.358  # c(α) for α = 0.05 in the large-sample KS rejection rule
 
 
-def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+_KS_EXACT_DISTINCT_MAX = 2_000_000
+
+
+def a_ks_test(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_distinct: int = _KS_EXACT_DISTINCT_MAX,
+    on_exceed: str = "error",
+) -> DataFrame:
     """D = sup_x |F_a(x) − F_b(x)| between the `value` distributions of
     two event types, plus the α=0.05 large-sample significance verdict
     (reject iff D > c(α)·√((n1+n2)/(n1·n2))).
@@ -288,6 +297,16 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded value cardinality you'd bin first, trading exactness for a
     bounded grid).
 
+    Cardinality guard (round-9 sf10 probe: the distinct-value histogram
+    GROWS with a near-continuous `value` column — 13.6 s at 100× facts
+    and worsening with cardinality): a one-pass ``approx_count_distinct``
+    probe runs first, and above ``max_distinct`` the unbounded plan does
+    not silently ship — ``on_exceed="error"`` (default) raises with a
+    pointer at `a_ks_test_binned` (the bounded-grid PRODUCTION mode;
+    binned D lower-bounds exact D), ``on_exceed="delegate"`` returns the
+    binned result outright. Same measured-cost-switch discipline as
+    `shingle_pairs_jaccard`'s Σdf² probe.
+
     Scale shape: the cumulative counts come from ONE bucketed
     global-cumsum pass (`operators/order.py` — range-partitioned
     windows + broadcast bucket offsets, never a single-partition
@@ -296,6 +315,17 @@ def a_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
     )
+    approx = ev.agg(F.approx_count_distinct("value").alias("d")).collect()[0]["d"]
+    if approx > max_distinct:
+        if on_exceed == "delegate":
+            return a_ks_test_binned(spark, sf_dir)
+        raise ValueError(
+            f"a_ks_test: ~{approx:,} distinct values exceeds the exact-mode "
+            f"bound ({max_distinct:,}); the distinct-value histogram would "
+            "grow unboundedly with cardinality. Use a_ks_test_binned (fixed "
+            f"{KS_BINS}-bin grid, conservative lower-bound D) or pass "
+            "on_exceed='delegate' / a larger max_distinct explicitly."
+        )
     g = ev.groupBy("value").agg(
         F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("d2"),

@@ -133,6 +133,26 @@ def test_ks_test_binned_bounds_exact_and_matches_reference(spark, sf_dir):
     assert row.ks_stat <= exact.ks_stat + 1e-15
 
 
+def test_ks_exact_cardinality_guard(spark, sf_dir):
+    """Above the distinct-value bound the exact KS plan must not silently
+    ship (round-9 sf10 probe: the histogram grows with cardinality).
+    Forced via max_distinct=0: default raises pointing at the binned
+    mode; on_exceed='delegate' returns the binned result."""
+    import pytest
+
+    with pytest.raises(ValueError, match="a_ks_test_binned"):
+        round5d.a_ks_test(spark, sf_dir, max_distinct=0)
+    delegated = round5d.a_ks_test(
+        spark, sf_dir, max_distinct=0, on_exceed="delegate"
+    ).collect()[0]
+    binned = round5d.a_ks_test_binned(spark, sf_dir).collect()[0]
+    assert (delegated.n1, delegated.n2, delegated.ks_stat) == (
+        binned.n1,
+        binned.n2,
+        binned.ks_stat,
+    )
+
+
 def test_interval_coverage_merges_overlaps(spark):
     """Hand-built intervals: [0,10) ∪ [5,15) ∪ [15,20) = one island of 20;
     [100,101) is its own island. Built through the same µs session
