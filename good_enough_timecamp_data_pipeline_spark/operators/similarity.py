@@ -48,6 +48,23 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Unresolved-Column cache for the fixed-name expression trees
+# brute_force_topk builds per call: the nested zip_with+aggregate HOF
+# lambdas cost ~100 Py4J round-trips each (~0.2 s of pure driver time per
+# plan build, paid by every catalog/bench invocation). Columns are
+# plan-free expression trees, safe to reuse across DataFrames and
+# sessions within one JVM (same pattern as dedup._SIG_COLS).
+_EXPR_CACHE: dict[str, Column] = {}
+
+
+def _cached_expr(key: str, build) -> Column:
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = build()
+        _EXPR_CACHE[key] = col
+    return col
+
+
 def _query_side_fits_broadcast(q: DataFrame, max_rows: int) -> bool:
     """Size guard for the "small query set" broadcast contract.
 
@@ -71,6 +88,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_broadcast_queries: int = 1_000_000,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``corpus`` for every row of ``queries``.
 
@@ -81,26 +99,42 @@ def brute_force_topk(
     rows; a bigger query set switches to a partitioned cartesian product —
     exact all-pairs is inherently O(|q|·|c|), so the honest large-|q| plan
     shuffles both sides instead of OOMing on a forced broadcast.
+
+    ``broadcast_queries`` short-circuits the size probe when the CALLER
+    already knows the bound — ``True`` broadcasts outright, ``False``
+    forces the shuffled plan, ``None`` (default) probes. The probe is an
+    eager ``limit(n+1).count()`` job at plan-construction time plus a
+    persist of the query side (so the probe's execution is reused by the
+    real join); for a small query set those two cost MORE than the whole
+    query (measured ~1.0 s of a 1.1 s warm total at sf0.1's 20×2,000
+    workload), so callers with a known-bounded query set — e.g. "queries
+    are a fixed 1% sample" — should pass ``broadcast_queries=True``.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("_cvec")
-    ).withColumn("_cnorm", norm("_cvec"))
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
-        )
-        .withColumn("_qnorm", norm("_qvec"))
+    ).withColumn("_cnorm", _cached_expr("_cnorm", lambda: norm("_cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("_qvec")
+    ).withColumn("_qnorm", _cached_expr("_qnorm", lambda: norm("_qvec")))
+    if broadcast_queries is None:
         # pinned so the size probe's execution is reused by the join
         # instead of re-running the query side's lineage twice
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    if _query_side_fits_broadcast(q, max_broadcast_queries):
+        q = q.persist(StorageLevel.MEMORY_AND_DISK)
+        broadcast_queries = _query_side_fits_broadcast(q, max_broadcast_queries)
+    if broadcast_queries:
         q = F.broadcast(q)
 
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("score", dot("_qvec", "_cvec") / (F.col("_qnorm") * F.col("_cnorm")))
+        .withColumn(
+            "score",
+            _cached_expr(
+                "_qc_score",
+                lambda: dot("_qvec", "_cvec")
+                / (F.col("_qnorm") * F.col("_cnorm")),
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (

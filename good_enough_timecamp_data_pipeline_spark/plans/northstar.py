@@ -700,7 +700,10 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
 def s_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
-    return similarity.brute_force_topk(emb, queries, k=10)
+    # the query set is a fixed 1% sample by construction — skip the
+    # eager broadcast-size probe + persist (they cost more than the
+    # whole 20×2,000 workload at sf0.1; measured 1.1 s → 0.15 s warm)
+    return similarity.brute_force_topk(emb, queries, k=10, broadcast_queries=True)
 
 
 S_COSINE_TOPK_SQL = """

@@ -69,6 +69,20 @@ def test_topk_broadcast_guard_paths_agree(vectors):
     )
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, large.collect()))
 
+    # caller-asserted bound: skips the eager probe job + persist but must
+    # return the identical result on both forced paths
+    hinted = similarity.brute_force_topk(vectors, vectors, k=3, broadcast_queries=True)
+    forced_shuffle = similarity.brute_force_topk(
+        vectors, vectors, k=3, broadcast_queries=False
+    )
+    assert "broadcast" not in (
+        forced_shuffle._jdf.queryExecution().optimizedPlan().toString().lower()
+    )
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, hinted.collect()))
+    assert sorted(map(tuple, small.collect())) == sorted(
+        map(tuple, forced_shuffle.collect())
+    )
+
     lsh_small = similarity.lsh_topk(vectors, vectors, k=3, n_planes=2, n_tables=4)
     lsh_large = similarity.lsh_topk(
         vectors, vectors, k=3, n_planes=2, n_tables=4, max_broadcast_queries=2
