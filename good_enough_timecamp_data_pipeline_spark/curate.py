@@ -340,6 +340,7 @@ def _curate_one_batch(
     out_docs: str,
     stats_dir: str,
     lsh_cache_key: str | None,
+    drift: bool = False,
     **curate_kwargs,
 ) -> None:
     """One ``curate_stream`` micro-batch, module-level so the replay
@@ -349,11 +350,22 @@ def _curate_one_batch(
     uncommitted micro-batch it already holds this batch's landed copy,
     and an unfiltered anti-join would match every doc against itself
     and re-emit the partition empty, round-8 ADVICE item 1), then land
-    at ``docs/batch=<id>`` with overwrite (idempotent under replay)."""
+    at ``docs/batch=<id>`` with overwrite (idempotent under replay).
+
+    With ``drift=True`` the per-batch stats gain a ``drift`` section:
+    binned token-count KS + token-KL of the ARRIVING batch vs the
+    corpus (`operators/drift.py`). The corpus-side aggregates cache on
+    ``corpus_path`` — the corpus is write-once between compactions, so
+    monitoring costs one bounded hash-agg pair per batch."""
     import glob as _glob
 
     sess = batch.sparkSession
     corp = sess.read.parquet(corpus_path)
+    drift_stats = None
+    if drift:
+        from .operators.drift import drift_report
+
+        drift_stats = drift_report(batch, corp, ref_cache_key=corpus_path)
     out, obs = curate(
         sess, batch, corpus=corp, lsh_cache_key=lsh_cache_key, **curate_kwargs
     )
@@ -382,6 +394,8 @@ def _curate_one_batch(
     )
     stats = {k: o.get["rows"] for k, o in obs.items()}
     stats["landed"] = landed.get["rows"]
+    if drift_stats is not None:
+        stats["drift"] = drift_stats
     with open(os.path.join(stats_dir, f"batch_{batch_id}.json"), "w") as f:
         json.dump(stats, f)
 
@@ -394,6 +408,7 @@ def curate_stream(
     *,
     lsh_cache_key: str | None = None,
     checkpoint_dir: str | None = None,
+    drift: bool = False,
     **curate_kwargs,
 ) -> str:
     """Continuous curation: arriving document micro-batches are curated
@@ -436,6 +451,7 @@ def curate_stream(
             out_docs=out_docs,
             stats_dir=stats_dir,
             lsh_cache_key=lsh_cache_key,
+            drift=drift,
             **curate_kwargs,
         )
 
@@ -580,6 +596,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--corpus-key", default=None,
                    help="stable fingerprint of --corpus for the write-once "
                         "LSH index cache (default: derived from path+mtime)")
+    p.add_argument("--drift-report", action="store_true",
+                   help="with --corpus: emit binned token-count KS + "
+                        "token-KL of the input vs the corpus into stats")
     p.add_argument("--profile", action="store_true",
                    help="also write a (split, lang) acceptance profile "
                         "of the curated output to <output>/profile.json")
@@ -616,6 +635,14 @@ def main(argv: list[str] | None = None) -> int:
         corpus_key = args.corpus_key
         if corpus_key is None:
             corpus_key = _corpus_fingerprint(args.corpus)
+    drift_stats = None
+    if args.drift_report:
+        if corpus is None:
+            print("--drift-report requires --corpus", file=sys.stderr)
+            return 2
+        from .operators.drift import drift_report
+
+        drift_stats = drift_report(docs, corpus, ref_cache_key=args.corpus)
     curated, obs = curate(
         spark,
         docs,
@@ -640,6 +667,8 @@ def main(argv: list[str] | None = None) -> int:
 
     stats = {stage: o.get["rows"] for stage, o in obs.items()}
     stats["output_path"] = out_docs
+    if drift_stats is not None:
+        stats["drift"] = drift_stats
     with open(os.path.join(args.output, "stats.json"), "w") as f:
         json.dump(stats, f, indent=1)
     if args.profile:

@@ -300,12 +300,18 @@ def test_curate_stream_continuous(spark, tmp_path):
         spark, str(feed), corpus_path, out_dir,
         min_quality=0.0,
         skip=frozenset({"classifier", "quality", "scrub"}),
+        drift=True,
     )
     got = spark.read.parquet(out_docs)
     kept = sorted(r.doc_id for r in got.collect())
     assert kept == [102, 202]
     stats0 = json.load(open(os.path.join(out_dir, "stats", "batch_0.json")))
     assert stats0["input"] == 2 and stats0["exact_vs_corpus"] == 1
+    # drift telemetry rides next to the stage counters, per micro-batch
+    for b in (0, 1):
+        st = json.load(open(os.path.join(out_dir, "stats", f"batch_{b}.json")))
+        assert {"token_count_ks", "ks_significant", "token_kl",
+                "kl_flagged"} <= set(st["drift"])
     # per-batch partition dirs exist (the replay-idempotent sink layout)
     assert sorted(
         os.path.basename(p) for p in glob.glob(os.path.join(out_docs, "batch=*"))
@@ -585,3 +591,82 @@ def test_curate_cli_compact(spark, tmp_path):
     # missing key is a usage error
     assert cur.main(["--compact", "--input", accepted_path,
                      "--corpus", corpus_path, "--output", out]) == 2
+
+
+def test_drift_report_flags_seeded_drift_only(spark):
+    """The drift monitor's contract: a batch drawn from the corpus
+    distribution does NOT flag; a seeded drifted batch (disjoint
+    vocabulary, 4× lengths) flags BOTH signals. Deterministic corpora,
+    no randomness."""
+    from good_enough_timecamp_data_pipeline_spark.operators import drift
+
+    vocab_a = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+               "golf", "hotel", "india", "juliet"]
+    vocab_b = ["zulu", "yankee", "xray", "whiskey", "victor"]
+
+    def doc(vocab, length, i):
+        return " ".join(vocab[(i + j) % len(vocab)] for j in range(length))
+
+    ref = spark.createDataFrame(
+        [(i, doc(vocab_a, 20 + i % 40, i)) for i in range(400)],
+        "doc_id long, text string",
+    )
+    same = spark.createDataFrame(
+        [(1000 + i, doc(vocab_a, 20 + i % 40, i)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    drifted = spark.createDataFrame(
+        [(2000 + i, doc(vocab_b, 200, i)) for i in range(100)],
+        "doc_id long, text string",
+    )
+
+    stats = drift.reference_stats(ref, cache_key="t_drift_ref")
+    ok = drift.drift_report(same, ref_stats=stats)
+    bad = drift.drift_report(drifted, ref_stats=stats)
+
+    assert not ok["ks_significant"] and not ok["kl_flagged"]
+    assert ok["token_kl"] < 0.05
+    assert bad["ks_significant"] and bad["kl_flagged"]
+    assert bad["token_count_ks"] > ok["token_count_ks"]
+    assert bad["token_kl"] > 1.0
+    # reference aggregates are cached per corpus identity (the stream's
+    # write-once-corpus discipline): same key returns the same object
+    assert drift.reference_stats(ref, cache_key="t_drift_ref") is stats
+
+
+def test_curate_cli_drift_report(spark, tmp_path):
+    """--drift-report with --corpus embeds the drift section in
+    stats.json; without --corpus it is a usage error."""
+    corp = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest to find calm water and "
+            "rest for a while before the long journey home through hills")
+    corpus_path = str(tmp_path / "dr_corpus")
+    spark.createDataFrame(
+        [(1, corp)], "doc_id long, text string"
+    ).write.parquet(corpus_path)
+    batch_path = str(tmp_path / "dr_batch")
+    spark.createDataFrame(
+        [(101, corp)], "doc_id long, text string"
+    ).write.parquet(batch_path)
+
+    out_dir = str(tmp_path / "dr_out")
+    rc = cur.main([
+        "--input", batch_path,
+        "--output", out_dir,
+        "--corpus", corpus_path,
+        "--min-quality", "0.0",
+        "--skip", "classifier,quality,neardup",
+        "--drift-report",
+    ])
+    assert rc == 0
+    stats = json.load(open(os.path.join(out_dir, "stats.json")))
+    d = stats["drift"]
+    assert {"token_count_ks", "ks_significant", "token_kl",
+            "kl_flagged", "n_batch_docs", "n_ref_docs"} <= set(d)
+    # an identical doc set cannot drift
+    assert d["token_count_ks"] == 0.0 and d["token_kl"] == 0.0
+    assert not d["ks_significant"] and not d["kl_flagged"]
+
+    assert cur.main([
+        "--input", batch_path, "--output", out_dir, "--drift-report",
+    ]) == 2
