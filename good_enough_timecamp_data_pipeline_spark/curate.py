@@ -157,6 +157,8 @@ def curate(
     clf_train_fraction: float = 0.5,
     clf_train_iters: int = 10,
     neardup_threshold: float = 0.6,
+    neardup_mode: str = "jaccard",
+    containment_threshold: float = 0.9,
     splits: dict[str, float] | None = None,
     shards: int = 64,
     skip: frozenset[str] = frozenset(),
@@ -173,6 +175,10 @@ def curate(
         raise ValueError(f"unknown stages in --skip: {sorted(unknown)}")
     if clf_mode not in ("hashed", "trained"):
         raise ValueError(f"clf_mode must be 'hashed' or 'trained', got {clf_mode!r}")
+    if neardup_mode not in ("jaccard", "containment"):
+        raise ValueError(
+            f"neardup_mode must be 'jaccard' or 'containment', got {neardup_mode!r}"
+        )
 
     obs: dict[str, Observation] = {}
     # metric names must be unique per QUERY, and a composed plan can
@@ -222,7 +228,21 @@ def curate(
             )
 
     if "neardup" not in skip:
-        pairs = minhash_lsh_pairs(d, threshold=neardup_threshold)
+        if neardup_mode == "containment":
+            # excerpt/subset duplication: a 40% verbatim excerpt has
+            # jaccard ≈ 0.4 against its source (invisible to the LSH
+            # gate at any sane threshold) but containment 1.0. The
+            # asymmetric measure feeds the SAME cluster + survivor
+            # selection below, where longest-wins keeps the source and
+            # drops its excerpts. Cost-based exact join (Σdf² probe →
+            # PPJoin prefix filter above the bound — dedup.py).
+            from .operators.dedup import containment_pairs
+
+            pairs = containment_pairs(
+                d, threshold=containment_threshold, max_shingle_df=None
+            )
+        else:
+            pairs = minhash_lsh_pairs(d, threshold=neardup_threshold)
         edges = pairs.select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
@@ -583,6 +603,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--clf-train-fraction", type=float, default=0.5)
     p.add_argument("--clf-train-iters", type=int, default=10)
     p.add_argument("--neardup-threshold", type=float, default=0.6)
+    p.add_argument("--near-dup", dest="neardup_mode",
+                   choices=("jaccard", "containment"), default="jaccard",
+                   help="within-batch near-dup measure: LSH-Jaccard "
+                        "(default) or exact containment |A∩B|/min — "
+                        "catches excerpt/subset duplication Jaccard "
+                        "misses (the --corpus probe stays LSH-Jaccard)")
+    p.add_argument("--containment-threshold", type=float, default=0.9)
     p.add_argument("--splits", type=_parse_splits,
                    default={"train": 0.90, "val": 0.05, "test": 0.05},
                    help="comma list name=weight summing to 1")
@@ -652,6 +679,8 @@ def main(argv: list[str] | None = None) -> int:
         clf_train_fraction=args.clf_train_fraction,
         clf_train_iters=args.clf_train_iters,
         neardup_threshold=args.neardup_threshold,
+        neardup_mode=args.neardup_mode,
+        containment_threshold=args.containment_threshold,
         splits=args.splits,
         shards=args.shards,
         skip=skip,

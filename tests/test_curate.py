@@ -670,3 +670,60 @@ def test_curate_cli_drift_report(spark, tmp_path):
     assert cur.main([
         "--input", batch_path, "--output", out_dir, "--drift-report",
     ]) == 2
+
+
+def test_curate_containment_mode_drops_excerpt(spark):
+    """The VERDICT-mandated miss case: a ~40% verbatim excerpt of a
+    source doc has jaccard ≈ 0.4 (kept by the LSH-Jaccard gate at 0.6)
+    but containment 1.0 — containment mode drops it through the same
+    survivor selection (longest wins, so the source stays)."""
+    source = ("the quick brown fox jumps over the lazy dog and then runs "
+              "far away into the deep green forest to find calm water and "
+              "rest for a while before the long journey home through the "
+              "rolling hills beyond the river where tall pines sway gently")
+    excerpt = " ".join(source.split()[:18])   # verbatim prefix, ~40%
+    other = ("steam engines changed the shape of industry and the people "
+             "who built them worked across many countries with great "
+             "effort and care during the early era of mechanical power")
+    df = spark.createDataFrame(
+        [(1, source), (2, excerpt), (3, other)], "doc_id long, text string"
+    )
+    common = dict(
+        min_quality=0.0, skip=frozenset({"classifier", "quality", "scrub"})
+    )
+
+    jac, _ = cur.curate(spark, df, neardup_mode="jaccard", **common)
+    assert sorted(r.doc_id for r in jac.collect()) == [1, 2, 3]
+
+    con, _ = cur.curate(
+        spark, df, neardup_mode="containment",
+        containment_threshold=0.9, **common,
+    )
+    assert sorted(r.doc_id for r in con.collect()) == [1, 3]
+
+    with pytest.raises(ValueError, match="neardup_mode"):
+        cur.curate(spark, df, neardup_mode="cosine")
+
+
+def test_curate_cli_containment_mode(spark, tmp_path):
+    source = ("the quick brown fox jumps over the lazy dog and then runs "
+              "far away into the deep green forest to find calm water and "
+              "rest for a while before the long journey home through the "
+              "rolling hills beyond the river where tall pines sway gently")
+    excerpt = " ".join(source.split()[:18])
+    inp = str(tmp_path / "cm_in")
+    spark.createDataFrame(
+        [(1, source), (2, excerpt)], "doc_id long, text string"
+    ).write.parquet(inp)
+    out_dir = str(tmp_path / "cm_out")
+    rc = cur.main([
+        "--input", inp,
+        "--output", out_dir,
+        "--min-quality", "0.0",
+        "--skip", "classifier,quality",
+        "--near-dup", "containment",
+        "--containment-threshold", "0.9",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(os.path.join(out_dir, "docs"))
+    assert [r.doc_id for r in got.collect()] == [1]
