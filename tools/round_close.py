@@ -1,11 +1,18 @@
-"""Round-close ritual, automated (round-8 VERDICT item 5).
+"""Round-start + round-close ritual, automated (round-8 VERDICT item 5;
+round-9 item 2 split it into two halves).
 
-Three rounds in a row ended with bench/correctness artifacts untracked;
-this tool makes "clean ``git status`` at round end" one command::
+Four rounds in a row ended with the DRIVER's bench/correctness artifacts
+untracked — structurally inevitable at round END, because the driver
+writes them after the closing commit. So the ritual is now two calls::
 
-    python tools/round_close.py [N] [--no-bench]
+    python tools/round_close.py --start     # FIRST thing in a round:
+                                            # commit round N-1's driver
+                                            # artifacts (BENCH_r{N-1},
+                                            # CORRECTNESS_r{N-1},
+                                            # VERDICT.md, ADVICE.md)
+    python tools/round_close.py [N] [--no-bench]   # at round end
 
-Steps:
+Close-mode steps:
 
 1. (default) re-run ``bench.py`` at $SPARK_GRAFT_SF_DIR so
    ``bench_detail.json`` reflects the round's final code.
@@ -47,11 +54,61 @@ def sh(*args: str) -> str:
     ).stdout
 
 
+def round_start() -> int:
+    """Round-START half of the ritual (round-9 VERDICT item 2): the
+    driver writes round N-1's BENCH/CORRECTNESS (plus VERDICT/ADVICE)
+    AFTER round N-1's closing commit, so they are necessarily untracked
+    when round N begins. Committing them FIRST thing keeps ``git
+    status`` clean for the whole round, so the close step only ever
+    deals with round N's own refreshes."""
+    prior = [
+        os.path.relpath(p, REPO)
+        for pat in (
+            "BENCH_r*.json",
+            "CORRECTNESS_r*.json",
+            "VERDICT.md",
+            "ADVICE.md",
+        )
+        for p in glob.glob(os.path.join(REPO, pat))
+    ]
+    subprocess.check_call(["git", "add", "--"] + sorted(prior), cwd=REPO)
+    if not sh("git", "diff", "--cached", "--name-only").strip():
+        print("round_start: prior-round driver artifacts already committed")
+        return 0
+    ns = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n_prev = max(ns) if ns else 0
+    subprocess.check_call(
+        [
+            "git",
+            "commit",
+            "-q",
+            "-m",
+            f"round {n_prev}: driver verdict/advice/correctness/bench artifacts",
+        ],
+        cwd=REPO,
+    )
+    print(sh("git", "log", "--oneline", "-1").strip())
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("round", nargs="?", type=int, default=None)
     ap.add_argument("--no-bench", action="store_true")
+    ap.add_argument(
+        "--start",
+        action="store_true",
+        help="round-START mode: commit the PREVIOUS round's driver "
+        "artifacts (BENCH/CORRECTNESS/VERDICT/ADVICE) and exit",
+    )
     args = ap.parse_args()
+
+    if args.start:
+        return round_start()
 
     n = args.round
     if n is None:  # infer: highest BENCH_r* present (driver writes per round)
