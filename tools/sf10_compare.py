@@ -46,8 +46,31 @@ TAIL = [
 ]
 
 
+# Fact-bound representatives (round-9 VERDICT item 7): the queries whose
+# cost is carried by the SCALED tables (documents/events — the tables a
+# 100 TB bill is made of), measured at sf10 to pin the growth model's
+# second decade. The TAIL above is the complementary dim-/constant-bound
+# set from the r9 probe.
+FACT_BOUND = [
+    "t_corpus_prep",
+    "d_ngram_jaccard",
+    "t_cooccurrence_lift",
+    "t_line_dedup",
+    "e_interval_coverage",
+    "e_peak_concurrency",
+    "t_dsir_weights",
+    "t_token_kl_drift",
+    "t_quality_gate",
+    "a_mad_outliers",
+]
+
+
 def main() -> int:
-    base = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:]]
+    fact_bound = "--fact-bound" in argv
+    if fact_bound:
+        argv.remove("--fact-bound")
+    base = argv[0] if argv else "/root/testdata/sf0.1"
     from good_enough_timecamp_data_pipeline_spark.session import get_spark
     from tools.scale_probe import scaled_dir
 
@@ -57,15 +80,37 @@ def main() -> int:
     spark.stop()  # the comparison run builds its own tuned session
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifact = os.path.join(repo, "BASELINE_COMPARE_SF10.json")
     env = dict(os.environ)
-    env["SPARK_GRAFT_BASELINE_OUT"] = os.path.join(
-        repo, "BASELINE_COMPARE_SF10.json"
-    )
-    return subprocess.call(
+    out = artifact
+    if fact_bound:
+        out = os.path.join(repo, "BASELINE_COMPARE_SF10_FACTBOUND.tmp.json")
+    env["SPARK_GRAFT_BASELINE_OUT"] = out
+    rc = subprocess.call(
         [sys.executable, os.path.join(repo, "tools", "duckdb_baseline.py"), sf10]
-        + TAIL,
+        + (FACT_BOUND if fact_bound else TAIL),
         env=env,
     )
+    if rc != 0 or not fact_bound:
+        return rc
+    # merge the fact-bound rows into the canonical artifact, keeping the
+    # tail run's totals/provenance intact
+    import json
+
+    new = json.load(open(out))
+    merged = json.load(open(artifact)) if os.path.exists(artifact) else {
+        "queries": {}
+    }
+    merged.setdefault("queries", {}).update(new["queries"])
+    merged["fact_bound_run"] = {
+        k: v for k, v in new.items() if k != "queries"
+    }
+    merged["fact_bound_queries"] = FACT_BOUND
+    with open(artifact, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+    os.remove(out)
+    print(f"merged {len(new['queries'])} fact-bound rows into {artifact}")
+    return 0
 
 
 if __name__ == "__main__":
