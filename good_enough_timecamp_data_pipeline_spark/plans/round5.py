@@ -250,9 +250,18 @@ def t_cooccurrence_lift(
     - vocabulary = top ``vocab_size`` tokens by document frequency,
       picked by a distributed sort+limit (TakeOrdered — never a
       single-partition row_number window over every distinct token);
-    - per-doc tokens are semi-joined to that vocabulary *before* the
-      pair self-join, so pair fan-out is ≤ C(V,2) per doc regardless of
-      corpus size. The 40-row vocabulary side is AQE-broadcast.
+    - per-doc tokens are semi-joined to that vocabulary (explicitly
+      broadcast — 40 rows by construction), then ONE groupBy collects
+      each doc's sorted vocab-token array (≤ V elements) and the pair
+      combinations explode per row with bounded fan-out C(V,2). The
+      round-9 shape self-joined the (doc, tok∈vocab) rows on doc_id —
+      semantically identical, but that table is CORPUS-sized and the
+      round-10 sf10 broadcast audit (tools/broadcast_audit.py) caught
+      Catalyst planning it as the broadcast build side (its post-join
+      size estimate stays under the threshold however big the data —
+      the t_dsir_weights OOM class). The array form shuffles the
+      filtered tokens once and joins only ≤ C(V,2)-row aggregates
+      against the 40-row df dimension afterwards.
     - lift is one exactly-rounded integer division — no logs, so the
       DuckDB twin hashes identically (see module docstring).
     """
@@ -262,21 +271,38 @@ def t_cooccurrence_lift(
     )
     df_counts = doc_toks.groupBy("tok").agg(F.count("*").alias("df"))
     vocab = df_counts.orderBy(F.desc("df"), F.asc("tok")).limit(vocab_size)
-    in_vocab = doc_toks.join(vocab, "tok").select("doc_id", "tok", "df")
-    pairs = (
-        in_vocab.alias("a")
-        .join(
-            in_vocab.alias("b"),
-            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.tok") < F.col("b.tok")),
+    in_vocab = doc_toks.join(F.broadcast(vocab.select("tok")), "tok")
+    doc_arr = in_vocab.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("__ts")
+    )
+    ts = F.col("__ts")
+    pair_structs = F.flatten(
+        F.transform(
+            ts,
+            lambda x, i: F.transform(
+                F.slice(ts, i + 2, F.size(ts)),
+                lambda y: F.struct(x.alias("tok_a"), y.alias("tok_b")),
+            ),
         )
-        .groupBy(
-            F.col("a.tok").alias("tok_a"),
-            F.col("b.tok").alias("tok_b"),
-            F.col("a.df").alias("n_a"),
-            F.col("b.df").alias("n_b"),
-        )
+    )
+    pair_counts = (
+        doc_arr.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
+    )
+    # ≤ C(V,2) pair rows meet the 40-row df dimension twice — both
+    # bounded by construction, both explicitly broadcast
+    df_dim = F.broadcast(vocab)
+    pairs = (
+        pair_counts.join(
+            df_dim.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a")),
+            "tok_a",
+        )
+        .join(
+            df_dim.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b")),
+            "tok_b",
+        )
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     return pairs.crossJoin(n_docs).select(  # 1-row stats side
@@ -749,8 +775,15 @@ def t_dsir_weights(
             - F.log((F.col("c_c") + 1.0) / (F.col("t_c") + n_buckets))
         ).alias("lr"),
     )
+    # EXPLICIT broadcast of the B-row likelihood-ratio dimension: lr is
+    # ≤ n_buckets rows BY CONSTRUCTION, doc_b is corpus-sized. Leaving
+    # the build-side choice to size estimates is a scale bug — doc_b
+    # reads from a localCheckpoint whose LogicalRDD estimate does not
+    # track the real data volume, and at the synthesized sf10 Catalyst
+    # picked BuildLeft (broadcast the 25M-row doc_b) and died in the
+    # broadcast build. The bounded side is knowable statically; say so.
     return (
-        doc_b.join(lr, "bucket")
+        doc_b.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("n").alias("n_bigrams"),
