@@ -773,7 +773,15 @@ def t_bm25_topk(spark: SparkSession, sf_dir: str, top_k: int = 20) -> DataFrame:
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
+        # tf ⨝ lens must NOT broadcast lens: the per-doc length table is
+        # CORPUS-sized, and the shared checkpoint's LogicalRDD estimate
+        # does not track volume, so Catalyst planned exactly that at the
+        # synthesized sf10 (round-10 broadcast audit — the
+        # t_dsir_weights OOM class). The posting-list side tf is the
+        # small side by design; the shuffle_hash hint pins it as the
+        # per-partition build side of a shuffled join.
         tf.join(F.broadcast(df_t), "term")
+        .hint("shuffle_hash")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .withColumn(
