@@ -38,7 +38,9 @@ def brute_force_line_dedup(token_lists, width=10):
     return out
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+# 4 examples: each is a whole random corpus and costs ~5 s of fixed
+# write+plan constant; suite-time budget (round-9 VERDICT item 8)
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(token_lists=docs_strategy)
 def test_line_dedup_matches_brute_force(spark, token_lists):
     import os
@@ -64,7 +66,8 @@ revenues = st.lists(
 )
 
 
-@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+# 4 examples: see the suite-time note above
+@settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
 @given(cents=revenues)
 def test_pareto_matches_brute_force(spark, cents):
     import os
