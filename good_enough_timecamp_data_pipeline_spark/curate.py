@@ -26,7 +26,11 @@ content hashes, and the ``neardup`` stage probes the corpus' write-once
 LSH index (``operators/dedup.py::build_lsh_index_cached`` +
 ``incremental_lsh_pairs``) — per-batch cost is O(batch), never
 O(corpus), which is the only shape a continuously-growing corpus
-affords. The output is the append candidate set.
+affords. With ``--near-dup containment`` the corpus probe instead runs
+the cross-set containment prefix join
+(``incremental_containment_pairs``) — excerpt/subset contamination the
+Jaccard probe structurally misses — still O(batch) per arrival. The
+output is the append candidate set.
 4. ``quality``    — heuristic gate: ``quality_score(text) >= min_quality``.
 5. ``classifier`` — model-based gate, two modes:
                     ``hashed`` (default): deterministic md5-weight linear
@@ -265,26 +269,35 @@ def curate(
             "neardup",
         )
         if corpus is not None:
-            from .operators.dedup import (
-                build_lsh_index,
-                build_lsh_index_cached,
-                incremental_lsh_pairs,
-            )
-
             # d is already persisted by this stage's _CachedCount — the
             # probe (shingle input) and the anti-join's left side read
             # the same cached blocks instead of re-running the batch
             # pipeline per consumer
+            if neardup_mode == "containment":
+                from .operators.dedup import incremental_containment_pairs
 
-            # probe the corpus' write-once index; without a cache key
-            # the index is derived in-session (one corpus pass)
-            if lsh_cache_key is not None:
-                index = build_lsh_index_cached(spark, corpus, lsh_cache_key)
+                # cross-set excerpt/subset probe: O(batch) against the
+                # corpus shingle tables (write-once per generation);
+                # the measure matches the within-batch stage above
+                cross = incremental_containment_pairs(
+                    d, corpus, threshold=containment_threshold
+                )
             else:
-                index = build_lsh_index(corpus)
-            cross = incremental_lsh_pairs(
-                d, index=index, threshold=neardup_threshold
-            )
+                from .operators.dedup import (
+                    build_lsh_index,
+                    build_lsh_index_cached,
+                    incremental_lsh_pairs,
+                )
+
+                # probe the corpus' write-once index; without a cache key
+                # the index is derived in-session (one corpus pass)
+                if lsh_cache_key is not None:
+                    index = build_lsh_index_cached(spark, corpus, lsh_cache_key)
+                else:
+                    index = build_lsh_index(corpus)
+                cross = incremental_lsh_pairs(
+                    d, index=index, threshold=neardup_threshold
+                )
             dup_new = cross.select(F.col("id_new").alias("doc_id")).distinct()
             d = observed(
                 d.join(dup_new, "doc_id", "left_anti"), "neardup_vs_corpus"
@@ -605,10 +618,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--neardup-threshold", type=float, default=0.6)
     p.add_argument("--near-dup", dest="neardup_mode",
                    choices=("jaccard", "containment"), default="jaccard",
-                   help="within-batch near-dup measure: LSH-Jaccard "
-                        "(default) or exact containment |A∩B|/min — "
-                        "catches excerpt/subset duplication Jaccard "
-                        "misses (the --corpus probe stays LSH-Jaccard)")
+                   help="near-dup measure: LSH-Jaccard (default) or exact "
+                        "containment |A∩B|/min — catches excerpt/subset "
+                        "duplication Jaccard misses; with --corpus the "
+                        "corpus probe uses the cross-set containment "
+                        "prefix join (O(batch) per arrival)")
     p.add_argument("--containment-threshold", type=float, default=0.9)
     p.add_argument("--splits", type=_parse_splits,
                    default={"train": 0.90, "val": 0.05, "test": 0.05},

@@ -396,6 +396,112 @@ def _verify_containment(
     )
 
 
+def incremental_containment_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    *,
+    corpus_shingles: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Cross-set containment probe: EXACT (id_new, dup_of) pairs with
+    |new ∩ corpus| / min ≥ ``threshold`` between an arriving batch and a
+    fixed corpus — the excerpt-contamination check the Jaccard LSH probe
+    (`incremental_lsh_pairs`) structurally misses (a 40% verbatim
+    excerpt of a corpus doc is jaccard ≈ 0.4 but containment 1.0).
+
+    Scale shape (the `containment_pairs` asymmetric prefix filter,
+    applied cross-set): order every doc's shingles by the CORPUS
+    document frequency (batch-unseen shingles order first at df 0 —
+    exactness needs only a consistent total order, frequency is the
+    skew heuristic), keep each doc's |d| − ⌈t·|d|⌉ + 1 prefix, and
+    collide prefix(batch) × full(corpus) ∪ full(batch) × prefix(corpus):
+    a qualifying pair's first common shingle provably sits in the
+    SMALLER side's prefix, so whichever side is smaller, one term
+    catches it. Both joins carry the O(batch) side against the
+    write-once corpus artifacts (shingle table, df table, prefix table —
+    all derivable once per corpus generation and passed via
+    ``corpus_shingles``), so per-batch cost is O(batch + matches),
+    never O(corpus²). Verification computes exact intersection counts
+    restricted to candidate docs. Threshold arithmetic carries the
+    `_T_EPS` slack (exactness at boundary thresholds)."""
+    if (corpus_df is None) == (corpus_shingles is None):
+        raise ValueError("pass exactly one of corpus_df or corpus_shingles")
+    new_sh = _pin(shingle_rows(new_df, text_col, id_col, n))
+    cor_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _pin(shingle_rows(corpus_df, text_col, id_col, n))
+    )
+    df_tbl = cor_sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    w_doc = Window.partitionBy("doc")
+
+    def ranked_prefix(sh: DataFrame, corpus_side: bool) -> DataFrame:
+        joined = (
+            sh.join(df_tbl, "sh") if corpus_side
+            else sh.join(df_tbl, "sh", "left").withColumn(
+                "__df", F.coalesce(F.col("__df"), F.lit(0))
+            )
+        )
+        ranked = joined.withColumn(
+            "__rk", F.row_number().over(w_doc.orderBy("__df", "sh"))
+        ).withColumn("n_sh", F.count("*").over(w_doc))
+        return ranked.filter(
+            F.col("__rk")
+            <= F.col("n_sh") - _required_overlap(threshold, F.col("n_sh")) + 1
+        ).select("doc", "sh")
+
+    new_prefix = ranked_prefix(new_sh, corpus_side=False)
+    cor_prefix = ranked_prefix(cor_sh, corpus_side=True)
+    cand = (
+        new_prefix.alias("a")
+        .join(cor_sh.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .select(F.col("a.doc").alias("id_new"), F.col("b.doc").alias("dup_of"))
+        .unionByName(
+            new_sh.alias("a")
+            .join(cor_prefix.alias("b"), F.col("a.sh") == F.col("b.sh"))
+            .select(
+                F.col("a.doc").alias("id_new"), F.col("b.doc").alias("dup_of")
+            )
+        )
+        .distinct()
+    )
+    # exact verification restricted to candidate docs on both sides
+    new_c = _pin(
+        new_sh.join(
+            cand.select(F.col("id_new").alias("doc")).distinct(), "doc", "left_semi"
+        )
+    )
+    cor_c = _pin(
+        cor_sh.join(
+            cand.select(F.col("dup_of").alias("doc")).distinct(), "doc", "left_semi"
+        )
+    )
+    n_new = new_c.groupBy("doc").agg(F.count("*").alias("n_new"))
+    n_idx = cor_c.groupBy("doc").agg(F.count("*").alias("n_idx"))
+    inter = (
+        cand.join(new_c.alias("a"), F.col("id_new") == F.col("a.doc"))
+        .join(
+            cor_c.alias("b"),
+            (F.col("dup_of") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("id_new", "dup_of")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(n_new.withColumnRenamed("doc", "id_new"), "id_new")
+        .join(n_idx.withColumnRenamed("doc", "dup_of"), "dup_of")
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double") / F.least(F.col("n_new"), F.col("n_idx")),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_new", "dup_of", "n_inter", "n_new", "n_idx", "containment")
+    )
+
+
 # Unresolved-Column caches for the K-hash signature and band-bucket
 # expression lists. Column objects are plan-free expression trees, safe to
 # reuse across DataFrames and sessions within one JVM; building them fresh

@@ -409,6 +409,16 @@ register(
     "a_ks_test_binned", round5d.a_ks_test_binned, round5d.A_KS_TEST_BINNED_SQL
 )
 
+# --- new in r10: cross-set containment probe (excerpt contamination of an
+# arriving batch vs a fixed corpus; registration position is cosmetic —
+# the WINDOW_R10 reorder below decides the driver's first-50, and a new
+# entry enters the window in r11 per the rotation discipline) ---------------
+register(
+    "d_incremental_containment",
+    round5d.d_incremental_containment,
+    round5d.D_INCREMENTAL_CONTAINMENT_SQL,
+)
+
 # --- (b) implementation changed in r7 --------------------------------------
 # build_lsh_index_cached gained a versioned, per-user, ownership-checked
 # artifact key (round-6 ADVICE item 1); re-confirm the probe query.

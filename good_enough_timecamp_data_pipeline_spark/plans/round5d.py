@@ -267,6 +267,52 @@ WHERE CAST(n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= 0.9
 """.strip()
 
 
+def d_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-set containment probe (round 10): the injected excerpts
+    play an ARRIVING batch, the raw documents table plays the fixed
+    corpus — exactly the excerpt-contamination check `curate.py`'s
+    incremental mode runs with ``--near-dup containment``. Exact pairs
+    via the asymmetric prefix filter applied cross-set
+    (`operators/dedup.py::incremental_containment_pairs`): O(batch)
+    per arrival against write-once corpus artifacts."""
+    from ..operators.dedup import incremental_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(F.col("text"))
+    k = F.greatest(F.floor((F.size(toks) * 2) / F.lit(5)).cast("int"), F.lit(5))
+    batch = docs.filter(F.col("doc_id") % EXCERPT_MOD == 0).select(
+        (F.col("doc_id") + EXCERPT_ID_OFFSET).alias("doc_id"),
+        F.concat_ws(" ", F.slice(toks, F.lit(1), k)).alias("text"),
+    )
+    return incremental_containment_pairs(batch, docs, n=5, threshold=0.9)
+
+
+D_INCREMENTAL_CONTAINMENT_SQL = f"""
+WITH t0 AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+batch AS (
+    SELECT doc_id + {EXCERPT_ID_OFFSET} AS doc_id,
+           array_to_string(list_slice(toks, 1, GREATEST((len(toks) * 2) // 5, 5)), ' ') AS text
+    FROM t0 WHERE doc_id % {EXCERPT_MOD} = 0
+),
+bt AS (SELECT doc_id, {TOKS_SQL} AS toks FROM batch),
+bsh AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM bt),
+csh AS (SELECT doc_id, unnest({_shingles_sql('toks', 5)}) AS sh FROM t0),
+bsz AS (SELECT doc_id, COUNT(*) AS n_new FROM bsh GROUP BY doc_id),
+csz AS (SELECT doc_id, COUNT(*) AS n_idx FROM csh GROUP BY doc_id),
+inter AS (
+    SELECT b.doc_id AS id_new, c.doc_id AS dup_of, COUNT(*) AS n_inter
+    FROM bsh b JOIN csh c ON b.sh = c.sh
+    GROUP BY b.doc_id, c.doc_id
+)
+SELECT id_new, dup_of, n_inter, bsz.n_new, csz.n_idx,
+       CAST(n_inter AS DOUBLE) / LEAST(bsz.n_new, csz.n_idx) AS containment
+FROM inter
+JOIN bsz ON bsz.doc_id = id_new
+JOIN csz ON csz.doc_id = dup_of
+WHERE CAST(n_inter AS DOUBLE) / LEAST(bsz.n_new, csz.n_idx) >= 0.9
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # a_ks_test — exact two-sample Kolmogorov–Smirnov drift statistic
 # ---------------------------------------------------------------------------

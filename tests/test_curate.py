@@ -727,3 +727,39 @@ def test_curate_cli_containment_mode(spark, tmp_path):
     assert rc == 0
     got = spark.read.parquet(os.path.join(out_dir, "docs"))
     assert [r.doc_id for r in got.collect()] == [1]
+
+
+def test_curate_containment_mode_drops_corpus_excerpt(spark):
+    """Incremental containment mode: a batch doc that is an EXCERPT of a
+    CORPUS doc is dropped by the cross-set probe (the LSH-Jaccard probe
+    keeps it — jaccard vs the source is ~0.4); genuinely new docs
+    survive either mode."""
+    source = ("the quick brown fox jumps over the lazy dog and then runs "
+              "far away into the deep green forest to find calm water and "
+              "rest for a while before the long journey home through the "
+              "rolling hills beyond the river where tall pines sway gently")
+    corpus = spark.createDataFrame(
+        [(1, source)], "doc_id long, text string"
+    )
+    excerpt = " ".join(source.split()[:18])
+    fresh = ("a brand new essay on the craft of baking bread with flour "
+             "water salt and patience where the slow rise of the dough "
+             "rewards the baker who waits for the oven to warm through")
+    batch = spark.createDataFrame(
+        [(101, excerpt), (102, fresh)], "doc_id long, text string"
+    )
+    common = dict(
+        min_quality=0.0, skip=frozenset({"classifier", "quality", "scrub"}),
+        corpus=corpus,
+    )
+
+    jac, _ = cur.curate(spark, batch, neardup_mode="jaccard", **common)
+    assert sorted(r.doc_id for r in jac.collect()) == [101, 102]
+
+    con, obs = cur.curate(
+        spark, batch, neardup_mode="containment",
+        containment_threshold=0.9, **common,
+    )
+    assert sorted(r.doc_id for r in con.collect()) == [102]
+    stats = {k: o.get["rows"] for k, o in obs.items()}
+    assert stats["neardup_vs_corpus"] == 1

@@ -363,3 +363,91 @@ def test_incremental_dedup_rejects_ambiguous_index(spark):
     df = spark.createDataFrame([(1, "a b c d e f")], "doc_id long, text string")
     with _pytest.raises(ValueError, match="exactly one"):
         dedup.incremental_lsh_pairs(df)
+
+
+def test_incremental_containment_finds_corpus_excerpt(spark):
+    """The cross-set probe's contract: an excerpt of a CORPUS doc in an
+    arriving batch is flagged (the case the Jaccard LSH probe misses),
+    an unrelated doc is not, and an exact copy scores 1.0."""
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup as dd
+
+    source = ("the quick brown fox jumps over the lazy dog and then runs "
+              "far away into the deep green forest to find calm water and "
+              "rest for a while before the long journey home through the "
+              "rolling hills beyond the river where tall pines sway gently")
+    other = ("steam engines changed the shape of industry and the people "
+             "who built them worked across many countries with great "
+             "effort and care during the early era of mechanical power")
+    corpus = spark.createDataFrame(
+        [(1, source), (2, other)], "doc_id long, text string"
+    )
+    excerpt = " ".join(source.split()[:18])
+    fresh = ("a brand new essay on the craft of baking bread with flour "
+             "water salt and patience where the slow rise of the dough "
+             "rewards the baker who waits for the oven to warm through")
+    batch = spark.createDataFrame(
+        [(101, excerpt), (102, fresh), (103, other)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_new, r.dup_of): r.containment
+        for r in dd.incremental_containment_pairs(
+            batch, corpus, threshold=0.9
+        ).collect()
+    }
+    assert got[(101, 1)] == 1.0      # excerpt of corpus doc
+    assert got[(103, 2)] == 1.0      # exact copy
+    assert all(k[0] != 102 for k in got)  # fresh doc untouched
+    with pytest.raises(ValueError, match="exactly one"):
+        dd.incremental_containment_pairs(batch)
+
+
+def test_incremental_containment_matches_union_exact_join(spark, monkeypatch):
+    """Hypothesis: over random small-vocabulary corpora, the cross-set
+    prefix probe returns exactly the cross pairs of the exact
+    containment join over the union — both physical paths of the
+    latter."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup as dd
+
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    corpora = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=3, max_size=12),
+        min_size=4,
+        max_size=10,
+    )
+
+    @settings(
+        max_examples=4, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    @given(docs=corpora, t=st.sampled_from([0.5, 0.56, 0.9]), n=st.sampled_from([1, 2]))
+    def check(docs, t, n):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        half = len(rows) // 2
+        corpus = spark.createDataFrame(rows[:half], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(i + 1000, txt) for i, txt in rows[half:]],
+            "doc_id long, text string",
+        )
+        union = corpus.unionByName(
+            batch.select((F.col("doc_id")).alias("doc_id"), "text")
+        )
+        monkeypatch.setattr(dd, "_NAIVE_JOIN_ROWS_MAX", 10**18)
+        ref = dd.containment_pairs(union, n=n, threshold=t, max_shingle_df=None)
+        # cross pairs only, re-keyed to (id_new, dup_of)
+        expect = {
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): round(r.containment, 9)
+            for r in ref.collect()
+            if (r.id_a >= 1000) != (r.id_b >= 1000)
+        }
+        got = {
+            (r.id_new, r.dup_of): round(r.containment, 9)
+            for r in dd.incremental_containment_pairs(
+                batch, corpus, n=n, threshold=t
+            ).collect()
+        }
+        assert got == expect
+
+    check()
