@@ -285,6 +285,7 @@ def _shared_artifact_accessors():
         _r5f._docs_shingles_shared,
         _r5.part_supplier_edges,
         _r5._dsir_doc_sb,
+        _r5d._inc_containment_corpus_sh,
         reports.task_closure_shared,
     )
 
