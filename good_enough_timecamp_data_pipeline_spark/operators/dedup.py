@@ -396,11 +396,51 @@ def _verify_containment(
     )
 
 
+def build_containment_index(
+    corpus_df: DataFrame | None = None,
+    *,
+    corpus_shingles: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.9,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The write-once corpus side of `incremental_containment_pairs`:
+    (shingle rows, per-shingle document-frequency table, per-doc prefix
+    under the df order at ``threshold``). Build once per corpus
+    generation, persist/pass to every arriving batch — the
+    `build_lsh_index` discipline for the containment measure. The
+    prefix depends on ``threshold``; rebuild when it changes."""
+    if (corpus_df is None) == (corpus_shingles is None):
+        raise ValueError("pass exactly one of corpus_df or corpus_shingles")
+    cor_sh = (
+        corpus_shingles
+        if corpus_shingles is not None
+        else _pin(shingle_rows(corpus_df, text_col, id_col, n))
+    )
+    df_tbl = cor_sh.groupBy("sh").agg(F.count("*").alias("__df"))
+    w_doc = Window.partitionBy("doc")
+    ranked = (
+        cor_sh.join(df_tbl, "sh")
+        .withColumn("__rk", F.row_number().over(w_doc.orderBy("__df", "sh")))
+        .withColumn("n_sh", F.count("*").over(w_doc))
+    )
+    # the full table carries n_sh so the probe's verification reads doc
+    # sizes as a column instead of re-aggregating them per batch
+    full = ranked.select("doc", "sh", "n_sh")
+    prefix = ranked.filter(
+        F.col("__rk")
+        <= F.col("n_sh") - _required_overlap(threshold, F.col("n_sh")) + 1
+    ).select("doc", "sh")
+    return full, df_tbl, prefix
+
+
 def incremental_containment_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame | None = None,
     *,
     corpus_shingles: DataFrame | None = None,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
@@ -422,39 +462,40 @@ def incremental_containment_pairs(
     SMALLER side's prefix, so whichever side is smaller, one term
     catches it. Both joins carry the O(batch) side against the
     write-once corpus artifacts (shingle table, df table, prefix table —
-    all derivable once per corpus generation and passed via
-    ``corpus_shingles``), so per-batch cost is O(batch + matches),
+    built once per corpus generation by `build_containment_index` and
+    passed via ``index``), so per-batch cost is O(batch + matches),
     never O(corpus²). Verification computes exact intersection counts
     restricted to candidate docs. Threshold arithmetic carries the
     `_T_EPS` slack (exactness at boundary thresholds)."""
-    if (corpus_df is None) == (corpus_shingles is None):
-        raise ValueError("pass exactly one of corpus_df or corpus_shingles")
-    new_sh = _pin(shingle_rows(new_df, text_col, id_col, n))
-    cor_sh = (
-        corpus_shingles
-        if corpus_shingles is not None
-        else _pin(shingle_rows(corpus_df, text_col, id_col, n))
-    )
-    df_tbl = cor_sh.groupBy("sh").agg(F.count("*").alias("__df"))
-    w_doc = Window.partitionBy("doc")
-
-    def ranked_prefix(sh: DataFrame, corpus_side: bool) -> DataFrame:
-        joined = (
-            sh.join(df_tbl, "sh") if corpus_side
-            else sh.join(df_tbl, "sh", "left").withColumn(
-                "__df", F.coalesce(F.col("__df"), F.lit(0))
-            )
+    if index is None:
+        index = build_containment_index(
+            corpus_df,
+            corpus_shingles=corpus_shingles,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            threshold=threshold,
         )
-        ranked = joined.withColumn(
-            "__rk", F.row_number().over(w_doc.orderBy("__df", "sh"))
-        ).withColumn("n_sh", F.count("*").over(w_doc))
-        return ranked.filter(
-            F.col("__rk")
-            <= F.col("n_sh") - _required_overlap(threshold, F.col("n_sh")) + 1
-        ).select("doc", "sh")
-
-    new_prefix = ranked_prefix(new_sh, corpus_side=False)
-    cor_prefix = ranked_prefix(cor_sh, corpus_side=True)
+    elif corpus_df is not None or corpus_shingles is not None:
+        raise ValueError("pass index OR corpus_df/corpus_shingles, not both")
+    cor_sh, df_tbl, cor_prefix = index
+    # batch-side prefix under the SAME global order: corpus df, with
+    # batch-unseen shingles ordering first at df 0 (any consistent total
+    # order is exact; corpus frequency is the skew heuristic). The
+    # ranked frame carries n_sh so verification reads doc sizes as a
+    # column instead of re-aggregating them.
+    w_doc = Window.partitionBy("doc")
+    new_sh = _pin(
+        shingle_rows(new_df, text_col, id_col, n)
+        .join(df_tbl, "sh", "left")
+        .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
+        .withColumn("__rk", F.row_number().over(w_doc.orderBy("__df", "sh")))
+        .withColumn("n_sh", F.count("*").over(w_doc))
+    )
+    new_prefix = new_sh.filter(
+        F.col("__rk")
+        <= F.col("n_sh") - _required_overlap(threshold, F.col("n_sh")) + 1
+    ).select("doc", "sh")
     cand = (
         new_prefix.alias("a")
         .join(cor_sh.alias("b"), F.col("a.sh") == F.col("b.sh"))
@@ -468,31 +509,27 @@ def incremental_containment_pairs(
         )
         .distinct()
     )
-    # exact verification restricted to candidate docs on both sides
-    new_c = _pin(
-        new_sh.join(
-            cand.select(F.col("id_new").alias("doc")).distinct(), "doc", "left_semi"
-        )
+    # exact verification restricted to candidate docs on both sides (the
+    # candidate-id sets are O(batch); the semi-joins keep the corpus side
+    # from shuffling wholesale per arrival)
+    new_c = new_sh.join(
+        cand.select(F.col("id_new").alias("doc")).distinct(), "doc", "left_semi"
+    ).select("doc", "sh", "n_sh")
+    cor_c = cor_sh.join(
+        cand.select(F.col("dup_of").alias("doc")).distinct(), "doc", "left_semi"
     )
-    cor_c = _pin(
-        cor_sh.join(
-            cand.select(F.col("dup_of").alias("doc")).distinct(), "doc", "left_semi"
-        )
-    )
-    n_new = new_c.groupBy("doc").agg(F.count("*").alias("n_new"))
-    n_idx = cor_c.groupBy("doc").agg(F.count("*").alias("n_idx"))
-    inter = (
+    return (
         cand.join(new_c.alias("a"), F.col("id_new") == F.col("a.doc"))
         .join(
             cor_c.alias("b"),
             (F.col("dup_of") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
         )
         .groupBy("id_new", "dup_of")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    return (
-        inter.join(n_new.withColumnRenamed("doc", "id_new"), "id_new")
-        .join(n_idx.withColumnRenamed("doc", "dup_of"), "dup_of")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min("a.n_sh").alias("n_new"),
+            F.min("b.n_sh").alias("n_idx"),
+        )
         .withColumn(
             "containment",
             F.col("n_inter").cast("double") / F.least(F.col("n_new"), F.col("n_idx")),

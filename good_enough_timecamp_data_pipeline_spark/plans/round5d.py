@@ -284,29 +284,48 @@ def d_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + EXCERPT_ID_OFFSET).alias("doc_id"),
         F.concat_ws(" ", F.slice(toks, F.lit(1), k)).alias("text"),
     )
-    # the corpus shingle table is the op's write-once per-generation
-    # artifact (built once, probed by every arriving batch) — model that
-    # lifetime with a shared checkpoint so the per-arrival number times
-    # the PROBE, with the build labeled under shared_build_sec
+    # the corpus index (shingles + df order + prefix) is the op's
+    # write-once per-generation artifact — model that lifetime with
+    # shared checkpoints so the per-arrival number times the PROBE,
+    # with the build labeled under shared_build_sec
     return incremental_containment_pairs(
-        batch,
-        corpus_shingles=_inc_containment_corpus_sh(spark, sf_dir),
-        n=5,
-        threshold=0.9,
+        batch, index=_inc_containment_corpus_sh(spark, sf_dir), n=5, threshold=0.9
     )
 
 
-def _inc_containment_corpus_sh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-once corpus shingle table for the cross-set containment
-    probe (shared-artifact accessor; prewarmed by catalog.prewarm_shared)."""
-    from ..operators.dedup import shingle_rows
+def _inc_containment_corpus_sh(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Write-once corpus containment index (shingles, df table, prefix)
+    for the cross-set probe (shared-artifact accessor; prewarmed by
+    catalog.prewarm_shared)."""
+    from ..operators.dedup import build_containment_index
     from .shared import shared_checkpoint
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return shared_checkpoint(
-        spark, sf_dir, "inc_containment_corpus_sh",
-        lambda: shingle_rows(docs, "text", "doc_id", 5),
+    holder: dict = {}
+
+    def derived(which: str):
+        def build() -> DataFrame:
+            if not holder:
+                full, df_tbl, prefix = build_containment_index(
+                    corpus_df=docs, threshold=0.9
+                )
+                holder.update(full=full, df=df_tbl, prefix=prefix)
+            return holder[which]
+
+        return build
+
+    full = shared_checkpoint(
+        spark, sf_dir, "inc_containment_corpus_sh", derived("full")
     )
+    df_tbl = shared_checkpoint(
+        spark, sf_dir, "inc_containment_corpus_df", derived("df")
+    )
+    prefix = shared_checkpoint(
+        spark, sf_dir, "inc_containment_corpus_prefix_t09", derived("prefix")
+    )
+    return full, df_tbl, prefix
 
 
 D_INCREMENTAL_CONTAINMENT_SQL = f"""
@@ -346,6 +365,33 @@ KS_ALPHA_C = 1.358  # c(α) for α = 0.05 in the large-sample KS rejection rule
 
 _KS_EXACT_DISTINCT_MAX = 2_000_000
 
+# certain LOWER bound on bytes-per-row for the events table: the value
+# column alone (near-continuous doubles) stores ~7-8 B/row compressed
+_MIN_EVENTS_BYTES_PER_ROW = 4
+
+
+def _file_size_row_bound(sf_dir: str) -> int | None:
+    """Upper bound on events-table rows from file metadata (no job), or
+    None when the path is not a local file/dir (object stores etc. —
+    then the probe job decides)."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    try:
+        if os.path.isfile(path):
+            total = os.path.getsize(path)
+        elif os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        else:
+            return None
+    except OSError:
+        return None
+    return total // _MIN_EVENTS_BYTES_PER_ROW
+
 
 def a_ks_test(
     spark: SparkSession,
@@ -383,7 +429,19 @@ def a_ks_test(
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
     )
-    approx = ev.agg(F.approx_count_distinct("value").alias("d")).collect()[0]["d"]
+    # metadata short-circuit before the probe JOB: distinct ≤ rows, and a
+    # row of this 5-column table (near-continuous double + timestamp +
+    # strings) cannot compress below 4 bytes, so file bytes / 4 is a
+    # certain upper bound on rows. At local SFs (2 MB at sf0.1) that
+    # proves the bound for free; the approx_count_distinct job only runs
+    # when the metadata cannot rule scale out.
+    bound = _file_size_row_bound(sf_dir)
+    if bound is not None and bound <= max_distinct:
+        approx = 0
+    else:
+        approx = ev.agg(F.approx_count_distinct("value").alias("d")).collect()[0][
+            "d"
+        ]
     if approx > max_distinct:
         if on_exceed == "delegate":
             return a_ks_test_binned(spark, sf_dir)
