@@ -763,3 +763,23 @@ def test_curate_containment_mode_drops_corpus_excerpt(spark):
     assert sorted(r.doc_id for r in con.collect()) == [102]
     stats = {k: o.get["rows"] for k, o in obs.items()}
     assert stats["neardup_vs_corpus"] == 1
+
+
+def test_drift_report_degenerate_inputs(spark):
+    """Edge cases the per-batch monitor must survive: an empty batch
+    (no docs arrive in a trigger) and a constant-length reference
+    (zero-width KS grid)."""
+    from good_enough_timecamp_data_pipeline_spark.operators import drift
+
+    ref = spark.createDataFrame(
+        [(i, "alpha bravo charlie") for i in range(10)],
+        "doc_id long, text string",
+    )
+    stats = drift.reference_stats(ref)  # width 0: all mass in bin 0
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    rep = drift.drift_report(empty, ref_stats=stats)
+    assert rep["n_batch_docs"] == 0 and rep["n_batch_tokens"] == 0
+    assert not rep["ks_significant"] and not rep["kl_flagged"]
+
+    same = drift.drift_report(ref, ref_stats=stats)
+    assert same["token_count_ks"] == 0.0 and same["token_kl"] == 0.0
