@@ -150,13 +150,26 @@ def _shingle_pair_counts(
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
 
     inter = (
+        # shuffle_hash, never a broadcast build: the shingle table is
+        # CORPUS-sized and usually checkpoint-backed, whose LogicalRDD
+        # estimate does not grow with the data — Catalyst happily plans
+        # a broadcast of it at any scale (the t_dsir_weights OOM class,
+        # caught by the round-10 plan lint). The Σdf² cost probe bounds
+        # the join OUTPUT, not the table, so the build side must be
+        # per-partition (SHJ), not per-executor (BHJ).
         sh.alias("a")
+        .hint("shuffle_hash")
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
+    # sizes is also corpus-sized (one row per doc) — the same no-broadcast
+    # rule applies; inter (output-bounded by the Σdf² probe) is the
+    # per-partition build side
     return (
-        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        inter.hint("shuffle_hash")
+        .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .hint("shuffle_hash")
         .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
     )
 
@@ -485,9 +498,13 @@ def incremental_containment_pairs(
     # ranked frame carries n_sh so verification reads doc sizes as a
     # column instead of re-aggregating them.
     w_doc = Window.partitionBy("doc")
+    # every corpus-side table below is checkpoint-backed (volume-blind
+    # size estimates), so each join pins its build side explicitly:
+    # shuffle_hash on the bounded/smaller side, never a broadcast of a
+    # corpus-sized artifact (round-10 plan lint)
     new_sh = _pin(
         shingle_rows(new_df, text_col, id_col, n)
-        .join(df_tbl, "sh", "left")
+        .join(df_tbl.hint("shuffle_hash"), "sh", "left")
         .withColumn("__df", F.coalesce(F.col("__df"), F.lit(0)))
         .withColumn("__rk", F.row_number().over(w_doc.orderBy("__df", "sh")))
         .withColumn("n_sh", F.count("*").over(w_doc))
@@ -498,10 +515,12 @@ def incremental_containment_pairs(
     ).select("doc", "sh")
     cand = (
         new_prefix.alias("a")
+        .hint("shuffle_hash")
         .join(cor_sh.alias("b"), F.col("a.sh") == F.col("b.sh"))
         .select(F.col("a.doc").alias("id_new"), F.col("b.doc").alias("dup_of"))
         .unionByName(
             new_sh.alias("a")
+            .hint("shuffle_hash")
             .join(cor_prefix.alias("b"), F.col("a.sh") == F.col("b.sh"))
             .select(
                 F.col("a.doc").alias("id_new"), F.col("b.doc").alias("dup_of")
@@ -521,7 +540,7 @@ def incremental_containment_pairs(
     return (
         cand.join(new_c.alias("a"), F.col("id_new") == F.col("a.doc"))
         .join(
-            cor_c.alias("b"),
+            cor_c.alias("b").hint("shuffle_hash"),
             (F.col("dup_of") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
         )
         .groupBy("id_new", "dup_of")

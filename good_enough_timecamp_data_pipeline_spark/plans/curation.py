@@ -64,7 +64,14 @@ def t_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lm = bigram_lm(pairs, counts=bigram_counts_shared(spark, sf_dir))
     scored = (
-        pairs.join(lm, ["w1", "w2"])
+        # shuffle_hash with the LM as per-partition build: pairs is the
+        # corpus-sized bigram explode off a checkpoint, whose LogicalRDD
+        # estimate never grows — Catalyst planned it as the BROADCAST
+        # side at small SF (round-10 plan lint, the t_dsir_weights OOM
+        # class); the LM table (distinct bigrams) is the smaller side
+        # but also data-derived, so it builds per-partition, never
+        # per-executor
+        pairs.join(lm.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id", "lang")
         .agg(F.round(F.avg("_nlp"), 4).alias("avg_neg_logp"))
     )

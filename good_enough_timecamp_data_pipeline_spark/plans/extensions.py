@@ -731,7 +731,14 @@ def t_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = bigram_rows_from_toks(docs_alpha_toks_shared(spark, sf_dir))
     lm = bigram_lm(pairs, counts=bigram_counts_shared(spark, sf_dir))
     return (
-        pairs.join(lm, ["w1", "w2"])
+        # shuffle_hash with the LM as per-partition build: pairs is the
+        # corpus-sized bigram explode off a checkpoint, whose LogicalRDD
+        # estimate never grows — Catalyst planned it as the BROADCAST
+        # side at small SF (round-10 plan lint, the t_dsir_weights OOM
+        # class); the LM table (distinct bigrams) is the smaller side
+        # but also data-derived, so it builds per-partition, never
+        # per-executor
+        pairs.join(lm.hint("shuffle_hash"), ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -63,3 +63,16 @@ def test_reused_exchange_not_double_counted():
 """
     hard, review = audit_plan(plan)
     assert not hard and not review
+
+
+def test_bounded_offsets_scan_whitelisted():
+    """The order.py global-cumsum offsets artifact (all __-prefixed
+    columns, rows = partition count) is a deliberately-bounded broadcast
+    dimension — never flagged."""
+    plan = """Join
++- BroadcastExchange HashedRelationBroadcastMode(List(cast(input[0, int, false] as bigint)),false)
+   +- Filter isnotnull(__b#389)
+      +- Scan ExistingRDD[__b#389,__off_c1#390L,__off_c2#391L]
+"""
+    hard, review = audit_plan(plan)
+    assert not hard and not review

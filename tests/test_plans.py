@@ -138,6 +138,13 @@ def test_catalog_plans_are_lintable(spark, sf_dir):
     # isolated vs 98 s with batched clears (55 s in-suite, artifacts warm), identical lint: an
     # InMemoryRelation's tree string still prints its full child plan,
     # so a cached subtree cannot hide a BatchEvalPython node.
+    # NOTE: checkpoint-fed broadcast builds (the t_dsir_weights sf10 OOM
+    # class) are audited by tools/broadcast_audit.py as a per-round
+    # triage run, NOT here: at sf0.001 many checkpoint broadcasts are
+    # bounded by contract in ways plan text cannot prove (band buckets,
+    # candidate sets, codebooks), and cached-plan state makes the
+    # flag set depend on execution order — a hard gate here was
+    # whack-a-mole (round-10 notes).
     for i, (name, fn) in enumerate(catalog.queries().items()):
         if name in _SKIP:
             continue

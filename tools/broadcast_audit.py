@@ -32,6 +32,19 @@ FACT_MARKERS = ("documents.parquet", "events.parquet", "orders.parquet",
 # ExistingRDD = localCheckpoint output; its stats do not track volume
 RDD_MARKER = "Scan ExistingRDD"
 
+_RDD_COLS = re.compile(r"Scan ExistingRDD\[([^\]]*)\]")
+
+
+def _is_bounded_offsets_scan(line: str) -> bool:
+    """True when every column of the ExistingRDD scan is __-prefixed —
+    the repo convention for the bounded global-cumsum offsets artifact
+    (`operators/order.py`: rows = partition count by construction)."""
+    m = _RDD_COLS.search(line)
+    if not m:
+        return False
+    cols = [c.strip() for c in m.group(1).split(",") if c.strip()]
+    return bool(cols) and all(c.startswith("__") for c in cols)
+
 
 # Nodes that provably bound a broadcast's size regardless of input
 # volume: a hard row limit, or a keyless (scalar) aggregate. A KEYED
@@ -79,6 +92,12 @@ def audit_plan(plan_str: str) -> tuple[list[str], list[str]]:
                 break
             if _KEYED_AGG.search(s) and reducer is None:
                 reducer = s.strip()[:80]  # keyed — needs judgment
+            if RDD_MARKER in s and _is_bounded_offsets_scan(s):
+                # the order.py global-cumsum bucket-offset artifact:
+                # rows = partition count by construction; its columns
+                # are all __-prefixed (`__b`, `__off_*`) — the marker
+                # of a deliberately-bounded broadcast dimension
+                continue
             if any(m in s for m in FACT_MARKERS) or RDD_MARKER in s:
                 hit = next((m for m in FACT_MARKERS if m in s), "ExistingRDD")
                 break
