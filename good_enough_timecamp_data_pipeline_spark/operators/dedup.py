@@ -126,6 +126,18 @@ def exact_dedup(
     )
 
 
+# Shingle-table row bound under which a broadcast build of the pinned
+# shingle/sizes frames is allowed to stand: ~5M (doc, sh) rows is tens of
+# MB hashed — safely inside any executor. Above it (or UNMEASURED) the
+# joins pin per-partition shuffle_hash builds: a checkpoint/pin-backed
+# table's LogicalRDD estimate does not grow with the data, so Catalyst
+# would otherwise plan a broadcast of a corpus-sized table at any scale
+# (the t_dsir_weights OOM class, caught by the round-10 plan audit).
+# Same measured-cost-switch discipline as _NAIVE_JOIN_ROWS_MAX — the
+# exact callers' Σdf² probe aggregate returns the row count for free.
+_BROADCAST_SAFE_SHINGLE_ROWS = 5_000_000
+
+
 def _shingle_pair_counts(
     df: DataFrame,
     text_col: str,
@@ -133,13 +145,15 @@ def _shingle_pair_counts(
     n: int,
     max_shingle_df: int | None,
     shingles: DataFrame | None = None,
+    sh_rows: int | None = None,
 ) -> DataFrame:
     """Shared pair-counting core of the exact near-dup family:
     (id_a, id_b, n_inter, n_a, n_b) for every doc pair sharing ≥ 1
     n-gram shingle. One shingle self-join + one hash-agg; the optional
     ``max_shingle_df`` cap drops stop-shingles before the join (the
     prefix-filter move — skew-safe, but it CHANGES the pair set, so
-    oracle-twinned callers pass None)."""
+    oracle-twinned callers pass None). ``sh_rows`` is the MEASURED
+    shingle-table row count (see _BROADCAST_SAFE_SHINGLE_ROWS)."""
     sh = shingles if shingles is not None else _pin(shingle_rows(df, text_col, id_col, n))
     if max_shingle_df is not None:
         # no broadcast hint: the hot-shingle set is bounded by
@@ -147,29 +161,28 @@ def _shingle_pair_counts(
         # in the worst case; AQE broadcasts it when it measures small.
         hot = sh.groupBy("sh").count().filter(F.col("count") > max_shingle_df).select("sh")
         sh = _pin(sh.join(hot, "sh", "left_anti"))
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    small = sh_rows is not None and sh_rows <= _BROADCAST_SAFE_SHINGLE_ROWS
 
+    def shj(frame: DataFrame) -> DataFrame:
+        return frame if small else frame.hint("shuffle_hash")
+
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     inter = (
-        # shuffle_hash, never a broadcast build: the shingle table is
-        # CORPUS-sized and usually checkpoint-backed, whose LogicalRDD
-        # estimate does not grow with the data — Catalyst happily plans
-        # a broadcast of it at any scale (the t_dsir_weights OOM class,
-        # caught by the round-10 plan lint). The Σdf² cost probe bounds
-        # the join OUTPUT, not the table, so the build side must be
-        # per-partition (SHJ), not per-executor (BHJ).
-        sh.alias("a")
-        .hint("shuffle_hash")
+        shj(sh.alias("a"))
         .join(sh.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    # sizes is also corpus-sized (one row per doc) — the same no-broadcast
-    # rule applies; inter (output-bounded by the Σdf² probe) is the
-    # per-partition build side
+    # sizes is also corpus-sized (one row per doc) — the same rule;
+    # inter (output-bounded by the Σdf² probe) is the build side
     return (
-        inter.hint("shuffle_hash")
+        shj(inter)
         .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .hint("shuffle_hash")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        if not small
+        else shj(inter)
+        .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
     )
 
@@ -259,14 +272,18 @@ def shingle_pairs_jaccard(
     )
     if max_shingle_df is None:
         df_tbl = _pin(sh.groupBy("sh").agg(F.count("*").alias("__df")))
-        naive_rows = df_tbl.agg(
-            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("s")
-        ).collect()[0]["s"]
+        stats = df_tbl.agg(
+            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("s"),
+            F.sum("__df").alias("rows"),
+        ).collect()[0]
+        naive_rows, sh_rows = stats["s"], stats["rows"]
         if naive_rows is not None and naive_rows > _NAIVE_JOIN_ROWS_MAX:
             cand = jaccard_prefix_candidates(sh, threshold, df_tbl=df_tbl)
             return verify_candidate_pairs(sh, cand, threshold)
     return (
-        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df, shingles=sh)
+        _shingle_pair_counts(
+            df, text_col, id_col, n, max_shingle_df, shingles=sh, sh_rows=sh_rows
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -309,14 +326,18 @@ def containment_pairs(
     sh = _pin(shingle_rows(df, text_col, id_col, n))
     if max_shingle_df is None:
         df_tbl = _pin(sh.groupBy("sh").agg(F.count("*").alias("__df")))
-        naive_rows = df_tbl.agg(
-            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("s")
-        ).collect()[0]["s"]
+        stats = df_tbl.agg(
+            F.sum(F.col("__df").cast("double") * F.col("__df")).alias("s"),
+            F.sum("__df").alias("rows"),
+        ).collect()[0]
+        naive_rows, sh_rows = stats["s"], stats["rows"]
         if naive_rows is not None and naive_rows > _NAIVE_JOIN_ROWS_MAX:
             cand = containment_prefix_candidates(sh, threshold, df_tbl=df_tbl)
             return _verify_containment(sh, cand, threshold)
     return (
-        _shingle_pair_counts(df, text_col, id_col, n, max_shingle_df, shingles=sh)
+        _shingle_pair_counts(
+            df, text_col, id_col, n, max_shingle_df, shingles=sh, sh_rows=sh_rows
+        )
         .withColumn(
             "containment",
             F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b")),
