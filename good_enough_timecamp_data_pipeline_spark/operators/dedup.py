@@ -270,6 +270,7 @@ def shingle_pairs_jaccard(
         if shingles is not None
         else _pin(shingle_rows(df, text_col, id_col, n))
     )
+    sh_rows = None  # unmeasured unless the exact-mode probe runs
     if max_shingle_df is None:
         df_tbl = _pin(sh.groupBy("sh").agg(F.count("*").alias("__df")))
         stats = df_tbl.agg(
@@ -324,6 +325,7 @@ def containment_pairs(
     (n_sh, doc). A df=k stop-shingle then contributes k rows times the
     few SMALL docs whose prefix retains it, not k²."""
     sh = _pin(shingle_rows(df, text_col, id_col, n))
+    sh_rows = None  # unmeasured unless the exact-mode probe runs
     if max_shingle_df is None:
         df_tbl = _pin(sh.groupBy("sh").agg(F.count("*").alias("__df")))
         stats = df_tbl.agg(
