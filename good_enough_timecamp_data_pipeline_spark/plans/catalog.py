@@ -412,8 +412,7 @@ register(
 
 # --- new in r10: cross-set containment probe (excerpt contamination of an
 # arriving batch vs a fixed corpus; registration position is cosmetic —
-# the WINDOW_R10 reorder below decides the driver's first-50, and a new
-# entry enters the window in r11 per the rotation discipline) ---------------
+# the WINDOW_R11 reorder below decides the driver's first-50) ---------------
 register(
     "d_incremental_containment",
     round5d.d_incremental_containment,
@@ -598,54 +597,50 @@ register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
 
-# --- round-10 driver window ------------------------------------------------
+# --- round-11 driver window ------------------------------------------------
 # The driver's correctness gate samples the FIRST 50 entries of queries().
-# Coverage is 152/152 cumulative (every oracle twin driver-confirmed at
-# least once, r01-r09, zero failures), so the window's job remains
-# RE-confirmation. Composition, exactly as the round-9 VERDICT prescribed
-# ("Next round" item 1): (a) the cost-based-join twins whose call path
-# (shingle_pairs_jaccard / containment_pairs) gained the PPJoin branch
-# AFTER the r9 window froze and the FP-epsilon bound fix in round 10;
-# (b) the two entries whose implementations change THIS round (exact-KS
-# cardinality guard, s_cosine_topk constant cut); (c) ALL 18 rows last
-# confirmed in r6 — the oldest driver rows anywhere; (d) 25 of the 32
-# remaining r7-era rows, t_corpus_prep-adjacent text twins first.
-WINDOW_R10 = (
-    # (a) impl changed AFTER the r9 window froze: the cost-based
-    # prefix-filter branch landed in shingle_pairs_jaccard /
-    # containment_pairs post-freeze (round-9 judge re-ran all three
-    # green), and round 10 added the FP-epsilon bound fix on the same
-    # path; d_incremental_dedup shares the dedup family's shingle pass
-    "d_ngram_jaccard", "d_containment", "d_threshold_curve",
-    "d_incremental_dedup",
-    # (b) impl changed THIS round: exact-KS cardinality guard
-    # (delegates to the binned grid above a distinct-count bound) and
-    # the s_cosine_topk constant cut
-    "a_ks_test", "a_ks_test_binned", "s_cosine_topk",
-    # (c) ALL 18 longest-unconfirmed rows (last driver-confirmed r6)
-    "a_grouping_sets", "a_partial_agg_merge", "c_snapshot_diff",
-    "d_dq_violations", "e_funnel_stages", "e_sessionize",
-    "e_tumbling_window", "f_month_batches", "j_merge_upsert",
-    "j_scd2_dim", "s_quantize_int8", "t_scrub_pii", "w_ntile_quartiles",
-    "w_rank_distribution", "w_rolling_7d", "x_asof_join",
-    "x_grouped_list", "x_posexplode",
-    # (d) 25 of the 32 remaining r7-era rows, text (t_corpus_prep-
-    # adjacent) twins first; the 7 deferred pure-relational r7 rows
-    # (x_geo_grid_join, x_geo_knn, x_asof_forward, x_asof_nearest,
-    # f_array_ops, f_variant_shred, x_lateral_topn) rotate in r11
-    "t_line_dedup", "t_quality_gate", "t_ccnet_buckets", "t_bm25_topk",
-    "t_dsir_weights", "t_dsir_resample", "t_lm_perplexity",
-    "t_negative_sample", "t_ngram_novelty", "t_source_caps",
-    "t_temperature_mix", "a_benford", "a_chi_square", "a_mad_outliers",
-    "a_source_lang_entropy", "c_cdc_apply", "e_attribution",
-    "e_ewma_anomaly", "e_interval_coverage", "e_markov_transitions",
-    "j_salted_skew_join", "s_embedding_drift", "x_ordered_paths",
-    "x_range_join_bucketed", "x_skew_report",
+# Cumulative driver coverage is 152/153 oracle twins (zero failures,
+# r01-r10); the one never-checked twin leads. Composition, exactly as the
+# round-10 VERDICT prescribed ("Next round" item 2): (a) the single twin
+# never yet in a driver window (d_incremental_containment, added after
+# WINDOW_R10 froze; oracle-green in the r10 in-round sweep); (b) twins
+# whose implementations changed after WINDOW_R10 froze or change THIS
+# round: e_peak_concurrency (0f77c82 pre-aggregation landed post-freeze),
+# t_cooccurrence_lift (r10 rewrite + r11 >=2-token pre-filter),
+# t_corpus_prep (r11 shared-artifact fusion), e_interval_coverage /
+# a_mad_outliers (r11 pre-aggregation passes), a_ks_test (r11 metadata-
+# bound headroom fix, ADVICE item 4); (c) the 7 r7-era rows deferred from
+# WINDOW_R10 — the oldest driver rows anywhere; (d) 36 of the 47 r8-era
+# rows, the VERDICT-named ones (reports, hierarchy, exact/LSH dedup,
+# token stats) first; the 11 deferred r8 rows (t_seq_pack t_shard_assign
+# t_simhash t_split t_tfidf t_topk_tokens t_winnow w_lag_delta_pct
+# x_profile x_range_join x_rollup) rotate in r12.
+WINDOW_R11 = (
+    # (a) never driver-checked
+    "d_incremental_containment",
+    # (b) impl changed post-WINDOW_R10-freeze or this round
+    "e_peak_concurrency", "t_cooccurrence_lift", "t_corpus_prep",
+    "e_interval_coverage", "a_mad_outliers", "a_ks_test",
+    # (c) the 7 deferred r7-era rows (last driver-confirmed r7)
+    "x_geo_grid_join", "x_geo_knn", "x_asof_forward", "x_asof_nearest",
+    "f_array_ops", "f_variant_shred", "x_lateral_topn",
+    # (d) 36 of the 47 r8-era rows, VERDICT-named first
+    "report_task_budget", "report_project_budget", "h_breadcrumb_levels",
+    "h_closure_pairs", "d_exact_dedup", "d_minhash_lsh", "t_token_stats",
+    "a_bool_aggs", "a_conditional_agg", "a_corr_stats",
+    "a_groupsum_pricing", "a_histogram", "a_weighted_avg",
+    "a_weighted_quantile", "d_cc_clusters", "d_dedup_survivors",
+    "d_simhash_pairs", "e_dau_wau", "e_gapfill", "e_retention_cohorts",
+    "e_sliding_window", "e_windowed_funnel", "f_bitwise_ops",
+    "f_epoch_roundtrip", "j_scd2_lookup", "o_except_all",
+    "t_balanced_sample", "t_bigram_lm", "t_bpe_tokens", "t_chunking",
+    "t_decontam", "t_fingerprint", "t_langid", "t_mixture_weights",
+    "t_quality", "t_repetition",
 )
-assert len(WINDOW_R10) == 50 and len(set(WINDOW_R10)) == 50
-_missing = [n for n in WINDOW_R10 if n not in QUERIES or n not in ORACLES]
+assert len(WINDOW_R11) == 50 and len(set(WINDOW_R11)) == 50
+_missing = [n for n in WINDOW_R11 if n not in QUERIES or n not in ORACLES]
 assert not _missing, f"window entries must be registered oracle twins: {_missing}"
-_window = {n: QUERIES[n] for n in WINDOW_R10}
+_window = {n: QUERIES[n] for n in WINDOW_R11}
 _rest = {n: f for n, f in QUERIES.items() if n not in _window}
 QUERIES.clear()
 QUERIES.update(_window)
