@@ -274,14 +274,32 @@ def curate(
             # the same cached blocks instead of re-running the batch
             # pipeline per consumer
             if neardup_mode == "containment":
-                from .operators.dedup import incremental_containment_pairs
-
-                # cross-set excerpt/subset probe: O(batch) against the
-                # corpus shingle tables (write-once per generation);
-                # the measure matches the within-batch stage above
-                cross = incremental_containment_pairs(
-                    d, corpus, threshold=containment_threshold
+                from .operators.dedup import (
+                    build_containment_index_cached,
+                    incremental_containment_pairs,
                 )
+
+                # cross-set excerpt/subset probe against the corpus'
+                # write-once shingle artifacts (the LSH-index discipline
+                # for the containment measure): with a cache key the
+                # ranked/df tables land as parquet ONCE per corpus
+                # generation and every later batch probes them at
+                # O(batch); without one (one-shot batch mode) the index
+                # derives in-session — one corpus pass for this call
+                if lsh_cache_key is not None:
+                    c_index = build_containment_index_cached(
+                        spark,
+                        corpus,
+                        lsh_cache_key,
+                        threshold=containment_threshold,
+                    )
+                    cross = incremental_containment_pairs(
+                        d, index=c_index, threshold=containment_threshold
+                    )
+                else:
+                    cross = incremental_containment_pairs(
+                        d, corpus, threshold=containment_threshold
+                    )
             else:
                 from .operators.dedup import (
                     build_lsh_index,
@@ -398,7 +416,13 @@ def _curate_one_batch(
     if drift:
         from .operators.drift import drift_report
 
-        drift_stats = drift_report(batch, corp, ref_cache_key=corpus_path)
+        # key the reference cache by the corpus FINGERPRINT (path +
+        # listing digest), matching the LSH index cache's lifetime — a
+        # raw-path key would silently serve stale reference stats after
+        # an in-process corpus compaction (round-10 ADVICE item 3)
+        drift_stats = drift_report(
+            batch, corp, ref_cache_key=_corpus_fingerprint(corpus_path)
+        )
     out, obs = curate(
         sess, batch, corpus=corp, lsh_cache_key=lsh_cache_key, **curate_kwargs
     )
@@ -465,6 +489,14 @@ def curate_stream(
     epoch-keyed sink pattern from the streaming timecamp source tests).
     """
     import tempfile
+
+    # a stream without an explicit corpus key would rebuild the corpus
+    # index (LSH or containment) on EVERY micro-batch — O(corpus) per
+    # arrival, contradicting this function's own contract. Derive the
+    # write-once key from the corpus fingerprint by default; callers
+    # managing generations explicitly still pass their own.
+    if lsh_cache_key is None:
+        lsh_cache_key = _corpus_fingerprint(corpus_path)
 
     feed_schema = spark.read.parquet(feed_dir).schema
     stream = (
@@ -683,7 +715,9 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         from .operators.drift import drift_report
 
-        drift_stats = drift_report(docs, corpus, ref_cache_key=args.corpus)
+        drift_stats = drift_report(
+            docs, corpus, ref_cache_key=_corpus_fingerprint(args.corpus)
+        )
     curated, obs = curate(
         spark,
         docs,

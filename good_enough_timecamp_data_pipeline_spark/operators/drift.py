@@ -67,7 +67,10 @@ def _side_aggregates(
         StorageLevel.MEMORY_AND_DISK
     )
     try:
-        n = F.size("__toks").cast("double")
+        # null text tokenizes to a null array; count it as a 0-token doc
+        # (a flood of null-text rows IS length drift) instead of letting
+        # a null bin abort the fold below (round-10 ADVICE item 2)
+        n = F.coalesce(F.size("__toks"), F.lit(0)).cast("double")
         bin_col = (
             F.when(F.lit(width <= 0), F.lit(0))
             .otherwise(
@@ -87,6 +90,8 @@ def _side_aggregates(
         hist = [0] * bins
         n_docs = 0
         for r in hist_rows:
+            if r["bin"] is None:  # defensive: never abort the batch
+                continue
             hist[int(r["bin"])] = int(r["count"])
             n_docs += int(r["count"])
         bucket_rows = (

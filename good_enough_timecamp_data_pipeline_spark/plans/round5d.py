@@ -365,32 +365,35 @@ KS_ALPHA_C = 1.358  # c(α) for α = 0.05 in the large-sample KS rejection rule
 
 _KS_EXACT_DISTINCT_MAX = 2_000_000
 
-# certain LOWER bound on bytes-per-row for the events table: the value
-# column alone (near-continuous doubles) stores ~7-8 B/row compressed
-_MIN_EVENTS_BYTES_PER_ROW = 4
-
 
 def _file_size_row_bound(sf_dir: str) -> int | None:
-    """Upper bound on events-table rows from file metadata (no job), or
-    None when the path is not a local file/dir (object stores etc. —
-    then the probe job decides)."""
+    """EXACT events-table row count from the parquet footers (no Spark
+    job; distinct ≤ rows, so this upper-bounds the guard's quantity with
+    certainty), or None when the path is not local parquet — then the
+    probe job decides. Footer counts replace the old bytes/4 heuristic:
+    delta/dictionary encodings can pack whole rows below any assumed
+    byte floor, so a size-derived bound was not actually certain
+    (round-10 ADVICE item 4)."""
     import os
+
+    import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, "events.parquet")
     try:
         if os.path.isfile(path):
-            total = os.path.getsize(path)
+            files = [path]
         elif os.path.isdir(path):
-            total = sum(
-                os.path.getsize(os.path.join(r, f))
+            files = [
+                os.path.join(r, f)
                 for r, _, fs in os.walk(path)
                 for f in fs
-            )
+                if f.endswith(".parquet")
+            ]
         else:
             return None
-    except OSError:
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
         return None
-    return total // _MIN_EVENTS_BYTES_PER_ROW
 
 
 def a_ks_test(
@@ -429,12 +432,10 @@ def a_ks_test(
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("value").isNotNull() & F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B)
     )
-    # metadata short-circuit before the probe JOB: distinct ≤ rows, and a
-    # row of this 5-column table (near-continuous double + timestamp +
-    # strings) cannot compress below 4 bytes, so file bytes / 4 is a
-    # certain upper bound on rows. At local SFs (2 MB at sf0.1) that
-    # proves the bound for free; the approx_count_distinct job only runs
-    # when the metadata cannot rule scale out.
+    # metadata short-circuit before the probe JOB: distinct ≤ rows, and
+    # the parquet footers carry the EXACT row count for free (no job, no
+    # compression assumptions). The approx_count_distinct job only runs
+    # when the footers cannot rule scale out.
     bound = _file_size_row_bound(sf_dir)
     if bound is not None and bound <= max_distinct:
         approx = 0

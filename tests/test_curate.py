@@ -783,3 +783,28 @@ def test_drift_report_degenerate_inputs(spark):
 
     same = drift.drift_report(ref, ref_stats=stats)
     assert same["token_count_ks"] == 0.0 and same["token_kl"] == 0.0
+
+
+def test_drift_report_null_text_rows(spark):
+    """Round-10 ADVICE item 2: drift runs on the RAW batch before the
+    scrub stage, so null-text rows must not abort the micro-batch —
+    they count as 0-token docs (a null flood IS length drift)."""
+    from good_enough_timecamp_data_pipeline_spark.operators import drift
+
+    ref = spark.createDataFrame(
+        [(i, "alpha bravo charlie delta " * (1 + i % 3)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    stats = drift.reference_stats(ref)
+    batch = spark.createDataFrame(
+        [(100, None), (101, "alpha bravo charlie delta"), (102, None)],
+        "doc_id long, text string",
+    )
+    rep = drift.drift_report(batch, ref_stats=stats)
+    assert rep["n_batch_docs"] == 3  # nulls counted, not dropped
+    # a reference WITH null rows must also reduce cleanly
+    ref2 = ref.unionByName(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    stats2 = drift.reference_stats(ref2)
+    assert stats2["n_docs"] == 13

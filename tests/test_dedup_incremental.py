@@ -31,3 +31,63 @@ def test_lsh_index_artifact_reuse(spark, sf_dir, tmp_path):
     assert dedup.incremental_lsh_pairs(docs.limit(5), index=idx2, threshold=0.5).count() >= 0
     # identical index contents either way
     assert idx1[1].count() == idx2[1].count()
+
+
+def test_containment_index_artifact_reuse(spark, sf_dir, tmp_path):
+    """Round-10 ADVICE item 1: the containment measure gets the same
+    write-once artifact discipline as the LSH index — second build call
+    READS the parquet artifact; the artifact is threshold-free (one
+    landing serves every threshold); probe results match the
+    in-session index exactly."""
+    import glob
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.limit(8).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    root = str(tmp_path / "cont_cache")
+    idx1 = dedup.build_containment_index_cached(
+        spark, docs, cache_key="fixture", cache_root=root, threshold=0.9
+    )
+    files = sorted(glob.glob(os.path.join(root, "*", "*", "part-*")))
+    assert files, "first call must land the artifact"
+    mtimes = [os.stat(f).st_mtime_ns for f in files]
+
+    # a DIFFERENT threshold reuses the same artifact (prefix derives at
+    # read time from the stored rank column)
+    idx2 = dedup.build_containment_index_cached(
+        spark, docs, cache_key="fixture", cache_root=root, threshold=0.7
+    )
+    assert [os.stat(f).st_mtime_ns for f in files] == mtimes  # no rebuild
+    for part in idx2:
+        ins = part.inputFiles()
+        assert ins and all(root in f for f in ins)
+
+    # probe parity: cached index vs in-session build, exact same pairs
+    fresh = dedup.build_containment_index(corpus_df=docs, threshold=0.9)
+    got = sorted(
+        (r.id_new, r.dup_of, r.n_inter)
+        for r in dedup.incremental_containment_pairs(
+            batch, index=idx1, threshold=0.9
+        ).collect()
+    )
+    want = sorted(
+        (r.id_new, r.dup_of, r.n_inter)
+        for r in dedup.incremental_containment_pairs(
+            batch, index=fresh, threshold=0.9
+        ).collect()
+    )
+    assert got == want and got  # the identical-text batch must collide
+
+    # key reuse across generations is an error when a fresh build is expected
+    with pytest.raises(FileExistsError):
+        dedup.build_containment_index_cached(
+            spark, docs, cache_key="fixture", cache_root=root, expect_fresh=True
+        )
