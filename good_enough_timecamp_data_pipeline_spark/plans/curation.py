@@ -31,7 +31,11 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..operators.layout import fan_out_scan
-from ..operators.order import global_cumsum, pin_with_range_bucket
+from ..operators.order import (
+    global_cumsum,
+    global_cumsum_multi,
+    pin_with_range_bucket,
+)
 from .extensions import bigram_lm, doc_bigram_rows
 from .testdata import load_table
 
@@ -241,37 +245,163 @@ FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
 MAD_K = 3.0 * 1.4826  # 1.4826·MAD ≈ σ for normal data; 3σ-equivalent gate
 
 
-def a_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_mad_outliers(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_single_reducer_rows: int = 2_000_000,
+) -> DataFrame:
     """Per-event-type robust outlier counts: a value is an outlier when
     |value − median| > 3 · 1.4826 · MAD. Unlike the moment-based z-score
     gate (a_zscore_outliers), one wild sensor reading cannot drag the
     threshold — median and MAD have 50% breakdown.
 
-    Scale shape: exact medians mean two grouped full-sorts over the
-    fact (Spark plans ``percentile`` as a grouped sort-agg with partial
-    combine) plus one broadcast-back join each — the exact-QC shape.
-    At 100 TB the same plan runs with ``approx_percentile`` (one pass,
-    t-digest merge) by swapping the two F.median calls; the approximate
-    twin already lives in a_approx_sketches (plans/advanced.py).
+    Scale shape — measured cost switch (the a_ks_test / pair-counting
+    discipline). Spark plans a grouped ``F.median`` as a
+    TypedImperativeAggregate that buffers EVERY value of a group and
+    merges all partials onto ONE reducer: with a handful of event types
+    that is a single-task sort of the whole fact, twice — 9× DuckDB at
+    sf10 and an OOM once one group's values outgrow an executor. Below
+    ``max_single_reducer_rows`` (parquet-footer row count — exact, no
+    job) that plan is still the cheapest (ONE action, no driver round
+    trips) and ships as-is. Above it, the plan switches to the
+    histogram+cumsum shape (`_mad_outliers_bucketed`): compress the fact
+    to the (event_type, value, cnt) histogram once, then take each
+    quantile pass as a range-bucketed `global_cumsum_multi` over the
+    pinned histogram — one running counter per event type per pass, so
+    the medians come from range-parallel windows, never a per-type
+    reducer funnel. Both paths produce identical results (pytest-pinned
+    on the oracle fixture); at unbounded value cardinality you would bin
+    first — the approximate twin lives in a_approx_sketches
+    (plans/advanced.py).
     """
+    from ..plans.round5d import _file_size_row_bound
+
+    bound = _file_size_row_bound(sf_dir)
     ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    if bound is not None and bound <= max_single_reducer_rows:
+        med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+        dev = ev.join(F.broadcast(med), "event_type").withColumn(
+            "adev", F.abs(F.col("value") - F.col("med"))
+        )
+        mad = dev.groupBy("event_type").agg(
+            F.min("med").alias("med"), F.median("adev").alias("mad")
+        )
+        flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+        return (
+            flagged.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(F.col("adev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+                ).alias("n_outliers"),
+                F.round(F.min("med"), 6).alias("med"),
+                F.round(F.min("mad"), 6).alias("mad"),
+            )
+        )
+    return _mad_outliers_bucketed(spark, ev)
+
+
+def _mad_outliers_bucketed(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """The at-scale tier of `a_mad_outliers`: histogram compression +
+    two range-bucketed cumsum passes, five bounded driver jobs total
+    (pin⊕types⊕bounds, 2 × cumsum totals, 2 × quantile extraction),
+    every one over the pinned histogram — the fact is scanned once."""
+    from ..operators.order import _range_bucket_col
+
+    # ONE materializing job carries the histogram pin, the value bounds
+    # AND the type set (collect_set over ≤ handful of types)
+    hist = ev.groupBy("event_type", "value").agg(
+        F.count("*").alias("cnt")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    row = hist.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        F.collect_set("event_type").alias("types"),
+    ).collect()[0]
+    types = sorted(row["types"])
+    if not types:  # empty input: schema-stable empty result
+        return spark.createDataFrame(
+            [], "event_type string, n long, n_outliers long, med double, mad double"
+        )
+    vlo, vhi = float(row["lo"]), float(row["hi"])
+    bucket = _range_bucket_col(vlo, vhi, F.col("value"), 256)
+
+    def per_type_counters() -> dict:
+        return {
+            f"c_{i}": F.when(F.col("event_type") == F.lit(t), F.col("cnt")).otherwise(
+                F.lit(0)
+            )
+            for i, t in enumerate(types)
+        }
+
+    def extract_quantiles(cum: DataFrame, key: str, totals: dict) -> dict:
+        """{event_type: interpolated median} from a cumsum frame — the
+        two crossing values per type in ONE one-row agg, interpolated
+        with the same lower + (higher − lower) · frac arithmetic Spark's
+        Percentile and DuckDB's MEDIAN use."""
+        aggs = []
+        for i, t in enumerate(types):
+            n = int(totals[f"c_{i}"])
+            r1, r2 = (n + 1) // 2, (n + 2) // 2
+            aggs.append(
+                F.min(F.when(F.col(f"c_{i}") >= F.lit(r1), F.col(key))).alias(
+                    f"lo_{i}"
+                )
+            )
+            aggs.append(
+                F.min(F.when(F.col(f"c_{i}") >= F.lit(r2), F.col(key))).alias(
+                    f"hi_{i}"
+                )
+            )
+        got = cum.agg(*aggs).collect()[0]
+        out = {}
+        for i, t in enumerate(types):
+            lo, hi = float(got[f"lo_{i}"]), float(got[f"hi_{i}"])
+            out[t] = lo + (hi - lo) * 0.5
+        return out
+
+    tot1: dict = {}
+    cum1 = global_cumsum_multi(
+        hist, F.col("value"), per_type_counters(), bucket, grand_totals=tot1
     )
-    mad = dev.groupBy("event_type").agg(
-        F.min("med").alias("med"), F.median("adev").alias("mad")
+    med = extract_quantiles(cum1, "value", tot1)
+
+    med_col = F.lit(None).cast("double")
+    for t in types:
+        med_col = F.when(F.col("event_type") == F.lit(t), F.lit(med[t])).otherwise(
+            med_col
+        )
+    dev = hist.withColumn("adev", F.abs(F.col("value") - med_col))
+    # adev bounds need NO job: every |value − med_t| is bounded by the
+    # known global value range against each type's median
+    adev_hi = max(
+        max(abs(vlo - m), abs(vhi - m)) for m in med.values()
     )
-    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    cum2 = global_cumsum_multi(
+        dev,
+        F.col("adev"),
+        per_type_counters(),
+        _range_bucket_col(0.0, adev_hi, F.col("adev"), 256),
+    )
+    mad = extract_quantiles(cum2, "adev", tot1)
+
+    mad_col = F.lit(None).cast("double")
+    for t in types:
+        mad_col = F.when(F.col("event_type") == F.lit(t), F.lit(mad[t])).otherwise(
+            mad_col
+        )
     return (
-        flagged.groupBy("event_type")
+        dev.withColumn("__mad", mad_col)
+        .groupBy("event_type")
         .agg(
-            F.count("*").alias("n"),
+            F.sum("cnt").cast("long").alias("n"),
             F.sum(
-                F.when(F.col("adev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
-            ).alias("n_outliers"),
-            F.round(F.min("med"), 6).alias("med"),
-            F.round(F.min("mad"), 6).alias("mad"),
+                F.when(F.col("adev") > F.lit(MAD_K) * F.col("__mad"), F.col("cnt"))
+                .otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.round(F.min(med_col), 6).alias("med"),
+            F.round(F.min("__mad"), 6).alias("mad"),
         )
     )
 

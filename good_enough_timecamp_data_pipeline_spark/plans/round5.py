@@ -264,19 +264,22 @@ def t_cooccurrence_lift(
 
     - vocabulary = top ``vocab_size`` tokens by document frequency,
       picked by a distributed sort+limit (TakeOrdered — never a
-      single-partition row_number window over every distinct token);
-    - per-doc tokens are semi-joined to that vocabulary (explicitly
-      broadcast — 40 rows by construction), then ONE groupBy collects
-      each doc's sorted vocab-token array (≤ V elements) and the pair
-      combinations explode per row with bounded fan-out C(V,2). The
-      round-9 shape self-joined the (doc, tok∈vocab) rows on doc_id —
-      semantically identical, but that table is CORPUS-sized and the
-      round-10 sf10 broadcast audit (tools/broadcast_audit.py) caught
-      Catalyst planning it as the broadcast build side (its post-join
-      size estimate stays under the threshold however big the data —
-      the t_dsir_weights OOM class). The array form shuffles the
-      filtered tokens once and joins only ≤ C(V,2)-row aggregates
-      against the 40-row df dimension afterwards.
+      single-partition row_number window over every distinct token),
+      folded to a ONE-ROW broadcast (sorted token array + token→df map)
+      — no driver collect, the whole query stays one action;
+    - each doc's sorted vocab-token subset is computed MAP-SIDE
+      (sort_array ∘ array_intersect against the broadcast vocab array,
+      materialized once per row — a nested expression inside a
+      higher-order lambda re-evaluates per element), docs with < 2
+      vocab tokens drop before any fan-out, and the C(V,2)-bounded pair
+      structs explode straight into the pair hash-agg. The former shape
+      shuffled the corpus twice (vocab semi-join + per-doc collect_set
+      groupBy — the round-10 sf10 probe's 4.55× cost); this one's ONLY
+      corpus shuffle is the map-side-combined pair agg itself, whose
+      key space is ≤ C(V,2) — at any corpus size the shuffle payload is
+      bounded by vocabulary, not data;
+    - df counts for the lift read from the same 1-row broadcast's map —
+      no per-pair dimension join; n_docs is a 1-row stats side;
     - lift is one exactly-rounded integer division — no logs, so the
       DuckDB twin hashes identically (see module docstring).
     """
@@ -286,9 +289,20 @@ def t_cooccurrence_lift(
     )
     df_counts = doc_toks.groupBy("tok").agg(F.count("*").alias("df"))
     vocab = df_counts.orderBy(F.desc("df"), F.asc("tok")).limit(vocab_size)
-    in_vocab = doc_toks.join(F.broadcast(vocab.select("tok")), "tok")
-    doc_arr = in_vocab.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("tok")).alias("__ts")
+    # ≤ V rows fold into ONE broadcastable row: the intersect array and
+    # the df lookup map (long values — n_a·n_b is quadratic in corpus
+    # size, int would overflow)
+    # ONE single-column frame → the projection's broadcast and the final
+    # stats broadcast are byte-identical plans, so ReuseExchange
+    # computes the vocabulary subquery once (two pruned variants would
+    # each re-run the df_counts pass)
+    vstats = vocab.agg(
+        F.struct(
+            F.sort_array(F.collect_list("tok")).alias("vocab"),
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("tok"), F.col("df").cast("long")))
+            ).alias("dfmap"),
+        ).alias("__vs")
     )
     ts = F.col("__ts")
     pair_structs = F.flatten(
@@ -301,35 +315,39 @@ def t_cooccurrence_lift(
         )
     )
     pair_counts = (
-        doc_arr.select(F.explode(pair_structs).alias("p"))
+        docs.crossJoin(F.broadcast(vstats))
+        .select(
+            F.sort_array(
+                F.array_intersect(
+                    F.array_distinct(F.split(F.trim("text"), r"\s+")),
+                    F.col("__vs.vocab"),
+                )
+            ).alias("__ts")
+        )
+        # docs with <2 vocab tokens fan out to an EMPTY pair array and
+        # explode drops them — no filter, because a filter on the
+        # projected column gets pushed below the Project and duplicates
+        # the intersect evaluation per row (measured +0.25 s at sf0.1)
+        .select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= min_pairs)
     )
-    # ≤ C(V,2) pair rows meet the 40-row df dimension twice — both
-    # bounded by construction, both explicitly broadcast
-    df_dim = F.broadcast(vocab)
-    pairs = (
-        pair_counts.join(
-            df_dim.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a")),
+    dfmap = F.col("__vs.dfmap")
+    return (
+        pair_counts.crossJoin(F.broadcast(vstats))  # reused exchange
+        .crossJoin(F.broadcast(docs.agg(F.count("*").alias("n_docs"))))
+        .select(
             "tok_a",
-        )
-        .join(
-            df_dim.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b")),
             "tok_b",
+            "n_ab",
+            dfmap[F.col("tok_a")].alias("n_a"),
+            dfmap[F.col("tok_b")].alias("n_b"),
+            (
+                (F.col("n_ab") * F.col("n_docs")).cast("double")
+                / (dfmap[F.col("tok_a")] * dfmap[F.col("tok_b")]).cast("double")
+            ).alias("lift"),
         )
-    )
-    n_docs = docs.agg(F.count("*").alias("n_docs"))
-    return pairs.crossJoin(n_docs).select(  # 1-row stats side
-        "tok_a",
-        "tok_b",
-        "n_ab",
-        "n_a",
-        "n_b",
-        (
-            (F.col("n_ab") * F.col("n_docs")).cast("double")
-            / (F.col("n_a") * F.col("n_b")).cast("double")
-        ).alias("lift"),
     )
 
 

@@ -471,3 +471,30 @@ def test_pq_encode_matches_train_time_assignment(spark, sf_dir):
     train = {r.vec_id: list(r.code) for r in codes.collect()}
     probe = {r.vec_id: list(r.code) for r in re_encoded.collect()}
     assert probe == train
+
+
+def test_mad_outliers_bucketed_tier_matches_classic(spark, sf_dir):
+    """The cost-switch's two tiers must be value-identical: the bucketed
+    histogram+cumsum plan (forced via max_single_reducer_rows=0) against
+    the classic grouped-median plan (the sf0.01 default)."""
+    classic = {
+        r.event_type: (r.n, r.n_outliers, r.med, r.mad)
+        for r in curation.a_mad_outliers(spark, sf_dir).collect()
+    }
+    bucketed = {
+        r.event_type: (r.n, r.n_outliers, r.med, r.mad)
+        for r in curation.a_mad_outliers(
+            spark, sf_dir, max_single_reducer_rows=0
+        ).collect()
+    }
+    assert classic == bucketed and classic
+
+
+def test_mad_outliers_bucketed_tier_empty_input(spark, tmp_path):
+    events_schema = (
+        "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    d = str(tmp_path)
+    spark.createDataFrame([], events_schema).write.parquet(f"{d}/events.parquet")
+    out = curation.a_mad_outliers(spark, d, max_single_reducer_rows=-1).collect()
+    assert out == []
