@@ -47,6 +47,13 @@ _NAIVE_JOIN_ROWS_MAX = 50_000_000
 # ~1e-16-relative FP error for any realistic shingle-set size (≤ ~1e6).
 _T_EPS = 1e-9
 
+# Candidate-pair cap under which the cross-set verify broadcasts its
+# corpus-side id set (distinct ids ≤ pairs; ~16 B/id ⇒ ≤ ~32 MB worst
+# case): measured off the PINNED candidate table, so the switch costs one
+# cheap cached count, never a guess from Catalyst's volume-blind
+# checkpoint estimates.
+_VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
+
 
 def _required_overlap(threshold: float, n_sh):
     """⌈t·n⌉ with conservative (never-rounds-up-across-integers) FP."""
@@ -568,15 +575,30 @@ def incremental_containment_pairs(
         )
         .distinct()
     )
-    # exact verification restricted to candidate docs on both sides (the
-    # candidate-id sets are O(batch); the semi-joins keep the corpus side
-    # from shuffling wholesale per arrival)
+    # three consumers (two semi-join id sets + the verify join) would
+    # otherwise re-run the union-distinct candidate subtree — and its two
+    # corpus-side joins — once each; pin the O(batch·matches) result
+    cand = _pin(cand)
+    # exact verification restricted to candidate docs on both sides. The
+    # batch-side id set is O(batch) by the operator's contract → always
+    # broadcast. The corpus-side candidate set is USUALLY O(batch·matches)
+    # but adversarially unbounded (a hot prefix shingle can implicate the
+    # whole corpus), so its join strategy is a MEASURED switch off the
+    # pinned candidate table: broadcast keeps the corpus artifacts'
+    # sh-partitioning intact (zero corpus-side exchange in the whole
+    # probe when the index is partitioned/bucketed by sh); past the cap
+    # it degrades to the shuffle semi-join instead of an OOM broadcast.
     new_c = new_sh.join(
-        cand.select(F.col("id_new").alias("doc")).distinct(), "doc", "left_semi"
+        F.broadcast(cand.select(F.col("id_new").alias("doc")).distinct()),
+        "doc",
+        "left_semi",
     ).select("doc", "sh", "n_sh")
-    cor_c = cor_sh.join(
-        cand.select(F.col("dup_of").alias("doc")).distinct(), "doc", "left_semi"
-    )
+    dup_ids = cand.select(F.col("dup_of").alias("doc")).distinct()
+    if cand.count() <= _VERIFY_BROADCAST_MAX_PAIRS:
+        dup_ids = F.broadcast(dup_ids)
+    else:
+        dup_ids = dup_ids.hint("shuffle_hash")
+    cor_c = cor_sh.join(dup_ids, "doc", "left_semi")
     return (
         cand.join(new_c.alias("a"), F.col("id_new") == F.col("a.doc"))
         .join(

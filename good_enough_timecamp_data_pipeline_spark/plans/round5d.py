@@ -312,7 +312,12 @@ def _inc_containment_corpus_sh(
                     corpus_df=docs, threshold=0.9
                 )
                 holder.update(full=full, df=df_tbl, prefix=prefix)
-            return holder[which]
+            # checkpoint PARTITIONED BY the probe's join key: localCheckpoint
+            # preserves outputPartitioning, so every per-arrival sh-join
+            # against these artifacts shuffles only the O(batch) side —
+            # the in-session analog of the production index's
+            # bucketBy(sh) parquet layout
+            return holder[which].repartition(F.col("sh"))
 
         return build
 
