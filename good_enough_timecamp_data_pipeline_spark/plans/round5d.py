@@ -105,22 +105,25 @@ def _weight_expr(tok) -> F.Column:
 
 
 def docs_hash_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, score_raw, quality) — ONE hashed-classifier
-    inference pass over the corpus as a session-shared checkpoint.
+    """(doc_id, content_h, n_tokens, score_raw, quality, lang_pred) —
+    ONE pass of the per-doc narrow compute over the corpus as a
+    session-shared checkpoint.
 
     The per-token md5 fold is the heaviest narrow compute in the
-    catalog, and two entries need its output (``t_hashed_classifier``
-    and ``t_calibration_bins``'s reliability bins); in production the
-    scored corpus is a materialized table every downstream gate reads,
-    not a per-query recompute (the ``docs_alpha_toks`` discipline,
-    extensions.py). The artifact carries the DERIVED ``quality`` score
-    (what the calibration label needs) instead of the raw text — the
-    checkpoint is then four numeric columns, and materialization stops
-    paying to serialize the corpus body (measured 2.4 → 0.5 s at
-    sf0.1). Both oracle twins still re-derive everything from raw text
-    inside their own SQL."""
+    catalog, and several entries need slices of this table
+    (``t_hashed_classifier``, ``t_calibration_bins``'s reliability
+    bins, and — round 11 — ``t_corpus_prep``'s dedup + gate stages,
+    which previously re-tokenized the corpus per query and carried full
+    text through an md5-keyed window shuffle); in production the scored
+    corpus is a materialized table every downstream gate reads, not a
+    per-query recompute (the ``docs_alpha_toks`` discipline,
+    extensions.py). The artifact carries the DERIVED columns (quality,
+    lang, content hash) instead of the raw text — the checkpoint is six
+    narrow columns, and materialization stops paying to serialize the
+    corpus body (measured 2.4 → 0.5 s at sf0.1). Every oracle twin
+    still re-derives everything from raw text inside its own SQL."""
     from ..operators.layout import fan_out_scan
-    from ..operators.text import quality_score
+    from ..operators.text import lang_id, quality_score
     from .shared import shared_checkpoint
 
     def build() -> DataFrame:
@@ -140,9 +143,11 @@ def docs_hash_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return d.select(
             "doc_id",
+            F.md5("text").alias("content_h"),
             F.size("__toks").cast("int").alias("n_tokens"),
             score_raw.alias("score_raw"),
-            quality_score(F.col("text")).alias("quality"),
+            quality_score(F.col("text"), toks=F.col("__toks")).alias("quality"),
+            lang_id(F.col("text"), toks=F.col("__toks")).alias("lang_pred"),
         )
 
     return shared_checkpoint(spark, sf_dir, "docs_hash_scored", build)

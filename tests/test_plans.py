@@ -204,10 +204,12 @@ def test_peak_concurrency_partitioned_sweep(spark, sf_dir):
 
 
 def test_cooccurrence_vocab_join_broadcasts(spark, sf_dir):
-    """The top-V vocabulary side is 40 rows: after AQE the doc-token join
-    against it must be a broadcast, and the vocabulary itself must come
-    from TakeOrdered (distributed sort+limit), not a single-partition
-    row_number window."""
+    """Round-11 shape: the vocabulary comes from TakeOrdered (distributed
+    sort+limit, no single-partition row_number window) and folds into a
+    ONE-ROW broadcast (array + df map); every join in the plan is a
+    broadcast of that 1-row side — no corpus-keyed equi-join at all, so
+    the only corpus shuffle left is the map-side-combined ≤C(V,2)-key
+    pair aggregation."""
     from good_enough_timecamp_data_pipeline_spark.plans import round5
 
     df = round5.t_cooccurrence_lift(spark, sf_dir)
@@ -215,7 +217,11 @@ def test_cooccurrence_vocab_join_broadcasts(spark, sf_dir):
     plan = plan_of(df)
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
-    assert "BroadcastHashJoin" in plan
+    # the 1-row vocab/stats sides join as broadcasts…
+    assert "BroadcastNestedLoopJoin" in plan
+    # …and nothing corpus-sized is ever joined or broadcast
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
 
 
 def test_quality_gate_is_single_stage_projection(spark, sf_dir):
