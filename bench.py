@@ -85,15 +85,28 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    job_counts: dict[str, int] = {}
+    tracker = spark.sparkContext.statusTracker()
     for name, fn in catalog.queries().items():
         restore = catalog.apply_query_conf(spark, name)
+        # a per-entry job group lets the status tracker attribute every
+        # Spark job (driver-side probes, pinned-build actions, the final
+        # noop write, AQE re-plans) to the entry — the job-FLOOR audit
+        # column: entries whose time is mostly ~0.25 s/job scheduling
+        # constant show up as high job_count with low per-job work
+        spark.sparkContext.setJobGroup(f"bench:{name}", name)
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            try:
+                job_counts[name] = len(tracker.getJobIdsForGroup(f"bench:{name}"))
+            except Exception:
+                pass
         except Exception as e:
             errors[name] = f"{type(e).__name__}: {e}"[:500]
         finally:
+            spark.sparkContext.setJobGroup("", "")
             restore()
             # operators pin reused intermediates (shingles, LSH buckets);
             # drop them so later queries aren't timed under cache pressure
@@ -132,6 +145,11 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        # Spark jobs per entry (status-tracker job groups): the job-floor
+        # audit — at sf0.1 each job costs ~0.1-0.3 s of pure scheduling,
+        # so a cheap entry with many jobs is constant-bound, not
+        # compute-bound (round-10 VERDICT item 7)
+        "job_counts": job_counts,
         # one-time corpus index build (amortized across every later probe;
         # d_incremental_dedup's per-query line above is the warm probe)
         "lsh_index_build_sec": lsh_build_sec,

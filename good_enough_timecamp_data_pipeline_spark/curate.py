@@ -668,7 +668,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                         "against the corpus (exact + LSH probe)")
     p.add_argument("--corpus-key", default=None,
                    help="stable fingerprint of --corpus for the write-once "
-                        "LSH index cache (default: derived from path+mtime)")
+                        "corpus index cache (LSH or containment, per "
+                        "--near-dup; default: derived from the corpus file "
+                        "listing)")
     p.add_argument("--drift-report", action="store_true",
                    help="with --corpus: emit binned token-count KS + "
                         "token-KL of the input vs the corpus into stats")

@@ -200,6 +200,22 @@ SHAPE_WARMUP = (
 )
 
 
+# Cost-switched entries choose their physical tier from the DATA under
+# sf_dir (footer row counts, measured probes), so a shape warm-up at
+# sf0.001 exercises only the small-data tier and the at-scale tier's
+# generated classes stay cold — a_mad_outliers' bucketed tier measured
+# 21 s first-execution vs 2.0 s warm at sf10. Each variant here forces
+# the tier the small-SF run would NOT choose; warmup() runs them right
+# after the entry itself.
+SHAPE_WARMUP_VARIANTS: dict = {
+    "a_mad_outliers": (
+        lambda spark, sf_dir: curation.a_mad_outliers(
+            spark, sf_dir, max_single_reducer_rows=0
+        ),
+    ),
+}
+
+
 def _pandas_identity(pdf):
     import numpy  # noqa: F401  — warm the worker's heavy imports too
 
@@ -252,6 +268,12 @@ def warmup(spark: SparkSession, sf_dir: str, shapes: bool = True) -> None:
             restore = apply_query_conf(spark, name)
             try:
                 fn(spark, small).write.format("noop").mode("overwrite").save()
+                # also warm the tier(s) a cost-switched entry would only
+                # pick at the TIMED scale (see SHAPE_WARMUP_VARIANTS)
+                for variant in SHAPE_WARMUP_VARIANTS.get(name, ()):
+                    variant(spark, small).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
             except Exception:
                 pass
             finally:

@@ -270,10 +270,14 @@ def a_mad_outliers(
     quantile pass as a range-bucketed `global_cumsum_multi` over the
     pinned histogram — one running counter per event type per pass, so
     the medians come from range-parallel windows, never a per-type
-    reducer funnel. Both paths produce identical results (pytest-pinned
-    on the oracle fixture); at unbounded value cardinality you would bin
-    first — the approximate twin lives in a_approx_sketches
-    (plans/advanced.py).
+    reducer funnel. A MEASURED middle tier (the round-11 sf10 numbers:
+    every Spark job at that scale costs more than DuckDB's entire query)
+    applies when the compressed histogram itself is driver-small: both
+    quantile levels compute exactly on the collected histogram — two
+    Spark jobs total instead of five. All tiers produce identical
+    results (pytest-pinned on the oracle fixture); at unbounded value
+    cardinality you would bin first — the approximate twin lives in
+    a_approx_sketches (plans/advanced.py).
     """
     from ..plans.round5d import _file_size_row_bound
 
@@ -302,15 +306,44 @@ def a_mad_outliers(
     return _mad_outliers_bucketed(spark, ev)
 
 
+# The distinct-value histogram collects to the driver when its MEASURED
+# row count is under this cap (~6 MB of (type, double, long) rows) — the
+# two quantile levels then cost zero further Spark jobs. Past the cap the
+# distributed cumsum tier runs instead; the cap is a measured count, not
+# an estimate, so the collect is bounded by construction.
+_DRIVER_HISTOGRAM_MAX_ROWS = 262_144
+
+
+def _interp_median(pairs: list[tuple[float, int]]) -> float:
+    """Exact interpolated median of value→count pairs (sorted here) —
+    the same lower + (higher − lower) · frac arithmetic Spark's
+    Percentile and DuckDB's MEDIAN use."""
+    pairs = sorted(pairs)
+    n = sum(c for _, c in pairs)
+    r1, r2 = (n + 1) // 2, (n + 2) // 2
+    lo = hi = None
+    cum = 0
+    for v, c in pairs:
+        cum += c
+        if lo is None and cum >= r1:
+            lo = v
+        if cum >= r2:
+            hi = v
+            break
+    return lo + (hi - lo) * 0.5
+
+
 def _mad_outliers_bucketed(spark: SparkSession, ev: DataFrame) -> DataFrame:
-    """The at-scale tier of `a_mad_outliers`: histogram compression +
-    two range-bucketed cumsum passes, five bounded driver jobs total
-    (pin⊕types⊕bounds, 2 × cumsum totals, 2 × quantile extraction),
-    every one over the pinned histogram — the fact is scanned once."""
+    """The at-scale tiers of `a_mad_outliers`: histogram compression +
+    exact quantiles either DRIVER-SIDE (histogram measured small: two
+    bounded driver jobs total) or via two range-bucketed cumsum passes
+    (five bounded driver jobs), every job over the pinned histogram —
+    the fact is scanned once in all tiers."""
     from ..operators.order import _range_bucket_col
 
-    # ONE materializing job carries the histogram pin, the value bounds
-    # AND the type set (collect_set over ≤ handful of types)
+    # ONE materializing job carries the histogram pin, the value bounds,
+    # the type set (collect_set over ≤ handful of types) AND the
+    # histogram row count that picks the tier below
     hist = ev.groupBy("event_type", "value").agg(
         F.count("*").alias("cnt")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -318,12 +351,23 @@ def _mad_outliers_bucketed(spark: SparkSession, ev: DataFrame) -> DataFrame:
         F.min("value").alias("lo"),
         F.max("value").alias("hi"),
         F.collect_set("event_type").alias("types"),
+        F.count("*").alias("n_hist"),
     ).collect()[0]
     types = sorted(row["types"])
     if not types:  # empty input: schema-stable empty result
         return spark.createDataFrame(
             [], "event_type string, n long, n_outliers long, med double, mad double"
         )
+    if int(row["n_hist"]) <= _DRIVER_HISTOGRAM_MAX_ROWS:
+        by_type: dict[str, list] = {t: [] for t in types}
+        for r in hist.collect():  # cached blocks; bounded by the count above
+            by_type[r["event_type"]].append((float(r["value"]), int(r["cnt"])))
+        med = {t: _interp_median(by_type[t]) for t in types}
+        mad = {
+            t: _interp_median([(abs(v - med[t]), c) for v, c in by_type[t]])
+            for t in types
+        }
+        return _mad_finalize(hist, types, med, mad)
     vlo, vhi = float(row["lo"]), float(row["hi"])
     bucket = _range_bucket_col(vlo, vhi, F.col("value"), 256)
 
@@ -386,13 +430,23 @@ def _mad_outliers_bucketed(spark: SparkSession, ev: DataFrame) -> DataFrame:
     )
     mad = extract_quantiles(cum2, "adev", tot1)
 
+    return _mad_finalize(hist, types, med, mad)
+
+
+def _mad_finalize(
+    hist: DataFrame, types: list, med: dict, mad: dict
+) -> DataFrame:
+    """Outlier counts over the pinned histogram with the per-type
+    median/MAD embedded as literals — one hash-agg, cnt-weighted."""
+    med_col = F.lit(None).cast("double")
     mad_col = F.lit(None).cast("double")
     for t in types:
-        mad_col = F.when(F.col("event_type") == F.lit(t), F.lit(mad[t])).otherwise(
-            mad_col
-        )
+        is_t = F.col("event_type") == F.lit(t)
+        med_col = F.when(is_t, F.lit(med[t])).otherwise(med_col)
+        mad_col = F.when(is_t, F.lit(mad[t])).otherwise(mad_col)
     return (
-        dev.withColumn("__mad", mad_col)
+        hist.withColumn("adev", F.abs(F.col("value") - med_col))
+        .withColumn("__mad", mad_col)
         .groupBy("event_type")
         .agg(
             F.sum("cnt").cast("long").alias("n"),

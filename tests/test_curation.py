@@ -473,21 +473,29 @@ def test_pq_encode_matches_train_time_assignment(spark, sf_dir):
     assert probe == train
 
 
-def test_mad_outliers_bucketed_tier_matches_classic(spark, sf_dir):
-    """The cost-switch's two tiers must be value-identical: the bucketed
-    histogram+cumsum plan (forced via max_single_reducer_rows=0) against
-    the classic grouped-median plan (the sf0.01 default)."""
+def test_mad_outliers_bucketed_tier_matches_classic(spark, sf_dir, monkeypatch):
+    """The cost-switch's THREE tiers must be value-identical: classic
+    grouped-median (the sf0.01 default), driver-histogram quantiles
+    (forced via max_single_reducer_rows=0), and the distributed cumsum
+    tier (additionally forcing the driver-histogram cap to 0)."""
     classic = {
         r.event_type: (r.n, r.n_outliers, r.med, r.mad)
         for r in curation.a_mad_outliers(spark, sf_dir).collect()
     }
-    bucketed = {
+    driver_tier = {
         r.event_type: (r.n, r.n_outliers, r.med, r.mad)
         for r in curation.a_mad_outliers(
             spark, sf_dir, max_single_reducer_rows=0
         ).collect()
     }
-    assert classic == bucketed and classic
+    monkeypatch.setattr(curation, "_DRIVER_HISTOGRAM_MAX_ROWS", 0)
+    cumsum_tier = {
+        r.event_type: (r.n, r.n_outliers, r.med, r.mad)
+        for r in curation.a_mad_outliers(
+            spark, sf_dir, max_single_reducer_rows=0
+        ).collect()
+    }
+    assert classic == driver_tier == cumsum_tier and classic
 
 
 def test_mad_outliers_bucketed_tier_empty_input(spark, tmp_path):

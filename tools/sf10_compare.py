@@ -70,14 +70,20 @@ def main() -> int:
     fact_bound = "--fact-bound" in argv
     if fact_bound:
         argv.remove("--fact-bound")
+    sf10 = None
+    if "--reuse-dir" in argv:  # skip synthesis (e.g. the fact-bound pass
+        i = argv.index("--reuse-dir")  # right after the tail pass)
+        sf10 = argv[i + 1]
+        del argv[i : i + 2]
     base = argv[0] if argv else "/root/testdata/sf0.1"
-    from good_enough_timecamp_data_pipeline_spark.session import get_spark
-    from tools.scale_probe import scaled_dir
+    if sf10 is None:
+        from good_enough_timecamp_data_pipeline_spark.session import get_spark
+        from tools.scale_probe import scaled_dir
 
-    spark = get_spark("sf10_synth")
-    sf10 = scaled_dir(spark, 100, base=base)
-    print(f"sf10 synthesized at {sf10}", flush=True)
-    spark.stop()  # the comparison run builds its own tuned session
+        spark = get_spark("sf10_synth")
+        sf10 = scaled_dir(spark, 100, base=base)
+        print(f"sf10 synthesized at {sf10}", flush=True)
+        spark.stop()  # the comparison run builds its own tuned session
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     artifact = os.path.join(repo, "BASELINE_COMPARE_SF10.json")
