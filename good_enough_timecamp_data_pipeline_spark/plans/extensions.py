@@ -79,16 +79,27 @@ def e_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.to_date("ts").alias("day"), "user_id")
         .distinct()
     )
-    dau = du.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    wau = (
-        du.select(
-            F.explode(F.sequence(F.col("day"), F.date_add("day", 6))).alias("day"),
-            "user_id",
-        )
-        .groupBy("day")
-        .agg(F.countDistinct("user_id").alias("wau"))
+    # ONE aggregation carries both counts: position 0 of the 7-day
+    # explode IS the pair's own day, so dau = distinct users at offset 0
+    # — the former dau⋈wau two-branch shape re-derived `du` per branch
+    # and scheduled an AQE join cascade (7 jobs for two hash-aggs).
+    # Days with wau-only coverage (no direct activity) are filtered out,
+    # matching the old inner join.
+    exploded = du.select(
+        F.posexplode(F.sequence(F.col("day"), F.date_add("day", 6))).alias(
+            "i", "day"
+        ),
+        "user_id",
     )
-    return dau.join(wau, "day").select("day", "dau", "wau")
+    return (
+        exploded.groupBy("day")
+        .agg(
+            F.countDistinct(F.when(F.col("i") == 0, F.col("user_id"))).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .filter(F.col("dau") > 0)
+        .select("day", "dau", "wau")
+    )
 
 
 E_DAU_WAU_SQL = """

@@ -284,8 +284,11 @@ def t_cooccurrence_lift(
       DuckDB twin hashes identically (see module docstring).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # df pass carries ONLY the token — the per-doc pair pass below works
+    # map-side off the broadcast vocab, so nothing here needs doc_id and
+    # the corpus-wide explode shuffles one narrow column
     doc_toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok")
+        F.explode(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias("tok")
     )
     df_counts = doc_toks.groupBy("tok").agg(F.count("*").alias("df"))
     vocab = df_counts.orderBy(F.desc("df"), F.asc("tok")).limit(vocab_size)
@@ -993,16 +996,25 @@ def t_token_kl_drift(
         .agg(F.count("*").alias("c_s"))
         .localCheckpoint(eager=True)
     )
-    cor_b = src_b.groupBy("bucket").agg(F.sum("c_s").alias("c_c"))
-    src_tot = src_b.groupBy("source").agg(F.sum("c_s").cast("double").alias("t_s"))
-    cor_tot = cor_b.agg(F.sum("c_c").cast("double").alias("t_c"))
+    # the corpus marginal, per-source totals and grand total are WINDOW
+    # sums over the checkpointed (sources × B)-row table instead of
+    # three join branches: same values, but a single linear plan — the
+    # former agg+join shape scheduled an AQE stage cascade per join
+    # (11 Spark jobs for a 2 500-row reduction; the round-10 job-floor
+    # audit's textbook offender). The global window is bounded by
+    # sources × B by construction, never by the data.
+    w_b = Window.partitionBy("bucket")
+    w_s = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    enriched = (
+        src_b.withColumn("c_c", F.sum("c_s").over(w_b))
+        .withColumn("t_s", F.sum("c_s").over(w_s).cast("double"))
+        .withColumn("t_c", F.sum("c_s").over(w_all).cast("double"))
+    )
     p_s = (F.col("c_s") + 1.0) / (F.col("t_s") + n_buckets)
     p_c = (F.col("c_c") + 1.0) / (F.col("t_c") + n_buckets)
     return (
-        src_b.join(cor_b, "bucket")
-        .join(src_tot, "source")
-        .crossJoin(cor_tot)  # 1-row stats side
-        .groupBy("source")
+        enriched.groupBy("source")
         .agg(
             F.sum("c_s").alias("n_tokens"),
             F.round(F.sum(p_s * (F.log(p_s) - F.log(p_c))), 4).alias("kl_vs_corpus"),
