@@ -101,7 +101,11 @@ QUERY_CONF.update(
         for name in (
             "e_peak_concurrency",
             "a_winsorize",
-            "t_cooccurrence_lift",
+            # t_cooccurrence_lift left the list in r11: the exception was
+            # measured on the old join+collect_set plan; the rewritten
+            # intersect/HOF plan is warm-neutral under codegen but pays a
+            # ~4.7 s first-execution Janino compile, which the
+            # cold-plan-per-query protocol measures every time
             "q_nation_trade",
             "q_local_supplier_volume",
             "a_corr_stats",

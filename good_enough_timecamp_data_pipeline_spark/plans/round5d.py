@@ -376,10 +376,10 @@ KS_ALPHA_C = 1.358  # c(α) for α = 0.05 in the large-sample KS rejection rule
 _KS_EXACT_DISTINCT_MAX = 2_000_000
 
 
-def _file_size_row_bound(sf_dir: str) -> int | None:
-    """EXACT events-table row count from the parquet footers (no Spark
-    job; distinct ≤ rows, so this upper-bounds the guard's quantity with
-    certainty), or None when the path is not local parquet — then the
+def _file_size_row_bound(sf_dir: str, table: str = "events") -> int | None:
+    """EXACT table row count from the parquet footers (no Spark job;
+    distinct ≤ rows, so this upper-bounds a cardinality guard's quantity
+    with certainty), or None when the path is not local parquet — then a
     probe job decides. Footer counts replace the old bytes/4 heuristic:
     delta/dictionary encodings can pack whole rows below any assumed
     byte floor, so a size-derived bound was not actually certain
@@ -388,7 +388,7 @@ def _file_size_row_bound(sf_dir: str) -> int | None:
 
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isfile(path):
             files = [path]
@@ -467,6 +467,32 @@ def a_ks_test(
         F.sum(F.when(F.col("event_type") == KS_TYPE_A, 1).otherwise(0)).alias("d1"),
         F.sum(F.when(F.col("event_type") == KS_TYPE_B, 1).otherwise(0)).alias("d2"),
     )
+    # DRIVER tier (round 11, the a_mad_outliers discipline): when the
+    # histogram is PROVABLY small — footer rows or the approx probe
+    # (with 2× headroom for its error band) under the cap — ONE job
+    # collects it and the cumulative sweep runs in exact Python integers;
+    # the statistic then feeds back through the SAME Spark expressions
+    # as literals, so every cast/divide happens JVM-side, bit-identical
+    # to the distributed tier (pytest-pinned). 4 jobs → 1.
+    small = (bound is not None and bound <= _KS_DRIVER_MAX_ROWS) or (
+        0 < approx <= _KS_DRIVER_MAX_ROWS // 2
+    )
+    if small:
+        hist = sorted(
+            (float(r["value"]), int(r["d1"]), int(r["d2"])) for r in g.collect()
+        )
+        n1 = sum(d1 for _, d1, _ in hist)
+        n2 = sum(d2 for _, _, d2 in hist)
+        if n1 and n2:
+            max_diff = 0
+            c1 = c2 = 0
+            for _, d1, d2 in hist:
+                c1 += d1
+                c2 += d2
+                diff_i = abs(c1 * n2 - c2 * n1)
+                if diff_i > max_diff:
+                    max_diff = diff_i
+            return _ks_finalize(spark, n1, n2, max_diff)
     # pin the DISTINCT-VALUE histogram once — the bucket-bounds agg
     # doubles as the materializing action (pin_with_range_bucket), so
     # the remaining consumers (totals collect, main cumsum pass) read
@@ -502,11 +528,37 @@ def a_ks_test(
             ).alias("ks_stat"),
         )
     )
-    crit = F.lit(KS_ALPHA_C) * F.sqrt(
+    return res.withColumn("significant", F.col("ks_stat") > _ks_crit())
+
+
+def _ks_crit() -> F.Column:
+    """α=0.05 rejection threshold expression over n1/n2 columns."""
+    return F.lit(KS_ALPHA_C) * F.sqrt(
         (F.col("n1") + F.col("n2")).cast("double")
         / (F.col("n1").cast("double") * F.col("n2").cast("double"))
     )
-    return res.withColumn("significant", F.col("ks_stat") > crit)
+
+
+# Collect the exact distinct-value histogram when it provably fits the
+# driver (~262k (double, long, long) rows ≈ 6 MB) — bounded by footer
+# rows or the approx-distinct probe with 2× headroom, never a guess.
+_KS_DRIVER_MAX_ROWS = 262_144
+
+
+def _ks_finalize(spark: SparkSession, n1: int, n2: int, max_diff: int) -> DataFrame:
+    """The exact integers feed the SAME final expressions the
+    distributed tier uses (JVM-side casts/divides — bit-identical)."""
+    from decimal import Decimal
+
+    res = spark.range(1).select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        (
+            F.lit(Decimal(max_diff)).cast("decimal(38,0)").cast("double")
+            / (F.lit(n1).cast("double") * F.lit(n2).cast("double"))
+        ).alias("ks_stat"),
+    )
+    return res.withColumn("significant", F.col("ks_stat") > _ks_crit())
 
 
 A_KS_TEST_SQL = f"""

@@ -311,6 +311,32 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("x")
     )
+    # DRIVER tier (round 11, the a_mad_outliers discipline): customers
+    # are a DIMENSION — when the customer table's footer row count fits
+    # the cap, ONE job collects the per-customer revenue table, the
+    # rank-weighted sum runs in exact Python integers, and the scalars
+    # feed back through the SAME final Spark expressions (all casts,
+    # divisions and the ROUND happen JVM-side — bit-identical to the
+    # distributed tier, pytest-pinned). 3 jobs → 1.
+    from .round5d import _file_size_row_bound
+
+    cust_rows = _file_size_row_bound(sf_dir, table="customer")
+    if cust_rows is not None and cust_rows <= _GINI_DRIVER_MAX_ROWS:
+        from decimal import Decimal
+
+        vals = sorted(
+            (int(r["x"]), int(r["o_custkey"])) for r in rev.collect()
+        )
+        if vals:
+            n = len(vals)
+            s = sum(x for x, _ in vals)
+            rw = sum(i * x for i, (x, _) in enumerate(vals, start=1))
+            stats = spark.range(1).select(
+                F.lit(n).cast("long").alias("n_customers"),
+                F.lit(Decimal(s)).cast("decimal(38,0)").alias("sum_cents"),
+                F.lit(Decimal(rw)).cast("decimal(38,0)").alias("rank_weighted"),
+            )
+            return _gini_finalize(stats)
     # unique ascending sort key: (x, custkey) packed into one long;
     # pin the customer-sized table once, with the bucket-bounds agg as
     # the materializing action — totals and main rank pass then read
@@ -321,11 +347,28 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.withColumn("__k", key), F.col("__k")
     )
     ranked = global_row_number(keyed, F.col("__k"), bucket, out="i")
-    return ranked.agg(
-        F.count("*").alias("n_customers"),
-        F.sum(F.col("x").cast("decimal(38,0)")).alias("sum_cents"),
-        F.sum((F.col("i") * F.col("x")).cast("decimal(38,0)")).alias("rank_weighted"),
-    ).select(
+    return _gini_finalize(
+        ranked.agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("x").cast("decimal(38,0)")).alias("sum_cents"),
+            F.sum(
+                (F.col("i") * F.col("x")).cast("decimal(38,0)")
+            ).alias("rank_weighted"),
+        )
+    )
+
+
+# Collect the per-customer revenue table when the customer DIMENSION's
+# footer row count fits (~262k (long, long) rows ≈ 4 MB) — dims don't
+# grow with the fact, so this is the common case at any corpus size;
+# the distributed rank path remains for genuinely huge key spaces.
+_GINI_DRIVER_MAX_ROWS = 262_144
+
+
+def _gini_finalize(stats: DataFrame) -> DataFrame:
+    """Final Gini expression over a 1-row (n_customers, sum_cents,
+    rank_weighted) frame — shared verbatim by both tiers."""
+    return stats.select(
         "n_customers",
         F.col("sum_cents").cast("long").alias("sum_cents"),
         # each factor is cast to double BEFORE multiplying (both engines

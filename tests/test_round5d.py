@@ -216,3 +216,16 @@ def test_round5d_catalog_registration():
     q, o = catalog.queries(), catalog.oracle_sql()
     for name in ("t_hashed_classifier", "d_containment", "a_ks_test", "e_interval_coverage"):
         assert name in q and name in o
+
+
+def test_ks_driver_tier_matches_distributed(spark, sf_dir, monkeypatch):
+    """a_ks_test's driver-histogram tier (the sf0.01 default — footer
+    rows fit the cap) must be value-identical to the distributed cumsum
+    tier (forced by zeroing the cap)."""
+    from good_enough_timecamp_data_pipeline_spark.plans import round5d
+
+    fast = round5d.a_ks_test(spark, sf_dir).collect()[0]
+    monkeypatch.setattr(round5d, "_KS_DRIVER_MAX_ROWS", 0)
+    slow = round5d.a_ks_test(spark, sf_dir).collect()[0]
+    assert tuple(fast) == tuple(slow)
+    assert fast["n1"] > 0 and fast["n2"] > 0

@@ -148,3 +148,14 @@ def test_benford_distribution_properties(spark, sf_dir):
         int(str(int(math.floor(p * 100)))[0]) for p in o.o_totalprice if math.floor(p * 100) > 0
     )
     assert {r.digit: r.n for r in rows} == dict(ref)
+
+
+def test_gini_driver_tier_matches_distributed(spark, sf_dir, monkeypatch):
+    """a_gini's driver tier (customer dim fits the footer cap — the
+    default everywhere dims stay dimension-sized) must be value-identical
+    to the distributed rank tier (forced by zeroing the cap)."""
+    fast = warehouse.a_gini(spark, sf_dir).collect()[0]
+    monkeypatch.setattr(warehouse, "_GINI_DRIVER_MAX_ROWS", 0)
+    slow = warehouse.a_gini(spark, sf_dir).collect()[0]
+    assert tuple(fast) == tuple(slow)
+    assert fast["n_customers"] > 0
