@@ -39,3 +39,37 @@ def test_entry_module_imports_without_spark_session():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "ok" in out.stdout
+
+
+def test_codegen_exceptions_skipped_under_cold_protocol(spark, monkeypatch):
+    """The CODEGEN_ON per-query exceptions were measured shape-warmed;
+    under the cold protocol (SPARK_GRAFT_SHAPE_WARMUP=0) a one-shot plan
+    pays the Janino compile inside its timed run, so apply_query_conf
+    must leave the session's codegen tier alone there."""
+    from good_enough_timecamp_data_pipeline_spark.plans import catalog
+
+    name = next(n for n, c in catalog.QUERY_CONF.items() if c is catalog.CODEGEN_ON)
+    key = "spark.sql.codegen.wholeStage"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "false")
+        monkeypatch.setenv("SPARK_GRAFT_SHAPE_WARMUP", "0")
+        restore = catalog.apply_query_conf(spark, name)
+        assert spark.conf.get(key) == "false"  # exception skipped
+        restore()
+        monkeypatch.setenv("SPARK_GRAFT_SHAPE_WARMUP", "1")
+        restore = catalog.apply_query_conf(spark, name)
+        assert spark.conf.get(key) == "true"  # warm protocol applies it
+        restore()
+        assert spark.conf.get(key) == "false"
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_kernel_family_warmups_execute(spark):
+    """The synthetic 64-row kernel-family warm-ups must stay runnable —
+    a silent failure would push each family's first-execution cost back
+    into some entry's timed number."""
+    from good_enough_timecamp_data_pipeline_spark.plans import catalog
+
+    catalog._kernel_family_warmups(spark)  # raises on breakage
