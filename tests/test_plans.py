@@ -130,14 +130,17 @@ def test_catalog_plans_are_lintable(spark, sf_dir):
     designed escape hatch."""
     from good_enough_timecamp_data_pipeline_spark.plans import catalog
 
+    from concurrent.futures import ThreadPoolExecutor
+
     offenders: list[str] = []
-    # clearCache batched, not per query: persisted frames at sf0.001 are
-    # tiny, but a per-query clear forces every eager-probe entry (cost
-    # probes, KS cardinality probe, trained sketches) to rebuild the
-    # dedup family's shared pinned frames from scratch — measured 110 s
-    # isolated vs 98 s with batched clears (55 s in-suite, artifacts warm), identical lint: an
-    # InMemoryRelation's tree string still prints its full child plan,
-    # so a cached subtree cannot hide a BatchEvalPython node.
+    # The lint is plan-BUILD bound (183 analyses plus each entry's eager
+    # probe jobs — cost probes, driver-tier quantile collects), and plan
+    # builds are independent: run them on a small thread pool (Spark
+    # schedules concurrent jobs from one session; the shared-artifact
+    # memos are lock-guarded). Measured 63 s serial → ~20 s at 4
+    # threads; no per-query clearCache (sf0.001 persisted frames are
+    # tiny, and an InMemoryRelation's tree string still prints its full
+    # child plan, so a cached subtree cannot hide a BatchEvalPython).
     # NOTE: checkpoint-fed broadcast builds (the t_dsir_weights sf10 OOM
     # class) are audited by tools/broadcast_audit.py as a per-round
     # triage run, NOT here: at sf0.001 many checkpoint broadcasts are
@@ -145,16 +148,23 @@ def test_catalog_plans_are_lintable(spark, sf_dir):
     # candidate sets, codebooks), and cached-plan state makes the
     # flag set depend on execution order — a hard gate here was
     # whack-a-mole (round-10 notes).
-    for i, (name, fn) in enumerate(catalog.queries().items()):
-        if name in _SKIP:
-            continue
-        plan = plan_of(fn(spark, sf_dir))
+    def lint(item):
+        name, fn = item
+        out = []
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as exc:  # a broken plan is an offender, not a crash
+            return [f"{name}: plan build failed: {exc!r}"]
         if "BatchEvalPython" in plan:
-            offenders.append(f"{name}: row-wise Python UDF")
+            out.append(f"{name}: row-wise Python UDF")
         if "CartesianProduct" in plan and name not in _INTENDED_CROSS:
-            offenders.append(f"{name}: cartesian product")
-        if i % 40 == 39:
-            spark.catalog.clearCache()
+            out.append(f"{name}: cartesian product")
+        return out
+
+    items = [kv for kv in catalog.queries().items() if kv[0] not in _SKIP]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for out in pool.map(lint, items):
+            offenders.extend(out)
     spark.catalog.clearCache()
     assert not offenders, offenders
 
