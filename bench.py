@@ -13,9 +13,19 @@ JSON lines:
    "n_ok": ..., "n_err": ..., "sf": ...}`` kept compact — the two
    flagship reports plus the five slowest queries of this run.
 
-The full map is also written to ``bench_detail.json`` next to this file as
-a durable side-channel (ADVICE r3: the parsed line alone drops 86 of 93
-timings).
+The full map is also written to ``bench_out/bench_detail.json`` (an
+UNTRACKED dir — see .gitignore) as a durable side-channel (ADVICE r3: the
+parsed line alone drops 86 of 93 timings). The tracked copy at the repo
+root is refreshed only by ``tools/round_close.py``, so ad-hoc / driver
+post-close bench runs no longer dirty the working tree (round-11 VERDICT
+item 7: write-to-untracked-then-promote).
+
+Every run self-documents its measurement conditions (round-11 VERDICT
+item 2): 1-minute loadavg at start and end, uptime, and — when a
+committed ``bench_detail.json`` exists — a re-probe of the 5 biggest
+per-query movers vs that committed generation, so a uniform inflation
+(co-tenant load) is distinguishable from real code movement without
+cross-referencing PLANS.md and git history.
 
 Failures are ISOLATED: one broken query records an error entry and the
 rest still run (round 3 lost ALL numbers to a single events-schema crash).
@@ -42,10 +52,28 @@ from good_enough_timecamp_data_pipeline_spark.plans import catalog
 from good_enough_timecamp_data_pipeline_spark.session import apply_tuned_conf, get_spark
 
 
+def _conditions() -> dict:
+    """Measurement-condition stamp (loadavg + uptime): the shared-tenancy
+    host drifts ±25% in absolute seconds, so every artifact carries the
+    conditions it ran under (round-11 VERDICT item 2)."""
+    out: dict = {}
+    try:
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as f:
+            out["uptime_s"] = round(float(f.read().split()[0]), 1)
+    except (OSError, ValueError):
+        pass
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    cond_start = _conditions()
 
     spark = get_spark("bench")
     # size the session to the data under sf_dir (what spark-submit flags
@@ -140,11 +168,58 @@ def main() -> None:
     except Exception as e:
         print(f"curate pipeline bench failed: {e}", file=sys.stderr)
 
+    # re-probe the 5 biggest movers vs the COMMITTED bench_detail.json:
+    # a delta that does NOT reproduce on the second in-session timing is
+    # tenancy/cache noise, not code movement — BENCH_r11's 151 s vs the
+    # builder's 123.5 s pair took a PLANS.md+git archaeology session to
+    # adjudicate; now the artifact carries the evidence itself
+    movers: dict[str, dict] = {}
+    committed_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    try:
+        committed = json.load(open(committed_path)).get("queries", {})
+        deltas = sorted(
+            (
+                (abs(timings[k] - committed[k]), k)
+                for k in timings
+                if k in committed
+            ),
+            reverse=True,
+        )[:5]
+        for _, name in deltas:
+            restore = catalog.apply_query_conf(spark, name)
+            t0 = time.time()
+            try:
+                catalog.queries()[name](spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                movers[name] = {
+                    "committed": committed[name],
+                    "run": timings[name],
+                    "reprobe": round(time.time() - t0, 3),
+                }
+            except Exception:
+                pass
+            finally:
+                restore()
+                spark.catalog.clearCache()
+    except (OSError, ValueError, KeyError):
+        pass
+
+    cond_end = _conditions()
     detail = {
         "metric": "per_query_runtime",
         "unit": "sec",
         "queries": timings,
         "errors": errors,
+        # measurement conditions (round-11 VERDICT item 2)
+        "conditions_start": cond_start,
+        "conditions_end": cond_end,
+        # biggest per-query deltas vs the committed generation, each
+        # re-timed once in-session: run≈reprobe≫committed → real code
+        # movement; run≫reprobe≈committed → first-execution/tenancy noise
+        "movers_vs_committed": movers,
         # Spark jobs per entry (status-tracker job groups): the job-floor
         # audit — at sf0.1 each job costs ~0.1-0.3 s of pure scheduling,
         # so a cheap entry with many jobs is constant-bound, not
@@ -166,12 +241,19 @@ def main() -> None:
     }
     print(json.dumps(detail))
     sys.stdout.flush()
-    try:  # durable side-channel for per-query regression tracking
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"),
-            "w",
-        ) as f:
+    try:  # durable side-channel for per-query regression tracking —
+        # written to the UNTRACKED bench_out/ dir (tmp-then-rename) so a
+        # bench run never dirties the working tree; round_close promotes
+        # it to the tracked root copy at commit time
+        out_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        out_path = os.path.join(out_dir, "bench_detail.json")
+        tmp_path = out_path + f".tmp.{os.getpid()}"
+        with open(tmp_path, "w") as f:
             json.dump({**detail, "sf": sf}, f, indent=1)
+        os.replace(tmp_path, out_path)
     except OSError as e:
         print(f"bench_detail.json write failed: {e}", file=sys.stderr)
 
@@ -194,6 +276,12 @@ def main() -> None:
                 "n_ok": len(timings),
                 "n_err": len(errors),
                 "sf": sf,
+                # start/end 1-minute loadavg: the driver-recorded BENCH
+                # artifact self-documents its tenancy conditions
+                "load_1m": [
+                    cond_start.get("loadavg_1m"),
+                    cond_end.get("loadavg_1m"),
+                ],
             }
         )
     )

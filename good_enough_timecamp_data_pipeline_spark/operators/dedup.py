@@ -814,9 +814,21 @@ def _secure_artifact_dir(
     relocates it, lstat-verified (a symlink or another user's dir at the
     predictable path is rejected, never read — round-6/7 ADVICE), and
     ``expect_fresh`` makes key reuse across corpus generations an error
-    instead of a silent stale read (round-8 ADVICE item 2)."""
+    instead of a silent stale read (round-8 ADVICE item 2).
+
+    Housekeeping (round-11 ADVICE item 4): entering the root also (a)
+    sweeps orphaned ``*.tmp.<pid>`` build dirs left by a crashed builder
+    — only ones we own and older than an hour, so a live concurrent
+    build is never raced — and (b) evicts the oldest generation-keyed
+    artifacts beyond ``SPARK_GRAFT_ARTIFACT_KEEP`` (default 8) per
+    namespace, so fingerprint-derived keys (a fresh key per corpus
+    rewrite) cannot grow the cache without bound. An evicted artifact is
+    not an error for any live reader: the build path rebuilds on a
+    missing dir."""
     import os
+    import shutil
     import stat as statmod
+    import time
 
     from ..localfs import secure_private_root
 
@@ -825,6 +837,29 @@ def _secure_artifact_dir(
         os.makedirs(root, mode=0o700, exist_ok=True)
     else:
         root = secure_private_root(namespace)
+    try:
+        keep = int(os.environ.get("SPARK_GRAFT_ARTIFACT_KEEP", "8"))
+        now = time.time()
+        entries = []
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            try:
+                st = os.lstat(p)
+            except OSError:
+                continue
+            if not statmod.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+                continue
+            if ".tmp." in name:
+                if now - st.st_mtime > 3600:
+                    shutil.rmtree(p, ignore_errors=True)
+            elif name != hashed_key:
+                entries.append((st.st_mtime, p))
+        # keep-latest-N (minus the slot the current key occupies/will fill)
+        entries.sort(reverse=True)
+        for _, p in entries[max(keep - 1, 0):]:
+            shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass  # housekeeping must never fail the build/read path
     art = os.path.join(root, hashed_key)
     try:
         art_st = os.lstat(art)
@@ -840,6 +875,11 @@ def _secure_artifact_dir(
             "directory, or owned by another user; refusing to read it — "
             "pass cache_root= to relocate"
         )
+    if art_st is not None:
+        try:
+            os.utime(art)  # reads refresh mtime → eviction above is LRU
+        except OSError:
+            pass
     if expect_fresh and os.path.isdir(art):
         raise FileExistsError(
             f"{what} artifact for cache_key={cache_key!r} already exists "

@@ -227,8 +227,18 @@ SHAPE_WARMUP = (
 # after the entry itself.
 SHAPE_WARMUP_VARIANTS: dict = {
     "a_mad_outliers": (
+        # bucketed path, driver-histogram sub-tier (histogram small)
         lambda spark, sf_dir: curation.a_mad_outliers(
             spark, sf_dir, max_single_reducer_rows=0
+        ),
+        # bucketed path, distributed global_cumsum_multi tier — the one
+        # that actually executes at sf10, where its first execution
+        # measured 21 s; at warm-up scale the histogram is far under
+        # _DRIVER_HISTOGRAM_MAX_ROWS so it must be forced explicitly
+        # (round-11 ADVICE item 1)
+        lambda spark, sf_dir: curation.a_mad_outliers(
+            spark, sf_dir, max_single_reducer_rows=0,
+            max_driver_histogram_rows=0,
         ),
     ),
 }
@@ -692,50 +702,46 @@ register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
 
-# --- round-11 driver window ------------------------------------------------
+# --- round-12 driver window ------------------------------------------------
 # The driver's correctness gate samples the FIRST 50 entries of queries().
-# Cumulative driver coverage is 152/153 oracle twins (zero failures,
-# r01-r10); the one never-checked twin leads. Composition, exactly as the
-# round-10 VERDICT prescribed ("Next round" item 2): (a) the single twin
-# never yet in a driver window (d_incremental_containment, added after
-# WINDOW_R10 froze; oracle-green in the r10 in-round sweep); (b) twins
-# whose implementations changed after WINDOW_R10 froze or change THIS
-# round: e_peak_concurrency (0f77c82 pre-aggregation landed post-freeze),
-# t_cooccurrence_lift (r10 rewrite + r11 >=2-token pre-filter),
-# t_corpus_prep (r11 shared-artifact fusion), e_interval_coverage /
-# a_mad_outliers (r11 pre-aggregation passes), a_ks_test (r11 metadata-
-# bound headroom fix, ADVICE item 4); (c) the 7 r7-era rows deferred from
-# WINDOW_R10 — the oldest driver rows anywhere; (d) 36 of the 47 r8-era
-# rows, the VERDICT-named ones (reports, hierarchy, exact/LSH dedup,
-# token stats) first; the 11 deferred r8 rows (t_seq_pack t_shard_assign
-# t_simhash t_split t_tfidf t_topk_tokens t_winnow w_lag_delta_pct
-# x_profile x_range_join x_rollup) rotate in r12.
-WINDOW_R11 = (
-    # (a) never driver-checked
-    "d_incremental_containment",
-    # (b) impl changed post-WINDOW_R10-freeze or this round
-    "e_peak_concurrency", "t_cooccurrence_lift", "t_corpus_prep",
-    "e_interval_coverage", "a_mad_outliers", "a_ks_test",
-    # (c) the 7 deferred r7-era rows (last driver-confirmed r7)
-    "x_geo_grid_join", "x_geo_knn", "x_asof_forward", "x_asof_nearest",
-    "f_array_ops", "f_variant_shred", "x_lateral_topn",
-    # (d) 36 of the 47 r8-era rows, VERDICT-named first
-    "report_task_budget", "report_project_budget", "h_breadcrumb_levels",
-    "h_closure_pairs", "d_exact_dedup", "d_minhash_lsh", "t_token_stats",
-    "a_bool_aggs", "a_conditional_agg", "a_corr_stats",
-    "a_groupsum_pricing", "a_histogram", "a_weighted_avg",
-    "a_weighted_quantile", "d_cc_clusters", "d_dedup_survivors",
-    "d_simhash_pairs", "e_dau_wau", "e_gapfill", "e_retention_cohorts",
-    "e_sliding_window", "e_windowed_funnel", "f_bitwise_ops",
-    "f_epoch_roundtrip", "j_scd2_lookup", "o_except_all",
-    "t_balanced_sample", "t_bigram_lm", "t_bpe_tokens", "t_chunking",
-    "t_decontam", "t_fingerprint", "t_langid", "t_mixture_weights",
-    "t_quality", "t_repetition",
+# Cumulative driver coverage is 153/153 oracle twins, zero currently
+# failing (r01-r11). Composition per the round-11 VERDICT ("Next round"
+# item 5 — rotate by STALENESS): (a) the 11 rows not driver-checked since
+# r8, the oldest anywhere; (b) twins whose implementations change THIS
+# round: t_line_dedup (hash-keyed shuffle rewrite, VERDICT item 3),
+# t_cooccurrence_lift (bounded top-V df pass, item 4), a_mad_outliers
+# (null-event_type unification, ADVICE item 2), plus t_token_kl_drift
+# (r11 11->2-job fusion landed AFTER WINDOW_R11 froze — last driver check
+# r9); (c) 35 of the remaining 44 r9-era rows. The 9 deferred r9 rows
+# (a_gini a_mode a_winsorize f_regex_extract o_latest_per_key
+# q_local_supplier_volume q_nation_trade q_shipping_priority
+# w_pareto_share — three of which the r11 judge independently re-oracled
+# green out-of-window) rotate first in r13 at staleness 4.
+WINDOW_R12 = (
+    # (a) stale since r8
+    "t_seq_pack", "t_shard_assign", "t_simhash", "t_split", "t_tfidf",
+    "t_topk_tokens", "t_winnow", "w_lag_delta_pct", "x_profile",
+    "x_range_join", "x_rollup",
+    # (b) impl touched this round (or r11-post-freeze)
+    "t_line_dedup", "t_cooccurrence_lift", "a_mad_outliers",
+    "t_token_kl_drift",
+    # (c) 35 of the 44 remaining r9-era rows
+    "a_count_distinct", "a_dedup_pk", "a_distinct_ids", "a_percentiles",
+    "a_salted_skew_sum", "a_stats_minmax", "a_zscore_outliers",
+    "d_lsh_quality", "f_date_explode", "f_dates", "f_formatting_wide",
+    "f_json_props", "f_string_ids", "g_triangle_count", "j_anti",
+    "j_assembly_left_defaults", "j_broadcast_lookup",
+    "j_first_group_enrich", "j_fuzzy_match", "j_semi", "o_set_ops",
+    "o_sort_topk", "p_filter_pushdown", "p_null_canonicalization",
+    "p_type_coercion", "s_cosine_neardup", "s_embedding_stats",
+    "t_calibration_bins", "t_hashed_classifier", "w_frames",
+    "w_running_rank", "x_cube", "x_pivot", "x_topk_per_group",
+    "x_unpivot",
 )
-assert len(WINDOW_R11) == 50 and len(set(WINDOW_R11)) == 50
-_missing = [n for n in WINDOW_R11 if n not in QUERIES or n not in ORACLES]
+assert len(WINDOW_R12) == 50 and len(set(WINDOW_R12)) == 50
+_missing = [n for n in WINDOW_R12 if n not in QUERIES or n not in ORACLES]
 assert not _missing, f"window entries must be registered oracle twins: {_missing}"
-_window = {n: QUERIES[n] for n in WINDOW_R11}
+_window = {n: QUERIES[n] for n in WINDOW_R12}
 _rest = {n: f for n, f in QUERIES.items() if n not in _window}
 QUERIES.clear()
 QUERIES.update(_window)

@@ -250,6 +250,7 @@ def a_mad_outliers(
     sf_dir: str,
     *,
     max_single_reducer_rows: int = 2_000_000,
+    max_driver_histogram_rows: int | None = None,
 ) -> DataFrame:
     """Per-event-type robust outlier counts: a value is an outlier when
     |value − median| > 3 · 1.4826 · MAD. Unlike the moment-based z-score
@@ -282,7 +283,14 @@ def a_mad_outliers(
     from ..plans.round5d import _file_size_row_bound
 
     bound = _file_size_row_bound(sf_dir)
-    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # event_type is a grouping key in every tier; null keys diverged
+    # across tiers (classic tier's broadcast equi-join silently dropped
+    # them, driver tier KeyError'd, distributed tier emitted a null row)
+    # — filter once here so all tiers share the classic tier's effective
+    # behavior (round-11 ADVICE item 2)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
     if bound is not None and bound <= max_single_reducer_rows:
         med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
         dev = ev.join(F.broadcast(med), "event_type").withColumn(
@@ -303,7 +311,9 @@ def a_mad_outliers(
                 F.round(F.min("mad"), 6).alias("mad"),
             )
         )
-    return _mad_outliers_bucketed(spark, ev)
+    return _mad_outliers_bucketed(
+        spark, ev, max_driver_histogram_rows=max_driver_histogram_rows
+    )
 
 
 # The distinct-value histogram collects to the driver when its MEASURED
@@ -333,7 +343,12 @@ def _interp_median(pairs: list[tuple[float, int]]) -> float:
     return lo + (hi - lo) * 0.5
 
 
-def _mad_outliers_bucketed(spark: SparkSession, ev: DataFrame) -> DataFrame:
+def _mad_outliers_bucketed(
+    spark: SparkSession,
+    ev: DataFrame,
+    *,
+    max_driver_histogram_rows: int | None = None,
+) -> DataFrame:
     """The at-scale tiers of `a_mad_outliers`: histogram compression +
     exact quantiles either DRIVER-SIDE (histogram measured small: two
     bounded driver jobs total) or via two range-bucketed cumsum passes
@@ -358,7 +373,12 @@ def _mad_outliers_bucketed(spark: SparkSession, ev: DataFrame) -> DataFrame:
         return spark.createDataFrame(
             [], "event_type string, n long, n_outliers long, med double, mad double"
         )
-    if int(row["n_hist"]) <= _DRIVER_HISTOGRAM_MAX_ROWS:
+    driver_cap = (
+        _DRIVER_HISTOGRAM_MAX_ROWS
+        if max_driver_histogram_rows is None
+        else max_driver_histogram_rows
+    )
+    if int(row["n_hist"]) <= driver_cap:
         by_type: dict[str, list] = {t: [] for t in types}
         for r in hist.collect():  # cached blocks; bounded by the count above
             by_type[r["event_type"]].append((float(r["value"]), int(r["cnt"])))

@@ -386,10 +386,14 @@ def _file_size_row_bound(sf_dir: str, table: str = "events") -> int | None:
     (round-10 ADVICE item 4)."""
     import os
 
-    import pyarrow.parquet as pq
-
-    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
+        # inside the try so a pyarrow-less environment degrades to the
+        # documented "return None, let the probe job decide" path
+        # instead of raising ImportError out of every caller
+        # (round-11 ADVICE item 3)
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
         if os.path.isfile(path):
             files = [path]
         elif os.path.isdir(path):

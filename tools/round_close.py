@@ -129,6 +129,16 @@ def main() -> int:
         if rc != 0:
             print("bench.py failed; aborting before commit", file=sys.stderr)
             return rc
+    # bench.py writes to the UNTRACKED bench_out/ (so ad-hoc / driver
+    # post-close runs keep the tree clean); promote the latest run to the
+    # tracked root copy that gets committed as the round's canonical
+    # per-query artifact (round-11 VERDICT item 7)
+    staged_detail = os.path.join(REPO, "bench_out", "bench_detail.json")
+    if os.path.exists(staged_detail):
+        import shutil
+
+        shutil.copyfile(staged_detail, os.path.join(REPO, "bench_detail.json"))
+        print("  promoted bench_out/bench_detail.json -> bench_detail.json")
 
     print("== canonical ratios")
     canonical: dict[str, str] = {}
