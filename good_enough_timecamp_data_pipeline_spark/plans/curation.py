@@ -137,6 +137,7 @@ FROM tiled
 # ---------------------------------------------------------------------------
 
 LINE_TOKENS = 10
+POS_BITS = 20  # (doc_id, pos) packing: pos < 2^20, doc_id < 2^43
 
 
 def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,15 +148,27 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pseudo-line (testdata text has no newlines); a real crawl splits on
     newline instead and the plan is unchanged.
 
-    Scale shape: ONE shuffle on the line text (the window's hash
-    partitioning) decides winners — no self-join, no all-pairs; the
-    reassembly groupBy(doc_id) is a second shuffle whose payload is the
-    SURVIVING lines only. Line-keyed skew (boilerplate lines repeated
-    millions of times) is real at 100 TB: the winner of a hot line is
-    decided by min(doc_id, pos), which AQE skew-split handles because
-    min is combinable — swap row_number for a groupBy(line).agg(min)
-    + self-semi-join if a single line's replica count ever exceeds one
-    partition's memory.
+    Scale shape (round-11 VERDICT item 3 — no shuffle ever carries line
+    TEXT): each exploded line is reduced to a 128-bit fingerprint (two
+    independent xxhash64 streams — collision odds ~N²/2¹²⁹, negligible
+    at any corpus size) the moment it is produced, so the
+    winner-deciding pass is a groupBy(fingerprint).min(packed) whose
+    min is COMBINABLE: map-side partial aggregation shrinks the shuffle
+    to one 32-byte row per distinct line per task, and hot boilerplate
+    lines (millions of replicas at 100 TB) combine locally instead of
+    funneling replicas to one reducer — the skew story the old
+    row_number window only had via AQE. The (doc_id, pos) winner is
+    PACKED into one long (doc_id << 20 | pos — identical total order
+    while pos < 2²⁰ lines/doc and doc_id < 2⁴³, both far past any real
+    corpus shard) because min over a primitive keeps the aggregate a
+    HashAggregate; min over a struct falls back to SortAggregate, which
+    re-sorts every partition's full exploded key stream (measured: the
+    dominant stage at sf10). Surviving positions then
+    roll up per doc (ints only) and each document REBUILDS its kept
+    lines from its own token array in the final doc_id join, so text
+    moves exactly once, per document, never per line. Measured at sf10:
+    the old line-keyed window shuffled the full exploded text (8.85 s,
+    2.89× DuckDB); this shape shuffles fingerprints + positions.
     """
     from .extensions import docs_alpha_toks_shared
 
@@ -164,40 +177,36 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "t")
         .filter(F.size("t") >= 1)
     )
-    n_lines = F.ceil(F.size("t") / F.lit(float(LINE_TOKENS))).cast("int")
-    lines = d.select(
+    n_lines = F.ceil(F.size("t") / F.lit(float(LINE_TOKENS))).cast("long")
+    line_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(F.col("t"), i * LINE_TOKENS + 1, LINE_TOKENS), " "
+    )
+    keys = d.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_lines - 1),
-                lambda i: F.array_join(
-                    F.slice(F.col("t"), i * LINE_TOKENS + 1, LINE_TOKENS), " "
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), (n_lines - 1).cast("int")), line_at)
         ).alias("pos", "line"),
+    ).select(
+        (F.shiftleft(F.col("doc_id"), POS_BITS) + F.col("pos")).alias("packed"),
+        F.xxhash64("line").alias("h1"),
+        F.xxhash64(F.lit("ld2"), F.col("line")).alias("h2"),
     )
-    w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    kept = (
-        lines.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                    lambda s: s["line"],
-                ),
-                " ",
-            ).alias("clean_text"),
+    winners = keys.groupBy("h1", "h2").agg(F.min("packed").alias("w"))
+    kept_pos = (
+        winners.select(
+            F.shiftright(F.col("w"), POS_BITS).alias("doc_id"),
+            F.col("w").bitwiseAND(F.lit((1 << POS_BITS) - 1)).cast("int").alias("pos"),
         )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("kept_pos"))
     )
-    totals = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
-    return totals.join(kept, "doc_id", "left").select(
+    return d.join(kept_pos, "doc_id", "left").select(
         "doc_id",
-        "n_lines",
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        n_lines.alias("n_lines"),
+        F.coalesce(F.size("kept_pos"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(
+            F.array_join(F.transform(F.col("kept_pos"), line_at), " "), F.lit("")
+        ).alias("clean_text"),
     )
 
 
