@@ -86,6 +86,21 @@ QUERY_CONF: dict[str, dict[str, str]] = {
         "x_range_join",
     )
 }
+# WIDE: the inverse of HEAVY — more reducers, AQE left on to coalesce
+# them back down when the shuffle is actually small. For
+# t_cooccurrence_lift the sf10 bottleneck is the exact top-V
+# document-frequency pass: ~25M almost-all-distinct (tok, df) keys
+# (synthetic corpus, vocab min_df = 3 with alphabetic tie-breaks, so no
+# candidate-pruning shortcut is SOUND — any token's df decides
+# membership) squeezed through the <2 GiB tier's 8 reducers on 32
+# cores. r12 interleaved A/B at sf10: 8/off median 7.5 s vs 64/aqe
+# 5.1 s; at sf0.1 the two are tied (1.51 vs 1.49 s median, 4-run
+# interleaved) because AQE coalesces the 64 partitions away.
+WIDE = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.shuffle.partitions": "64",
+}
+QUERY_CONF["t_cooccurrence_lift"] = WIDE
 # The small-input session profile turns whole-stage codegen OFF (see
 # session.tuned_conf_for: a one-shot sub-second query never amortizes
 # its Janino compile). These entries are the measured exceptions — scan
