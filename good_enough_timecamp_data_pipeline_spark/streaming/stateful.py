@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 from ..plans.testdata import ensure_events_read_conf, normalize_events_ts
 from pyspark.sql import types as T
+
+from .windows import STREAM_SHUFFLE_PARTITIONS
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -156,7 +158,7 @@ def streaming_sessionize(
     with tempfile.TemporaryDirectory() as ckpt:
         # fewer state-store shards: per-batch task overhead dominates at
         # local scale; on a cluster, size this to active-key cardinality
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
         try:
             q = (
                 sessions.writeStream.outputMode("append")
@@ -265,7 +267,7 @@ def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataF
     name = "stream_ewma_out"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
         try:
             q = (
                 scored.writeStream.outputMode("append")

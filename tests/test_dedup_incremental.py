@@ -91,3 +91,41 @@ def test_containment_index_artifact_reuse(spark, sf_dir, tmp_path):
         dedup.build_containment_index_cached(
             spark, docs, cache_key="fixture", cache_root=root, expect_fresh=True
         )
+
+
+def test_artifact_cache_housekeeping(spark, sf_dir, tmp_path):
+    """Round-11 ADVICE item 4: entering an artifact root (a) sweeps
+    orphaned *.tmp.<pid> build dirs older than an hour, (b) evicts the
+    oldest generation-keyed artifacts past SPARK_GRAFT_ARTIFACT_KEEP
+    (LRU: reads refresh mtime), and (c) never touches a FRESH tmp dir
+    (a live concurrent builder)."""
+    import os
+    import time
+
+    from good_enough_timecamp_data_pipeline_spark.operators import dedup
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    root = str(tmp_path / "cache")
+    os.makedirs(root)
+    stale_tmp = os.path.join(root, "deadbeef.tmp.12345")
+    fresh_tmp = os.path.join(root, "cafebabe.tmp.67890")
+    os.makedirs(stale_tmp)
+    os.makedirs(fresh_tmp)
+    old = time.time() - 7200
+    os.utime(stale_tmp, (old, old))
+
+    os.environ["SPARK_GRAFT_ARTIFACT_KEEP"] = "2"
+    try:
+        for gen in ("g1", "g2", "g3"):
+            dedup.build_lsh_index_cached(
+                spark, docs, cache_key=gen, cache_root=root
+            )
+            time.sleep(0.05)  # distinct mtimes for LRU ordering
+    finally:
+        del os.environ["SPARK_GRAFT_ARTIFACT_KEEP"]
+
+    assert not os.path.isdir(stale_tmp), "stale tmp orphan must be swept"
+    assert os.path.isdir(fresh_tmp), "fresh tmp dir (live builder) kept"
+    kept = [n for n in os.listdir(root) if ".tmp." not in n]
+    assert len(kept) == 2, f"keep-latest-2 eviction, got {kept}"

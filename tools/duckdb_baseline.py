@@ -160,8 +160,34 @@ def main() -> int:
         ),
         "loadavg_start": loadavg_start,
         "loadavg_end": loadavg_end,
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "queries": rows,
     }
+    # Denominator-pairing policy (round-11 VERDICT item 1b): the COLD
+    # artifact additionally publishes its ratio against the SAME-SESSION
+    # warm artifact's DuckDB total, so the cold trend can never move
+    # with the competitor's page-cache state between measurement days —
+    # tools/baseline_pair.py runs warm-then-cold back-to-back to make
+    # the pairing airtight. The warm artifact is the canonical bar
+    # number (BASELINE.md); cold is a published diagnostic.
+    if os.environ.get("SPARK_GRAFT_SHAPE_WARMUP", "1") == "0":
+        warm_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BASELINE_COMPARE.json",
+        )
+        try:
+            warm = json.load(open(warm_path))
+            summary["paired_warm_artifact"] = {
+                "duckdb_total_s": warm.get("duckdb_total_s"),
+                "written_at": warm.get("written_at"),
+                "loadavg_start": warm.get("loadavg_start"),
+            }
+            if warm.get("duckdb_total_s"):
+                summary["cold_ratio_paired"] = round(
+                    t_spark_total / warm["duckdb_total_s"], 2
+                )
+        except (OSError, ValueError):
+            pass
     out = os.environ.get("SPARK_GRAFT_BASELINE_OUT") or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "BASELINE_COMPARE.json",
