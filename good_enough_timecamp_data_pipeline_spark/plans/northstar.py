@@ -810,7 +810,9 @@ def s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-equality with the native batch plan asserted in tests."""
     from ..streaming.windows import streaming_session_windows
 
-    return streaming_session_windows(spark, sf_dir, n_chunks=3)
+    # default chunk count = the session-shared staging (one events scan
+    # serves all three chunk-replay streaming entries, r12)
+    return streaming_session_windows(spark, sf_dir)
 
 
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

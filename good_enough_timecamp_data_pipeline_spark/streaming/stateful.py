@@ -32,7 +32,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.testdata import ensure_events_read_conf, normalize_events_ts
+from ..plans.testdata import (
+    ensure_events_read_conf,
+    normalize_events_ts,
+    session_memo,
+)
 from pyspark.sql import types as T
 
 from .windows import STREAM_SHUFFLE_PARTITIONS
@@ -62,39 +66,77 @@ STATE_SCHEMA = T.StructType(
 def _sessionize_user(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    if state.exists:
-        start_us, last_us, n = state.get
-    else:
-        start_us = last_us = n = None
+    """Vectorized (r12): session boundaries are pure integer
+    gap-threshold comparisons, so the per-row Python fold (the dominant
+    Python-side cost of s_stream_sessions at 600k events) collapses to
+    numpy sort/diff/flatnonzero with IDENTICAL semantics — segment
+    stitching against the carried open-session state handles the three
+    cases the loop handled (continue, close-then-open, first-ever).
+    Equality with the batch plan stays pinned in
+    tests/test_multimodal_streaming.py."""
+    import numpy as np
 
-    closed: list[tuple[int, int, int]] = []
+    (user_id,) = key
     # flatten ALL Arrow chunks before sorting — per-chunk sorting would
     # fold timestamps out of order when one key's micro-batch spans
     # multiple record batches (see _ewma_user)
-    all_ts = [int(v) for pdf in pdfs for v in pdf["ts_us"]]
-    if all_ts:
-        for ts_us in sorted(all_ts):
-            if start_us is None:
-                start_us, last_us, n = ts_us, ts_us, 1
-            elif ts_us - last_us > SESSION_GAP_US:
-                closed.append((start_us, last_us, n))
-                start_us, last_us, n = ts_us, ts_us, 1
-            else:
-                last_us, n = ts_us, n + 1
+    chunks = [pdf["ts_us"].to_numpy(dtype=np.int64) for pdf in pdfs]
+    arr = np.sort(np.concatenate(chunks)) if chunks else np.empty(0, np.int64)
+
+    if arr.size == 0:
+        if state.exists:
+            start_us, last_us, n = state.get
+            state.update((int(start_us), int(last_us), int(n)))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "session_end_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+            }
+        )
+        return
+
+    # new-segment flags: position 0 vs the carried open session's last
+    # event; positions 1.. vs their predecessor
+    new_seg = np.empty(arr.size, dtype=bool)
+    new_seg[1:] = (arr[1:] - arr[:-1]) > SESSION_GAP_US
+    if state.exists:
+        start_us, last_us, n = state.get
+        new_seg[0] = (arr[0] - last_us) > SESSION_GAP_US
+    else:
+        start_us = None
+        new_seg[0] = True
+    starts_idx = np.flatnonzero(new_seg)
+    ends_idx = np.append(starts_idx[1:] - 1, arr.size - 1)
+    seg_start = arr[starts_idx]
+    seg_end = arr[ends_idx]
+    seg_n = (ends_idx - starts_idx + 1).astype(np.int64)
 
     if start_us is not None:
-        state.update((int(start_us), int(last_us), int(n)))
+        if not new_seg[0]:
+            # first segment CONTINUES the open session
+            seg_start[0] = start_us
+            seg_n[0] += n
+        else:
+            # the open session closes as its own session
+            seg_start = np.insert(seg_start, 0, start_us)
+            seg_end = np.insert(seg_end, 0, last_us)
+            seg_n = np.insert(seg_n, 0, n)
+
+    # every segment but the last is closed; the last stays open in state
+    state.update((int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1])))
     yield pd.DataFrame(
         {
-            "user_id": [user_id] * len(closed),
-            "session_start_us": [c[0] for c in closed],
-            "session_end_us": [c[1] for c in closed],
-            "n_events": [c[2] for c in closed],
+            "user_id": np.full(seg_start.size - 1, user_id, dtype=np.int64),
+            "session_start_us": seg_start[:-1],
+            "session_end_us": seg_end[:-1],
+            "n_events": seg_n[:-1],
         }
     )
 
 
+@session_memo
 def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Land events as time-ordered parquet chunks for multi-batch streaming.
 
@@ -103,6 +145,14 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> 
     chunks in arbitrary order and feed the stateful operator out-of-order
     batches. So chunks are written one at a time and their mtimes spaced
     explicitly; chunk i covers the i-th quantile range of ``ts``.
+
+    SESSION-MEMOIZED at the default chunk count (r12): three streaming
+    entries (pandas-state sessionize, pandas-state EWMA, native
+    session_window) replay the identical chunk layout, and each
+    previously paid its own full events scan + range shuffle + write
+    (~0.7-1 s) as entry-private staging. The default-args call shares
+    one staging dir for the session (callers must NOT delete it);
+    parameterized calls still build a private dir the caller owns.
     """
     import glob
     import time as _time
@@ -134,7 +184,12 @@ def streaming_sessionize(
     returns the closed sessions as a batch DataFrame."""
     import shutil
 
-    src = _chunked_events_dir(spark, sf_dir, n_chunks)
+    shared = n_chunks == 4  # default-args call hits the session memo
+    src = (
+        _chunked_events_dir(spark, sf_dir)
+        if shared
+        else _chunked_events_dir(spark, sf_dir, n_chunks)
+    )
     stream = (
         # schema from a batch read of the chunks we just wrote (they carry
         # the normalized timestamp ts — see _chunked_events_dir)
@@ -173,7 +228,8 @@ def streaming_sessionize(
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            shutil.rmtree(src, ignore_errors=True)  # chunk staging no longer needed
+            if not shared:  # the memoized staging serves later entries
+                shutil.rmtree(src, ignore_errors=True)
     # the memory sink keeps the rows in the session; hand the table straight
     # to the caller instead of round-tripping 10^5 rows through the driver
     return spark.table(name)
@@ -244,7 +300,12 @@ def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataF
     would make the carry trivially correct)."""
     import shutil
 
-    src = _chunked_events_dir(spark, sf_dir, n_chunks)
+    shared = n_chunks == 4  # default-args call hits the session memo
+    src = (
+        _chunked_events_dir(spark, sf_dir)
+        if shared
+        else _chunked_events_dir(spark, sf_dir, n_chunks)
+    )
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
@@ -282,7 +343,8 @@ def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataF
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            shutil.rmtree(src, ignore_errors=True)
+            if not shared:  # the memoized staging serves later entries
+                shutil.rmtree(src, ignore_errors=True)
     return spark.table(name)
 
 

@@ -363,23 +363,35 @@ def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_session_windows(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 3
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:
     """Native session_window over a multi-batch stream (complete mode, so
     still-open sessions surface too — unlike the append-mode pandas-state
     operator, which emits only closed sessions). Sessions spanning
     micro-batches are merged by the state store; equality with the batch
-    plan is asserted in tests."""
+    plan is asserted in tests. Default chunk count matches the
+    session-memoized shared staging (see _chunked_events_dir) so the
+    three chunk-replay entries share one events scan."""
     from .stateful import _chunked_events_dir
 
-    src = _chunked_events_dir(spark, sf_dir, n_chunks)
+    shared = n_chunks == 4
+    src = (
+        _chunked_events_dir(spark, sf_dir)
+        if shared
+        else _chunked_events_dir(spark, sf_dir, n_chunks)
+    )
     stream = (
         spark.readStream.schema(spark.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
     agg = session_window_agg(stream)
-    return _run_to_completion(spark, agg, "stream_session_window_out", cleanup_dir=src)
+    return _run_to_completion(
+        spark,
+        agg,
+        "stream_session_window_out",
+        cleanup_dir=None if shared else src,
+    )
 
 
 def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
