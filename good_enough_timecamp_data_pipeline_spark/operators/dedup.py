@@ -820,11 +820,15 @@ def _secure_artifact_dir(
     sweeps orphaned ``*.tmp.<pid>`` build dirs left by a crashed builder
     — only ones we own and older than an hour, so a live concurrent
     build is never raced — and (b) evicts the oldest generation-keyed
-    artifacts beyond ``SPARK_GRAFT_ARTIFACT_KEEP`` (default 8) per
+    artifacts beyond ``SPARK_GRAFT_ARTIFACT_KEEP`` (default 32) per
     namespace, so fingerprint-derived keys (a fresh key per corpus
     rewrite) cannot grow the cache without bound. An evicted artifact is
     not an error for any live reader: the build path rebuilds on a
-    missing dir."""
+    missing dir. Reads LRU-touch their artifact; the default keep is
+    sized so one full test-suite run (a dozen fixture-keyed artifacts
+    per namespace) cannot evict the benchmark SF's prewarmed index —
+    keep=8 measurably did exactly that (the r12 final bench re-paid a
+    2.1 s LSH build the 8-keep policy had evicted)."""
     import os
     import shutil
     import stat as statmod
@@ -838,7 +842,7 @@ def _secure_artifact_dir(
     else:
         root = secure_private_root(namespace)
     try:
-        keep = int(os.environ.get("SPARK_GRAFT_ARTIFACT_KEEP", "8"))
+        keep = int(os.environ.get("SPARK_GRAFT_ARTIFACT_KEEP", "32"))
         now = time.time()
         entries = []
         for name in os.listdir(root):
