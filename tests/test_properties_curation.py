@@ -110,3 +110,30 @@ def test_phash_locality(key, text):
     # one channel of one pixel moved by 1/255 → at most a mean-boundary
     # handful of grid cells can flip
     assert ham <= 8
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 43) - 1),  # doc_id
+            st.integers(min_value=0, max_value=(1 << 20) - 1),  # pos
+        ),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_line_dedup_packed_key_preserves_order(pairs):
+    """The r12 t_line_dedup rewrite decides winners with
+    min(doc_id << POS_BITS | pos) instead of min(struct(doc_id, pos)) —
+    valid ONLY if packing is order-isomorphic to the lexicographic
+    (doc_id, pos) order over the documented domain (pos < 2^20,
+    doc_id < 2^43). Pure property, no Spark needed."""
+    from good_enough_timecamp_data_pipeline_spark.plans.curation import POS_BITS
+
+    packed = [(d << POS_BITS) | p for d, p in pairs]
+    assert all(pk < (1 << 63) for pk in packed)  # no long overflow
+    by_tuple = sorted(range(len(pairs)), key=lambda i: pairs[i])
+    by_packed = sorted(range(len(pairs)), key=lambda i: packed[i])
+    # identical total order => identical min-winner for any subset
+    assert [pairs[i] for i in by_tuple] == [pairs[i] for i in by_packed]
+    assert min(packed) == (min(pairs)[0] << POS_BITS) | min(pairs)[1]
