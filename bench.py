@@ -168,17 +168,23 @@ def main() -> None:
     except Exception as e:
         print(f"curate pipeline bench failed: {e}", file=sys.stderr)
 
-    # re-probe the 5 biggest movers vs the COMMITTED bench_detail.json:
-    # a delta that does NOT reproduce on the second in-session timing is
-    # tenancy/cache noise, not code movement — BENCH_r11's 151 s vs the
-    # builder's 123.5 s pair took a PLANS.md+git archaeology session to
-    # adjudicate; now the artifact carries the evidence itself
+    # re-probe EVERY mover past 0.8 s vs the COMMITTED bench_detail.json
+    # (was top-5 — which left r12's s_stream_dedup +1.8 s regression with
+    # no mover row, round-12 VERDICT item 1): a delta that does NOT
+    # reproduce on the second in-session timing is tenancy/cache noise,
+    # not code movement — BENCH_r11's 151 s vs the builder's 123.5 s pair
+    # took a PLANS.md+git archaeology session to adjudicate; now the
+    # artifact carries the evidence itself. A re-probe that CRASHES is
+    # recorded, not swallowed (round-12 ADVICE): a query that regressed
+    # into a crash since the committed generation is exactly the entry
+    # movers exists to flag.
     movers: dict[str, dict] = {}
     committed_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     try:
-        committed = json.load(open(committed_path)).get("queries", {})
+        with open(committed_path) as f:
+            committed = json.load(f).get("queries", {})
         deltas = sorted(
             (
                 (abs(timings[k] - committed[k]), k)
@@ -186,24 +192,26 @@ def main() -> None:
                 if k in committed
             ),
             reverse=True,
-        )[:5]
-        for _, name in deltas:
+        )
+        chosen = [name for d, name in deltas[:5]] + [
+            name for d, name in deltas[5:] if d > 0.8
+        ]
+        for name in chosen:
             restore = catalog.apply_query_conf(spark, name)
             t0 = time.time()
+            entry = {"committed": committed[name], "run": timings[name]}
             try:
                 catalog.queries()[name](spark, sf_dir).write.format(
                     "noop"
                 ).mode("overwrite").save()
-                movers[name] = {
-                    "committed": committed[name],
-                    "run": timings[name],
-                    "reprobe": round(time.time() - t0, 3),
-                }
-            except Exception:
-                pass
+                entry["reprobe"] = round(time.time() - t0, 3)
+            except Exception as e:
+                entry["reprobe_error"] = repr(e)
+                print(f"movers re-probe failed for {name}: {e!r}", file=sys.stderr)
             finally:
                 restore()
                 spark.catalog.clearCache()
+            movers[name] = entry
     except (OSError, ValueError, KeyError):
         pass
 

@@ -816,19 +816,28 @@ def _secure_artifact_dir(
     ``expect_fresh`` makes key reuse across corpus generations an error
     instead of a silent stale read (round-8 ADVICE item 2).
 
-    Housekeeping (round-11 ADVICE item 4): entering the root also (a)
-    sweeps orphaned ``*.tmp.<pid>`` build dirs left by a crashed builder
-    — only ones we own and older than an hour, so a live concurrent
-    build is never raced — and (b) evicts the oldest generation-keyed
+    Housekeeping (round-11 ADVICE item 4, narrowed round 13): entering
+    the root on the BUILD path (artifact missing) also (a) sweeps
+    orphaned ``*.tmp.<pid>`` build dirs left by a crashed builder —
+    only ones we own and older than an hour, so a live concurrent build
+    is never raced — and (b) evicts the oldest generation-keyed
     artifacts beyond ``SPARK_GRAFT_ARTIFACT_KEEP`` (default 32) per
     namespace, so fingerprint-derived keys (a fresh key per corpus
-    rewrite) cannot grow the cache without bound. An evicted artifact is
-    not an error for any live reader: the build path rebuilds on a
-    missing dir. Reads LRU-touch their artifact; the default keep is
-    sized so one full test-suite run (a dozen fixture-keyed artifacts
-    per namespace) cannot evict the benchmark SF's prewarmed index —
-    keep=8 measurably did exactly that (the r12 final bench re-paid a
-    2.1 s LSH build the 8-keep policy had evicted)."""
+    rewrite) cannot grow the cache without bound. Eviction deliberately
+    does NOT run on reads (round-12 ADVICE): Spark reads are lazy, so a
+    concurrent process mid-scan on an older-keyed artifact could have
+    its parquet files deleted under it if every *read* evicted; builds
+    are write-once-per-generation and therefore rare. Residual
+    cross-process race: a reader whose artifact is beyond the keep
+    horizon of ANOTHER process's build can still lose its files
+    mid-scan — acceptable for the single-host harness at keep=32, where
+    a full suite creates about a dozen keys per namespace. An evicted
+    artifact is not an error for a subsequent caller: the build path
+    rebuilds on a missing dir. Reads LRU-touch their artifact; the
+    default keep is sized so one full test-suite run cannot evict the
+    benchmark SF's prewarmed index — keep=8 measurably did exactly that
+    (the r12 final bench re-paid a 2.1 s LSH build the 8-keep policy
+    had evicted)."""
     import os
     import shutil
     import stat as statmod
@@ -841,34 +850,36 @@ def _secure_artifact_dir(
         os.makedirs(root, mode=0o700, exist_ok=True)
     else:
         root = secure_private_root(namespace)
-    try:
-        keep = int(os.environ.get("SPARK_GRAFT_ARTIFACT_KEEP", "32"))
-        now = time.time()
-        entries = []
-        for name in os.listdir(root):
-            p = os.path.join(root, name)
-            try:
-                st = os.lstat(p)
-            except OSError:
-                continue
-            if not statmod.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
-                continue
-            if ".tmp." in name:
-                if now - st.st_mtime > 3600:
-                    shutil.rmtree(p, ignore_errors=True)
-            elif name != hashed_key:
-                entries.append((st.st_mtime, p))
-        # keep-latest-N (minus the slot the current key occupies/will fill)
-        entries.sort(reverse=True)
-        for _, p in entries[max(keep - 1, 0):]:
-            shutil.rmtree(p, ignore_errors=True)
-    except OSError:
-        pass  # housekeeping must never fail the build/read path
     art = os.path.join(root, hashed_key)
     try:
         art_st = os.lstat(art)
     except FileNotFoundError:
         art_st = None
+    if art_st is None:
+        # build path only — see docstring for why reads never evict
+        try:
+            keep = int(os.environ.get("SPARK_GRAFT_ARTIFACT_KEEP", "32"))
+            now = time.time()
+            entries = []
+            for name in os.listdir(root):
+                p = os.path.join(root, name)
+                try:
+                    st = os.lstat(p)
+                except OSError:
+                    continue
+                if not statmod.S_ISDIR(st.st_mode) or st.st_uid != os.getuid():
+                    continue
+                if ".tmp." in name:
+                    if now - st.st_mtime > 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+                elif name != hashed_key:
+                    entries.append((st.st_mtime, p))
+            # keep-latest-N (minus the slot the current key will fill)
+            entries.sort(reverse=True)
+            for _, p in entries[max(keep - 1, 0):]:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # housekeeping must never fail the build path
     if art_st is not None and (
         statmod.S_ISLNK(art_st.st_mode)
         or not statmod.S_ISDIR(art_st.st_mode)

@@ -140,6 +140,34 @@ LINE_TOKENS = 10
 POS_BITS = 20  # (doc_id, pos) packing: pos < 2^20, doc_id < 2^43
 
 
+def _packed_winner_key():
+    """(doc_id << POS_BITS) | pos, GUARDED (round-12 ADVICE): a document
+    past 2^20 lines (~10.5M tokens) or a doc_id past 2^43 would silently
+    bleed pos into doc_id bits and corrupt winner selection — so domain
+    violations raise loudly at scan time instead. The per-row comparisons
+    stay inside whole-stage codegen; the raise branch is dead code on any
+    in-domain corpus."""
+    in_domain = (F.col("pos") >= 0) & (F.col("pos") < F.lit(1 << POS_BITS)) & (
+        F.col("doc_id") >= 0
+    ) & (F.col("doc_id") < F.lit(1 << (63 - POS_BITS)))
+    return F.when(
+        in_domain, F.shiftleft(F.col("doc_id"), POS_BITS) + F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "t_line_dedup: (doc_id, pos) outside the packable domain "
+                    f"(need 0 <= pos < 2^{POS_BITS} and "
+                    f"0 <= doc_id < 2^{63 - POS_BITS}); got doc_id="
+                ),
+                F.col("doc_id"),
+                F.lit(" pos="),
+                F.col("pos"),
+            )
+        ).cast("long")
+    )
+
+
 def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drop every corpus-wide repeated line, keeping only its FIRST
     occurrence (global order = (doc_id, position)), and reassemble each
@@ -187,7 +215,7 @@ def t_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.sequence(F.lit(0), (n_lines - 1).cast("int")), line_at)
         ).alias("pos", "line"),
     ).select(
-        (F.shiftleft(F.col("doc_id"), POS_BITS) + F.col("pos")).alias("packed"),
+        _packed_winner_key().alias("packed"),
         F.xxhash64("line").alias("h1"),
         F.xxhash64(F.lit("ld2"), F.col("line")).alias("h2"),
     )

@@ -39,7 +39,7 @@ from ..plans.testdata import (
 )
 from pyspark.sql import types as T
 
-from .windows import STREAM_SHUFFLE_PARTITIONS
+from .windows import stream_shards
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -97,24 +97,23 @@ def _sessionize_user(
         )
         return
 
-    # new-segment flags: position 0 vs the carried open session's last
-    # event; positions 1.. vs their predecessor
+    # in-batch segmentation first: index 0 is ALWAYS a segment start (so
+    # flatnonzero can never skip the events before the first in-batch gap),
+    # positions 1.. break on their predecessor. The carried open session is
+    # stitched in afterwards — grafted onto segment 0 if it continues, or
+    # prepended as its own closed session if the batch starts past the gap.
     new_seg = np.empty(arr.size, dtype=bool)
+    new_seg[0] = True
     new_seg[1:] = (arr[1:] - arr[:-1]) > SESSION_GAP_US
-    if state.exists:
-        start_us, last_us, n = state.get
-        new_seg[0] = (arr[0] - last_us) > SESSION_GAP_US
-    else:
-        start_us = None
-        new_seg[0] = True
     starts_idx = np.flatnonzero(new_seg)
     ends_idx = np.append(starts_idx[1:] - 1, arr.size - 1)
     seg_start = arr[starts_idx]
     seg_end = arr[ends_idx]
     seg_n = (ends_idx - starts_idx + 1).astype(np.int64)
 
-    if start_us is not None:
-        if not new_seg[0]:
+    if state.exists:
+        start_us, last_us, n = state.get
+        if (arr[0] - last_us) <= SESSION_GAP_US:
             # first segment CONTINUES the open session
             seg_start[0] = start_us
             seg_n[0] += n
@@ -213,7 +212,7 @@ def streaming_sessionize(
     with tempfile.TemporaryDirectory() as ckpt:
         # fewer state-store shards: per-batch task overhead dominates at
         # local scale; on a cluster, size this to active-key cardinality
-        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
             q = (
                 sessions.writeStream.outputMode("append")
@@ -328,7 +327,7 @@ def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataF
     name = "stream_ewma_out"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
             q = (
                 scored.writeStream.outputMode("append")

@@ -30,9 +30,14 @@ from pyspark.sql import types as T
 # round (8: 27.7/24.3/27.5 s vs 2: 27.7/31.6/33.1 s, moderate load):
 # at sf0.1 the per-batch state-op compute needs the parallelism more
 # than it needs fewer commit files. 8 stays the measured default; on a
-# cluster the shard count is sized to key cardinality instead
-# (env-overridable here for that).
-STREAM_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "8")
+# cluster the shard count is sized to key cardinality instead. Read at
+# USE time so setting SPARK_GRAFT_STREAM_SHARDS mid-session (e.g. an A/B
+# harness) takes effect — a module-level constant silently ignored
+# post-import overrides (round-12 ADVICE).
+
+
+def stream_shards() -> str:
+    return os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "8")
 
 
 def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
@@ -116,7 +121,7 @@ def _run_to_completion(
     """
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
             q = (
                 agg.writeStream.outputMode("complete")
@@ -227,7 +232,7 @@ def streaming_stream_join(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
             q = (
                 joined.writeStream.outputMode("append")
@@ -302,7 +307,7 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
             q = (
                 stream.writeStream.foreachBatch(upsert)
@@ -507,7 +512,7 @@ def streaming_incremental_dedup(
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
             q = (
                 stream.writeStream.foreachBatch(probe)
@@ -627,7 +632,7 @@ def streaming_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", STREAM_SHUFFLE_PARTITIONS)
+        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
             q = (
                 stream.writeStream.foreachBatch(route)

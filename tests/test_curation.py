@@ -506,3 +506,34 @@ def test_mad_outliers_bucketed_tier_empty_input(spark, tmp_path):
     spark.createDataFrame([], events_schema).write.parquet(f"{d}/events.parquet")
     out = curation.a_mad_outliers(spark, d, max_single_reducer_rows=-1).collect()
     assert out == []
+
+
+def test_line_dedup_packed_key_guard_raises_out_of_domain(spark):
+    """Round-12 ADVICE: a pos past 2^POS_BITS (doc over ~10.5M tokens)
+    must fail loudly, never bleed into doc_id bits and silently corrupt
+    winner selection. In-domain rows still pack exactly."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from good_enough_timecamp_data_pipeline_spark.plans.curation import (
+        POS_BITS,
+        _packed_winner_key,
+    )
+
+    ok = spark.createDataFrame(
+        [(3, 7), (5, (1 << POS_BITS) - 1)], "doc_id long, pos int"
+    )
+    got = sorted(r.packed for r in ok.select(_packed_winner_key().alias("packed")).collect())
+    assert got == sorted([(3 << POS_BITS) | 7, (5 << POS_BITS) | ((1 << POS_BITS) - 1)])
+
+    bad = spark.createDataFrame([(3, 1 << POS_BITS)], "doc_id long, pos int")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)) as ei:
+        bad.select(_packed_winner_key().alias("packed")).collect()
+    assert "packable domain" in str(ei.value)
+
+    big_doc = spark.createDataFrame(
+        [(1 << (63 - POS_BITS), 0)], "doc_id long, pos int"
+    )
+    with pytest.raises(Exception) as ei2:
+        big_doc.select(_packed_winner_key().alias("packed")).collect()
+    assert "packable domain" in str(ei2.value)

@@ -129,3 +129,14 @@ def test_artifact_cache_housekeeping(spark, sf_dir, tmp_path):
     assert os.path.isdir(fresh_tmp), "fresh tmp dir (live builder) kept"
     kept = [n for n in os.listdir(root) if ".tmp." not in n]
     assert len(kept) == 2, f"keep-latest-2 eviction, got {kept}"
+
+    # r13 (round-12 ADVICE): READS never evict — a concurrent process
+    # mid-scan on an older key must not lose its files to our read, even
+    # under a keep budget the current population already exceeds.
+    os.environ["SPARK_GRAFT_ARTIFACT_KEEP"] = "1"
+    try:
+        dedup.build_lsh_index_cached(spark, docs, cache_key="g3", cache_root=root)
+    finally:
+        del os.environ["SPARK_GRAFT_ARTIFACT_KEEP"]
+    still = [n for n in os.listdir(root) if ".tmp." not in n]
+    assert len(still) == 2, f"read path must not evict, got {still}"

@@ -499,3 +499,89 @@ def test_read_media_dir_decodes_disk_files(spark, tmp_path):
             assert f.duration_s is None
         else:
             assert abs(f.duration_s - dur) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# _sessionize_user stitch cases (r13 regression: continuation batches)
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    """Just enough of pyspark GroupState for driving _sessionize_user."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def _run_sessionize(state_tuple, ts_list):
+    import pandas as pd
+
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        _sessionize_user,
+    )
+
+    state = _FakeGroupState(state_tuple)
+    out = list(
+        _sessionize_user(
+            (7,), iter([pd.DataFrame({"ts_us": ts_list})]), state
+        )
+    )
+    emitted = [
+        (int(r.session_start_us), int(r.session_end_us), int(r.n_events))
+        for df in out
+        for r in df.itertuples()
+    ]
+    return emitted, state.get
+
+
+def test_sessionize_user_continuation_then_gap():
+    """A batch that CONTINUES the open session and also contains a later
+    in-batch gap: the merged first session must close (not be dropped),
+    and the open tail must come from the post-gap segment."""
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        SESSION_GAP_US as G,
+    )
+
+    emitted, carried = _run_sessionize((0, 10, 2), [20, 2 * G, 2 * G + 5])
+    assert emitted == [(0, 20, 3)]
+    assert carried == (2 * G, 2 * G + 5, 2)
+
+
+def test_sessionize_user_pure_continuation_batch():
+    """A batch with NO in-batch gap that continues the open session must
+    emit nothing and extend the carried state (r12 code raised IndexError
+    here)."""
+    emitted, carried = _run_sessionize((0, 10, 2), [20, 30])
+    assert emitted == []
+    assert carried == (0, 30, 4)
+
+
+def test_sessionize_user_batch_past_gap_closes_open_session():
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        SESSION_GAP_US as G,
+    )
+
+    emitted, carried = _run_sessionize((0, 10, 2), [G + 20])
+    assert emitted == [(0, 10, 2)]
+    assert carried == (G + 20, G + 20, 1)
+
+
+def test_sessionize_user_no_state_in_batch_gap():
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        SESSION_GAP_US as G,
+    )
+
+    emitted, carried = _run_sessionize(None, [0, 5, 2 * G])
+    assert emitted == [(0, 5, 2)]
+    assert carried == (2 * G, 2 * G, 1)
