@@ -732,46 +732,47 @@ register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
 
-# --- round-12 driver window ------------------------------------------------
+# --- round-13 driver window ------------------------------------------------
 # The driver's correctness gate samples the FIRST 50 entries of queries().
 # Cumulative driver coverage is 153/153 oracle twins, zero currently
-# failing (r01-r11). Composition per the round-11 VERDICT ("Next round"
-# item 5 — rotate by STALENESS): (a) the 11 rows not driver-checked since
-# r8, the oldest anywhere; (b) twins whose implementations change THIS
-# round: t_line_dedup (hash-keyed shuffle rewrite, VERDICT item 3),
-# t_cooccurrence_lift (bounded top-V df pass, item 4), a_mad_outliers
-# (null-event_type unification, ADVICE item 2), plus t_token_kl_drift
-# (r11 11->2-job fusion landed AFTER WINDOW_R11 froze — last driver check
-# r9); (c) 35 of the remaining 44 r9-era rows. The 9 deferred r9 rows
-# (a_gini a_mode a_winsorize f_regex_extract o_latest_per_key
-# q_local_supplier_volume q_nation_trade q_shipping_priority
-# w_pareto_share — three of which the r11 judge independently re-oracled
-# green out-of-window) rotate first in r13 at staleness 4.
-WINDOW_R12 = (
-    # (a) stale since r8
-    "t_seq_pack", "t_shard_assign", "t_simhash", "t_split", "t_tfidf",
-    "t_topk_tokens", "t_winnow", "w_lag_delta_pct", "x_profile",
-    "x_range_join", "x_rollup",
-    # (b) impl touched this round (or r11-post-freeze)
-    "t_line_dedup", "t_cooccurrence_lift", "a_mad_outliers",
-    "t_token_kl_drift",
-    # (c) 35 of the 44 remaining r9-era rows
-    "a_count_distinct", "a_dedup_pk", "a_distinct_ids", "a_percentiles",
-    "a_salted_skew_sum", "a_stats_minmax", "a_zscore_outliers",
-    "d_lsh_quality", "f_date_explode", "f_dates", "f_formatting_wide",
-    "f_json_props", "f_string_ids", "g_triangle_count", "j_anti",
-    "j_assembly_left_defaults", "j_broadcast_lookup",
-    "j_first_group_enrich", "j_fuzzy_match", "j_semi", "o_set_ops",
-    "o_sort_topk", "p_filter_pushdown", "p_null_canonicalization",
-    "p_type_coercion", "s_cosine_neardup", "s_embedding_stats",
-    "t_calibration_bins", "t_hashed_classifier", "w_frames",
-    "w_running_rank", "x_cube", "x_pivot", "x_topk_per_group",
-    "x_unpivot",
+# failing (r01-r12). Composition per the round-12 VERDICT ("Next round"
+# item 5 — rotate by STALENESS, computed from CORRECTNESS_r01-r12): (a)
+# the 9 rows last driver-checked r9 (staleness 4, deferred from
+# WINDOW_R12 exactly as announced there); (b) twins whose
+# implementations change THIS round: t_line_dedup (packed-key domain
+# guard), t_shard_assign (one-exchange rewrite, VERDICT item 3),
+# e_interval_coverage (at-scale tier warm-up, item 7) — w_pareto_share
+# (item 2) is already in (a); (c) 38 of the 46 r10-era rows. The 8
+# deferred r10 rows (w_rank_distribution w_rolling_7d x_asof_join
+# x_grouped_list x_ordered_paths x_posexplode x_range_join_bucketed
+# x_skew_report) lead WINDOW_R14 at staleness 4, followed by the r11
+# cohort.
+WINDOW_R13 = (
+    # (a) stale since r9
+    "o_latest_per_key", "a_mode", "f_regex_extract", "w_pareto_share",
+    "a_winsorize", "q_shipping_priority", "q_local_supplier_volume",
+    "a_gini", "q_nation_trade",
+    # (b) impl touched this round
+    "t_line_dedup", "t_shard_assign", "e_interval_coverage",
+    # (c) 38 of the 46 r10-era rows
+    "a_benford", "a_chi_square", "a_grouping_sets", "a_ks_test_binned",
+    "a_partial_agg_merge", "a_source_lang_entropy", "c_cdc_apply",
+    "c_snapshot_diff", "d_containment", "d_dq_violations",
+    "d_incremental_dedup", "d_ngram_jaccard", "d_threshold_curve",
+    "e_attribution", "e_ewma_anomaly", "e_funnel_stages",
+    "e_markov_transitions", "e_sessionize", "e_tumbling_window",
+    "f_month_batches", "j_merge_upsert", "j_salted_skew_join",
+    "j_scd2_dim", "s_cosine_topk", "s_embedding_drift",
+    "s_quantize_int8", "t_bm25_topk", "t_ccnet_buckets",
+    "t_dsir_resample", "t_dsir_weights", "t_lm_perplexity",
+    "t_negative_sample", "t_ngram_novelty", "t_quality_gate",
+    "t_scrub_pii", "t_source_caps", "t_temperature_mix",
+    "w_ntile_quartiles",
 )
-assert len(WINDOW_R12) == 50 and len(set(WINDOW_R12)) == 50
-_missing = [n for n in WINDOW_R12 if n not in QUERIES or n not in ORACLES]
+assert len(WINDOW_R13) == 50 and len(set(WINDOW_R13)) == 50
+_missing = [n for n in WINDOW_R13 if n not in QUERIES or n not in ORACLES]
 assert not _missing, f"window entries must be registered oracle twins: {_missing}"
-_window = {n: QUERIES[n] for n in WINDOW_R12}
+_window = {n: QUERIES[n] for n in WINDOW_R13}
 _rest = {n: f for n, f in QUERIES.items() if n not in _window}
 QUERIES.clear()
 QUERIES.update(_window)
