@@ -27,17 +27,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    try:
-        load = os.getloadavg()[0]
-        if load > 2.0:
-            print(
-                f"WARN: 1m loadavg {load:.1f} > 2 — canonical artifacts "
-                "should come from a quiet window (COVERAGE.md policy); "
-                "continuing anyway",
-                file=sys.stderr,
-            )
-    except OSError:
-        pass
+    # quiet-load gate (round-12 VERDICT item 6): canonical artifacts must
+    # come from a quiet window — BLOCK for one instead of warn-and-run
+    # (degrades to a stderr-warned loud run after the timeout so an
+    # always-busy box can't hang the harness; the artifact stamps show it)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from quiet import wait_for_quiet
+
+    wait_for_quiet(what="the canonical warm+cold baseline pair")
     baseline = os.path.join(REPO, "tools", "duckdb_baseline.py")
 
     print("== warm (shape-warmed) protocol -> BASELINE_COMPARE.json", flush=True)

@@ -100,6 +100,13 @@ def main() -> int:
     ap.add_argument("round", nargs="?", type=int, default=None)
     ap.add_argument("--no-bench", action="store_true")
     ap.add_argument(
+        "--bench-attempts",
+        type=int,
+        default=3,
+        help="max quiet-gated bench attempts before promoting the "
+        "quietest loud one (round-12 VERDICT item 6)",
+    )
+    ap.add_argument(
         "--start",
         action="store_true",
         help="round-START mode: commit the PREVIOUS round's driver "
@@ -119,21 +126,67 @@ def main() -> int:
         ]
         n = (max(ns) + 1) if ns else 1
 
+    staged_detail = os.path.join(REPO, "bench_out", "bench_detail.json")
     if not args.no_bench:
-        print("== bench refresh", flush=True)
-        rc = subprocess.call(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            cwd=REPO,
-            stderr=subprocess.DEVNULL,
-        )
-        if rc != 0:
-            print("bench.py failed; aborting before commit", file=sys.stderr)
-            return rc
+        # quiet-load gate (round-12 VERDICT item 6): the r12 canonical
+        # pair was the quietest of three MANUAL runs — now round_close
+        # enforces the threshold the artifacts stamp. Each attempt waits
+        # for a quiet window first; if an attempt still STARTS loud
+        # (co-tenant arrived mid-wait), retry up to --bench-attempts
+        # times and promote the quietest start.
+        sys.path.insert(0, os.path.join(REPO, "tools"))
+        from quiet import quiet_max, wait_for_quiet
+
+        attempts: list[tuple[float, str]] = []
+        for attempt in range(1, args.bench_attempts + 1):
+            wait_for_quiet(what=f"bench refresh (attempt {attempt})")
+            print(f"== bench refresh (attempt {attempt})", flush=True)
+            rc = subprocess.call(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                cwd=REPO,
+                stderr=subprocess.DEVNULL,
+            )
+            if rc != 0:
+                print("bench.py failed; aborting before commit", file=sys.stderr)
+                return rc
+            try:
+                start_load = json.load(open(staged_detail))["conditions_start"][
+                    "loadavg_1m"
+                ]
+            except (OSError, ValueError, KeyError):
+                start_load = float("inf")
+            kept = staged_detail + f".attempt{attempt}"
+            import shutil
+
+            shutil.copyfile(staged_detail, kept)
+            attempts.append((start_load, kept))
+            if start_load <= quiet_max():
+                break
+            print(
+                f"  attempt {attempt} started loud (loadavg "
+                f"{start_load:.2f} > {quiet_max():.1f})"
+                + (
+                    "; retrying"
+                    if attempt < args.bench_attempts
+                    else " — out of attempts"
+                ),
+                file=sys.stderr,
+            )
+        best_load, best_path = min(attempts)
+        import shutil
+
+        shutil.copyfile(best_path, staged_detail)
+        if best_load > quiet_max():
+            print(
+                f"  WARN: promoting a LOUD bench run (quietest start "
+                f"loadavg {best_load:.2f} > {quiet_max():.1f} across "
+                f"{len(attempts)} attempt(s)) — the artifact stamps show it",
+                file=sys.stderr,
+            )
     # bench.py writes to the UNTRACKED bench_out/ (so ad-hoc / driver
     # post-close runs keep the tree clean); promote the latest run to the
     # tracked root copy that gets committed as the round's canonical
     # per-query artifact (round-11 VERDICT item 7)
-    staged_detail = os.path.join(REPO, "bench_out", "bench_detail.json")
     if os.path.exists(staged_detail):
         import shutil
 
