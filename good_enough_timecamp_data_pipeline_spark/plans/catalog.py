@@ -241,6 +241,14 @@ SHAPE_WARMUP = (
 # the tier the small-SF run would NOT choose; warmup() runs them right
 # after the entry itself.
 SHAPE_WARMUP_VARIANTS: dict = {
+    # bucketed global-cumsum tier — sf0.001's customer footer count picks
+    # the single-window tier, so the distributed plan's generated classes
+    # would hit the timed scale cold (round-12 VERDICT item 2)
+    "w_pareto_share": (
+        lambda spark, sf_dir: curation.w_pareto_share(
+            spark, sf_dir, max_single_window_rows=0
+        ),
+    ),
     "a_mad_outliers": (
         # bucketed path, driver-histogram sub-tier (histogram small)
         lambda spark, sf_dir: curation.a_mad_outliers(

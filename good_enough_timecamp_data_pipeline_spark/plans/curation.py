@@ -547,33 +547,86 @@ GROUP BY d.event_type
 PARETO_KEY_SHIFT = 1 << 24  # custkey < 16.7M at every tested SF (doc'd)
 
 
-def w_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w_pareto_share(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_single_window_rows: int = 2_000_000,
+) -> DataFrame:
     """Revenue concentration: customers sorted by revenue desc with their
     cumulative share of total — the 'which 20% of sources produce 80% of
     the tokens' audit every mixture design starts from. ``is_top80``
     marks the prefix that reaches 80% (boundary-crossing row included).
 
-    Scale shape: revenue is summed as integer cents (order-independent —
-    the repo-wide FP determinism rule, see a_groupsum_pricing); the
-    cumulative sum runs on operators/order.py::global_cumsum — bucketed
-    range partitioning + per-bucket window + broadcast bucket offsets,
-    NOT the single-partition global window Spark would plan for a bare
-    ``Window.orderBy``. The sort key packs (−revenue, custkey) into one
-    long so buckets are monotone and unique; the 80% test is integer
-    arithmetic (cum·10 < total·8) — no FP boundary flake.
+    Scale shape — measured cost switch (round-12 VERDICT item 2; the
+    a_mad_outliers discipline). The cumsum runs over the PER-CUSTOMER
+    revenue table, whose row count is bounded by the customer dim's
+    parquet-footer count (exact, no job — every o_custkey is a customer
+    key). Below ``max_single_window_rows`` the cheapest plan is exactly
+    DuckDB's: one orders scan + groupBy, then ONE single-partition
+    window pass (cumsum + grand total share the sort) — no persist, no
+    bounds/totals driver round-trips, no broadcast-offsets join; at sf10
+    those three extra jobs priced the entry at 3.92× DuckDB while the
+    windowed table was 15k rows. Above the cap the plan switches to
+    operators/order.py::global_cumsum — bucketed range partitioning +
+    per-bucket window + broadcast bucket offsets, never the
+    single-partition global window (fatal at 10^9 customers). Both
+    tiers share the sort key packing (−revenue, custkey) into one long
+    (monotone, unique) and the integer 80% test (cum·10 < total·8 — no
+    FP boundary flake); tier parity is pytest-pinned.
+
+    Revenue is summed as integer cents (order-independent — the
+    repo-wide FP determinism rule, see a_groupsum_pricing).
     """
+    from .round5d import _file_size_row_bound
+
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
     )
     key = (-F.col("rev_cents")) * F.lit(PARETO_KEY_SHIFT) + F.col("o_custkey")
-    # materialize the customer-sized revenue table once: four consumers
-    # (total agg, bucket-bounds collect, totals scan, main cumsum) would
-    # each re-run the orders scan + groupBy. Checkpoint targets the
-    # COMPRESSED per-customer table, never the orders fact.
-    # pin + bucket-bounds in ONE action (pin_with_range_bucket); the
-    # cumsum's driver-side prefix pass ends on the grand total — embed t
-    # as a literal instead of a total-agg job + broadcast join
+
+    bound = _file_size_row_bound(sf_dir, "customer")
+    if bound is not None and bound <= max_single_window_rows:
+        # single-window tier: cumsum and grand total ride ONE sort of the
+        # customer-sized table (same partition+order spec -> one
+        # WindowExec); the degenerate all-zero-revenue contract (share
+        # 0.0, not ANSI div-by-zero; is_top80 false) moves into a
+        # per-row guard on the total column
+        keyed = rev.withColumn("__k", key)
+        w_cum = (
+            Window.orderBy("__k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_tot = (
+            Window.orderBy("__k")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        cum = keyed.withColumn(
+            "cum_cents", F.sum("rev_cents").over(w_cum).cast("long")
+        ).withColumn("__t", F.sum("rev_cents").over(w_tot).cast("long"))
+        share = F.when(
+            F.col("__t") > 0,
+            F.col("cum_cents").cast("double") / F.col("__t"),
+        ).otherwise(F.lit(0.0))
+        return cum.select(
+            "o_custkey",
+            "rev_cents",
+            "cum_cents",
+            share.alias("cum_share"),
+            (
+                (F.col("cum_cents") - F.col("rev_cents")) * 10 < F.col("__t") * 8
+            ).alias("is_top80"),
+        )
+
+    # distributed tier: materialize the customer-sized revenue table once
+    # (four consumers — total agg, bucket-bounds collect, totals scan,
+    # main cumsum — would each re-run the orders scan + groupBy; the
+    # persist targets the COMPRESSED per-customer table, never the
+    # orders fact). pin + bucket-bounds in ONE action
+    # (pin_with_range_bucket); the cumsum's driver-side prefix pass ends
+    # on the grand total — embed t as a literal instead of a total-agg
+    # job + broadcast join.
     keyed, bucket = pin_with_range_bucket(
         rev.withColumn("__k", key), F.col("__k")
     )

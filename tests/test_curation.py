@@ -537,3 +537,19 @@ def test_line_dedup_packed_key_guard_raises_out_of_domain(spark):
     with pytest.raises(Exception) as ei2:
         big_doc.select(_packed_winner_key().alias("packed")).collect()
     assert "packable domain" in str(ei2.value)
+
+
+def test_pareto_share_tier_parity(spark, sf_dir):
+    """r13 cost switch: the single-window tier (customer footer count
+    under the cap) and the bucketed global-cumsum tier must produce
+    IDENTICAL rows — shares, cum_cents, and the is_top80 boundary."""
+    small = sorted(
+        tuple(r) for r in curation.w_pareto_share(spark, sf_dir).collect()
+    )
+    big = sorted(
+        tuple(r)
+        for r in curation.w_pareto_share(
+            spark, sf_dir, max_single_window_rows=0
+        ).collect()
+    )
+    assert small == big and small
