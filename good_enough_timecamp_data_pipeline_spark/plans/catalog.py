@@ -228,6 +228,7 @@ SHAPE_WARMUP = (
     "t_hashed_classifier", "t_line_dedup",
     "t_lm_perplexity", "t_ngram_novelty", "t_repetition", "t_seq_pack",
     "t_simhash",
+    "t_shard_assign",
     "t_token_kl_drift", "w_pareto_share", "x_geo_knn", "x_ordered_paths",
     "x_profile", "x_range_join_bucketed",
 )
@@ -247,6 +248,14 @@ SHAPE_WARMUP_VARIANTS: dict = {
     "w_pareto_share": (
         lambda spark, sf_dir: curation.w_pareto_share(
             spark, sf_dir, max_single_window_rows=0
+        ),
+    ),
+    # rescan (no-pin) tier: sf0.001's documents footer count picks the
+    # pinned tier, so the parquet-rescan window plan would hit the timed
+    # scale cold past the cap
+    "t_shard_assign": (
+        lambda spark, sf_dir: training.t_shard_assign(
+            spark, sf_dir, max_pin_rows=0
         ),
     ),
     "a_mad_outliers": (

@@ -267,7 +267,12 @@ FROM pd
 _SHARD_SIZE = 64  # docs per output shard
 
 
-def t_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t_shard_assign(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    max_pin_rows: int = 20_000_000,
+) -> DataFrame:
     """Assign every doc a (shard, position) under a reproducible global
     shuffle: order by md5(doc_id), cut every 64 docs.
 
@@ -276,13 +281,45 @@ def t_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment is identical on ANY cluster/partitioning (md5 is the only
     source of order). Row numbering uses the distributed two-level
     construction (``operators/order.py``), not a one-partition window.
-    """
+
+    Scale shape (round-12 VERDICT item 3): the two-level construction
+    needs two passes over the keyed input (per-bucket counts, then the
+    bucketed window); unpinned, each pass re-scans parquet, recomputes
+    md5, and the window pass pays its exchange + sort. The input here is
+    the NARROW (doc_id, md5) projection — ~56 bytes/row — so below a
+    footer-measured cap it is pinned ALREADY bucket-partitioned and
+    (bucket, key)-sorted: the totals pass materializes the cache (one
+    parquet scan + one md5 pass + the single exchange, all in one job)
+    and the window pass then runs exchange-free AND sort-free — the
+    cached relation advertises its partitioning/ordering and Catalyst
+    accepts them through the offsets join (verified in the physical
+    plan: Window directly over BroadcastHashJoin over
+    InMemoryTableScan). Past the cap (~1 GB pinned at 20M docs; a
+    10^10-doc corpus would be ~600 GB) the rescan shape ships unchanged
+    — at that scale a columnar re-scan is cheaper and safer than
+    caching (the operators/order.py contract)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .round5d import _file_size_row_bound
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     key = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.withColumn("__k", key)
+    bucket = md5_prefix_bucket(F.col("__k"))
+    bound = _file_size_row_bound(sf_dir, "documents")
+    if bound is not None and bound <= max_pin_rows:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        keyed = (
+            keyed.withColumn("__bp", bucket)
+            .repartition(n_parts, "__bp")
+            .sortWithinPartitions("__bp", "__k")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        bucket = F.col("__bp")
     numbered = global_row_number(
-        docs.withColumn("__k", key),
+        keyed,
         F.col("__k"),
-        md5_prefix_bucket(F.col("__k")),
+        bucket,
         out="rn",
     ).withColumn("__rn", (F.col("rn") - 1).cast("bigint"))
     return numbered.select(

@@ -154,3 +154,16 @@ def test_month_batches_six_month_spans(spark, sf_dir):
         f, l = r["first_order"], r["last_order"]
         months = (l.year - f.year) * 12 + (l.month - f.month)
         assert 0 <= months < 6
+
+
+def test_shard_assign_tier_parity(spark, sf_dir):
+    """r13: the pinned (narrow-projection cache) and rescan tiers of the
+    md5 global row_number must assign identical (shard, pos)."""
+    pinned = sorted(
+        tuple(r) for r in training.t_shard_assign(spark, sf_dir).collect()
+    )
+    rescan = sorted(
+        tuple(r)
+        for r in training.t_shard_assign(spark, sf_dir, max_pin_rows=0).collect()
+    )
+    assert pinned == rescan and pinned
