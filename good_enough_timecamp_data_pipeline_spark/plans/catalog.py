@@ -220,7 +220,8 @@ SHAPE_WARMUP = (
     "d_cc_clusters",
     "d_containment", "d_dedup_survivors", "d_incremental_dedup",
     "d_lsh_quality", "d_minhash_lsh", "d_ngram_jaccard", "d_simhash_pairs",
-    "d_threshold_curve", "e_peak_concurrency", "g_triangle_count",
+    "d_threshold_curve", "e_interval_coverage", "e_peak_concurrency",
+    "g_triangle_count",
     "h_breadcrumb_levels", "h_closure_pairs", "report_project_budget",
     "report_task_budget", "s_cosine_neardup", "s_cosine_topk", "t_bm25_topk",
     "t_ccnet_buckets", "t_calibration_bins", "t_cooccurrence_lift",
@@ -323,6 +324,23 @@ def _kernel_family_warmups(spark: SparkSession) -> None:
         lambda acc, x: acc + x,
     )
     _noop(emb.select("id", dot.alias("s")).orderBy(F.desc("s")).limit(8))
+    # families added r13 (round-12 VERDICT item 4 — the cold protocol
+    # keeps these warm-ups, so first-execution machinery they touch stops
+    # being priced into whichever entry runs first):
+    g = spark.range(64).select(
+        (F.col("id") % 4).alias("a"), (F.col("id") % 8).alias("b"), F.col("id").alias("v")
+    )
+    # Expand + multi-grouping HashAggregate (cube/rollup/grouping sets)
+    _noop(g.cube("a", "b").agg(F.sum("v").alias("s")))
+    # ObjectHashAggregate (collect_list/sort_array) + Generate (posexplode)
+    lists = g.groupBy("a").agg(F.sort_array(F.collect_list("v")).alias("xs"))
+    _noop(lists.select("a", F.posexplode("xs")))
+    # TypedImperativeAggregate (median/percentile buffer-merge)
+    _noop(g.groupBy("a").agg(F.median("v").alias("m"), F.percentile("v", F.lit(0.9)).alias("p")))
+    # SortMergeJoin (full outer cannot broadcast) + shuffle-exchange pair
+    _noop(g.join(g.withColumnRenamed("v", "w"), ["a", "b"], "full_outer"))
+    # pivot (Expand-free aggregate with per-bucket projections)
+    _noop(g.groupBy("a").pivot("b", list(range(8))).agg(F.sum("v")))
 
 
 def warmup(spark: SparkSession, sf_dir: str, shapes: bool = True) -> None:
