@@ -49,23 +49,32 @@ def wait_for_quiet(
         )
     deadline = time.time() + timeout_s
     try:
-        load = os.getloadavg()[0]
+        load, load5, _ = os.getloadavg()
     except OSError:  # platform without getloadavg: nothing to gate on
         return 0.0
+
+    # the 5m average must ALSO be calm (at 2x the 1m threshold): a
+    # one-minute co-tenant pause can drop load_1m under the bar while the
+    # box is still busy on average — the r13 first pair started at 1m
+    # 1.26 / 5m 6.4 and measured a DuckDB denominator 13% off the quiet
+    # generation's
+    def _loud(l1: float, l5: float) -> bool:
+        return l1 > threshold or l5 > 2 * threshold
+
     waited = False
-    while load > threshold and time.time() < deadline:
+    while _loud(load, load5) and time.time() < deadline:
         if not waited:
             print(
-                f"quiet-gate: 1m loadavg {load:.2f} > {threshold:.1f}; "
-                f"waiting up to {timeout_s:.0f}s for a quiet window "
-                f"before {what}",
+                f"quiet-gate: loadavg 1m {load:.2f} / 5m {load5:.2f} over "
+                f"({threshold:.1f}, {2 * threshold:.1f}); waiting up to "
+                f"{timeout_s:.0f}s for a quiet window before {what}",
                 file=sys.stderr,
                 flush=True,
             )
             waited = True
         time.sleep(POLL_S)
-        load = os.getloadavg()[0]
-    if load > threshold:
+        load, load5, _ = os.getloadavg()
+    if _loud(load, load5):
         print(
             f"quiet-gate: still loud after {timeout_s:.0f}s "
             f"(loadavg {load:.2f}); proceeding LOUD — the artifact's own "
