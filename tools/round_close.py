@@ -150,9 +150,16 @@ def main() -> int:
                 print("bench.py failed; aborting before commit", file=sys.stderr)
                 return rc
             try:
-                start_load = json.load(open(staged_detail))["conditions_start"][
-                    "loadavg_1m"
-                ]
+                with open(staged_detail) as f:
+                    det = json.load(f)
+                # judge the attempt by the WORSE of its start/end stamps:
+                # a co-tenant burst mid-run slips a start-only check (the
+                # first r13 close promoted a 0.02-start run whose
+                # streaming tail ate a burst to 4.9 and read 194 s)
+                start_load = max(
+                    det["conditions_start"]["loadavg_1m"],
+                    det.get("conditions_end", {}).get("loadavg_1m", 0.0),
+                )
             except (OSError, ValueError, KeyError):
                 start_load = float("inf")
             kept = staged_detail + f".attempt{attempt}"
