@@ -309,6 +309,15 @@ def t_shard_assign(
     bound = _file_size_row_bound(sf_dir, "documents")
     if bound is not None and bound <= max_pin_rows:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # SESSION-LIFETIME pin, deliberately never unpersisted here
+        # (round-13 ADVICE): the cached relation must stay alive for the
+        # returned (lazy) DataFrame, so this function cannot own its
+        # unpersist. Repeat calls on the same sf_dir dedup via Spark's
+        # CacheManager (identical analyzed plan -> same cache entry);
+        # long sessions that mix MANY sf_dirs accumulate one ~56 B/row
+        # pinned projection per dir until the caller clears it
+        # (bench.py clearCaches between entries; pytest sessions stay
+        # within two small dirs).
         keyed = (
             keyed.withColumn("__bp", bucket)
             .repartition(n_parts, "__bp")

@@ -277,7 +277,16 @@ def _ewma_user(
     # per-chunk sorting would fold events out of global (ts_us, event_id)
     # order, breaking bit-exact parity with batch_ewma_final
     chunks = list(pdfs)
-    if not chunks:
+    ordered = (
+        pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
+        if chunks
+        else None
+    )
+    if ordered is None or not len(ordered):
+        # guard on TOTAL row count, not `not chunks` (round-13 ADVICE): a
+        # key can arrive as a non-empty iterator of zero-row Arrow chunks,
+        # which would make prev[0] below raise IndexError — mirror
+        # _sessionize_user's arr.size == 0 branch
         if n:
             state.update((float(ewma), int(n)))
         yield pd.DataFrame(
@@ -292,7 +301,6 @@ def _ewma_user(
         )
         return
 
-    ordered = pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
     vals_np = ordered["value"].to_numpy(dtype=np.float64)
     # ONLY the recurrence stays a Python loop (each step must be the exact
     # IEEE sequence 0.5*v + 0.5*prev that batch_ewma_final folds — a

@@ -585,3 +585,34 @@ def test_sessionize_user_no_state_in_batch_gap():
     emitted, carried = _run_sessionize(None, [0, 5, 2 * G])
     assert emitted == [(0, 5, 2)]
     assert carried == (2 * G, 2 * G, 1)
+
+
+def test_ewma_user_zero_row_chunks_preserve_state():
+    """A non-empty iterator of ZERO-ROW Arrow chunks (distinct from an
+    empty iterator) must emit nothing and keep the carried state —
+    `not chunks` alone missed this and prev[0] raised IndexError
+    (round-13 ADVICE)."""
+    import pandas as pd
+
+    from good_enough_timecamp_data_pipeline_spark.streaming.stateful import (
+        _ewma_user,
+    )
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype="int64"),
+            "ts_us": pd.Series([], dtype="int64"),
+            "event_id": pd.Series([], dtype="int64"),
+            "value": pd.Series([], dtype="float64"),
+        }
+    )
+    state = _FakeGroupState((1.5, 3))
+    out = list(_ewma_user((7,), iter([empty, empty]), state))
+    assert sum(len(df) for df in out) == 0
+    assert state.get == (1.5, 3)
+
+    # empty-iterator case still behaves identically
+    state2 = _FakeGroupState((2.5, 4))
+    out2 = list(_ewma_user((7,), iter([]), state2))
+    assert sum(len(df) for df in out2) == 0
+    assert state2.get == (2.5, 4)

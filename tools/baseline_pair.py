@@ -31,10 +31,14 @@ def main() -> int:
     # come from a quiet window — BLOCK for one instead of warn-and-run
     # (degrades to a stderr-warned loud run after the timeout so an
     # always-busy box can't hang the harness; the artifact stamps show it)
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from quiet import wait_for_quiet
+    import importlib.util
 
-    wait_for_quiet(what="the canonical warm+cold baseline pair")
+    spec = importlib.util.spec_from_file_location(
+        "spark_graft_tools_quiet", os.path.join(REPO, "tools", "quiet.py")
+    )
+    quiet = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(quiet)
+    quiet.wait_for_quiet(what="the canonical warm+cold baseline pair")
     baseline = os.path.join(REPO, "tools", "duckdb_baseline.py")
 
     print("== warm (shape-warmed) protocol -> BASELINE_COMPARE.json", flush=True)

@@ -48,6 +48,20 @@ ARTIFACTS = [
 ]
 
 
+def _load_quiet():
+    """Load tools/quiet.py by file path (round-13 ADVICE): inserting
+    tools/ into sys.path and importing the generic name `quiet` could
+    shadow a same-named installed package for the rest of the process."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_graft_tools_quiet", os.path.join(REPO, "tools", "quiet.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def sh(*args: str) -> str:
     return subprocess.run(
         args, cwd=REPO, capture_output=True, text=True, check=False
@@ -134,8 +148,8 @@ def main() -> int:
         # for a quiet window first; if an attempt still STARTS loud
         # (co-tenant arrived mid-wait), retry up to --bench-attempts
         # times and promote the quietest start.
-        sys.path.insert(0, os.path.join(REPO, "tools"))
-        from quiet import quiet_max, wait_for_quiet
+        quiet = _load_quiet()
+        quiet_max, wait_for_quiet = quiet.quiet_max, quiet.wait_for_quiet
 
         attempts: list[tuple[float, str]] = []
         for attempt in range(1, args.bench_attempts + 1):
@@ -149,29 +163,37 @@ def main() -> int:
             if rc != 0:
                 print("bench.py failed; aborting before commit", file=sys.stderr)
                 return rc
+            # judge the attempt by the WORSE of its start/end stamps: a
+            # co-tenant burst mid-run slips a start-only check (the first
+            # r13 close promoted a 0.02-start run whose streaming tail ate
+            # a burst to 4.9 and read 194 s)
+            import shutil
+
+            kept = staged_detail + f".attempt{attempt}"
             try:
                 with open(staged_detail) as f:
                     det = json.load(f)
-                # judge the attempt by the WORSE of its start/end stamps:
-                # a co-tenant burst mid-run slips a start-only check (the
-                # first r13 close promoted a 0.02-start run whose
-                # streaming tail ate a burst to 4.9 and read 194 s)
-                start_load = max(
+                worst_load = max(
                     det["conditions_start"]["loadavg_1m"],
                     det.get("conditions_end", {}).get("loadavg_1m", 0.0),
                 )
-            except (OSError, ValueError, KeyError):
-                start_load = float("inf")
-            kept = staged_detail + f".attempt{attempt}"
-            import shutil
-
-            shutil.copyfile(staged_detail, kept)
-            attempts.append((start_load, kept))
-            if start_load <= quiet_max():
+                shutil.copyfile(staged_detail, kept)
+            except (OSError, ValueError, KeyError) as ex:
+                # bench exited 0 but its detail artifact is missing or
+                # unreadable (round-13 ADVICE): record nothing for this
+                # attempt instead of crashing round_close mid-ritual
+                print(
+                    f"  attempt {attempt}: bench_detail unreadable "
+                    f"({ex!r}); attempt not recorded",
+                    file=sys.stderr,
+                )
+                continue
+            attempts.append((worst_load, kept))
+            if worst_load <= quiet_max():
                 break
             print(
-                f"  attempt {attempt} started loud (loadavg "
-                f"{start_load:.2f} > {quiet_max():.1f})"
+                f"  attempt {attempt} ran loud (worse of start/end "
+                f"loadavg {worst_load:.2f} > {quiet_max():.1f})"
                 + (
                     "; retrying"
                     if attempt < args.bench_attempts
@@ -179,15 +201,23 @@ def main() -> int:
                 ),
                 file=sys.stderr,
             )
+        if not attempts:
+            print(
+                "no bench attempt produced a readable bench_detail; "
+                "aborting before commit",
+                file=sys.stderr,
+            )
+            return 1
         best_load, best_path = min(attempts)
         import shutil
 
         shutil.copyfile(best_path, staged_detail)
         if best_load > quiet_max():
             print(
-                f"  WARN: promoting a LOUD bench run (quietest start "
-                f"loadavg {best_load:.2f} > {quiet_max():.1f} across "
-                f"{len(attempts)} attempt(s)) — the artifact stamps show it",
+                f"  WARN: promoting a LOUD bench run (best worse-of-"
+                f"start/end loadavg {best_load:.2f} > {quiet_max():.1f} "
+                f"across {len(attempts)} attempt(s)) — the artifact "
+                "stamps show it",
                 file=sys.stderr,
             )
     # bench.py writes to the UNTRACKED bench_out/ (so ad-hoc / driver
