@@ -199,3 +199,49 @@ def global_row_number(
     """1-based ROW_NUMBER() over the total order of ``key`` (unique keys),
     distributed via ``bucket``."""
     return global_cumsum(df, key, F.lit(1).cast("long"), bucket, out=out)
+
+
+def packed_sort_key(hi: Column, lo: Column, lo_bits: int, what: str) -> Column:
+    """``hi * 2^lo_bits + lo`` as ONE long — the (hi, lo) lexicographic
+    order as a primitive sort/agg key — GUARDED (round-13 VERDICT item 2,
+    the t_line_dedup pattern): out-of-domain inputs raise loudly at scan
+    time instead of silently wrapping the long and corrupting the global
+    order (a wrapped w_pareto_share key would mislabel ``is_top80`` with
+    no error anywhere).
+
+    Domain (exactly the range where the packing is monotone and the
+    arithmetic cannot overflow a 64-bit long):
+
+    - ``0 <= lo < 2^lo_bits`` — lo must stay inside its bit field;
+    - ``-2^(63-lo_bits) <= hi <= 2^(63-lo_bits) - 1`` — the product
+      ``hi * 2^lo_bits`` spans [-2^63, 2^63 - 2^lo_bits] and adding lo
+      stays within the long. Negative hi is legal (callers pack
+      ``-revenue`` for a descending order).
+
+    The comparisons are plain long predicates inside whole-stage codegen;
+    the ``raise_error`` branch is dead code on any in-domain input, so
+    the guard costs one branch per row, not a strategy change.
+    """
+    hi_lim = 1 << (63 - lo_bits)
+    in_domain = (
+        (lo >= 0)
+        & (lo < F.lit(1 << lo_bits))
+        & (hi >= F.lit(-hi_lim))
+        & (hi < F.lit(hi_lim))
+    )
+    return F.when(hi.isNull() | lo.isNull(), F.lit(None).cast("long")).otherwise(
+        F.when(in_domain, hi * F.lit(1 << lo_bits) + lo).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"{what}: (hi, lo) outside the packable domain "
+                        f"(need -2^{63 - lo_bits} <= hi < 2^{63 - lo_bits} "
+                        f"and 0 <= lo < 2^{lo_bits}); got hi="
+                    ),
+                    hi,
+                    F.lit(" lo="),
+                    lo,
+                )
+            ).cast("long")
+        )
+    )

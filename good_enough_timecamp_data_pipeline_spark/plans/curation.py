@@ -34,6 +34,7 @@ from ..operators.layout import fan_out_scan
 from ..operators.order import (
     global_cumsum,
     global_cumsum_multi,
+    packed_sort_key,
     pin_with_range_bucket,
 )
 from .extensions import bigram_lm, doc_bigram_rows
@@ -544,7 +545,7 @@ GROUP BY d.event_type
 # w_pareto_share — cumulative-share concentration audit (80/20)
 # ---------------------------------------------------------------------------
 
-PARETO_KEY_SHIFT = 1 << 24  # custkey < 16.7M at every tested SF (doc'd)
+PARETO_KEY_BITS = 24  # custkey field width; domain GUARDED in packed_sort_key
 
 
 def w_pareto_share(
@@ -584,7 +585,13 @@ def w_pareto_share(
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias("rev_cents")
     )
-    key = (-F.col("rev_cents")) * F.lit(PARETO_KEY_SHIFT) + F.col("o_custkey")
+    # GUARDED packing (round-13 VERDICT item 2): rev_cents >= 2^39
+    # (≈ $5.5B revenue-cents for one customer) or o_custkey >= 2^24 used
+    # to wrap the long SILENTLY and corrupt the global order (and so
+    # is_top80); now those raise at scan time, t_line_dedup-style.
+    key = packed_sort_key(
+        -F.col("rev_cents"), F.col("o_custkey"), PARETO_KEY_BITS, "w_pareto_share"
+    )
 
     bound = _file_size_row_bound(sf_dir, "customer")
     if bound is not None and bound <= max_single_window_rows:

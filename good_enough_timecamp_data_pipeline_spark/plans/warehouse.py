@@ -305,7 +305,11 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact cannot overflow; the two final divisions are double ops on
     exactly-representable inputs, bit-identical cross-engine.
     """
-    from ..operators.order import global_row_number, pin_with_range_bucket
+    from ..operators.order import (
+        global_row_number,
+        packed_sort_key,
+        pin_with_range_bucket,
+    )
 
     o = load_table(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
@@ -337,12 +341,14 @@ def a_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(Decimal(rw)).cast("decimal(38,0)").alias("rank_weighted"),
             )
             return _gini_finalize(stats)
-    # unique ascending sort key: (x, custkey) packed into one long;
+    # unique ascending sort key: (x, custkey) packed into one long,
+    # GUARDED against silent wrap (x >= 2^39 cents or custkey >= 2^24
+    # raise instead of corrupting the rank — round-13 VERDICT item 2);
     # pin the customer-sized table once, with the bucket-bounds agg as
     # the materializing action — totals and main rank pass then read
     # cached blocks instead of re-running the orders scan + groupBy
     # (compressed table only, never the fact)
-    key = F.col("x") * F.lit(1 << 24) + F.col("o_custkey")
+    key = packed_sort_key(F.col("x"), F.col("o_custkey"), 24, "a_gini")
     keyed, bucket = pin_with_range_bucket(
         rev.withColumn("__k", key), F.col("__k")
     )

@@ -553,3 +553,75 @@ def test_pareto_share_tier_parity(spark, sf_dir):
         ).collect()
     )
     assert small == big and small
+
+
+def test_packed_sort_key_guard_in_domain_and_violations(spark):
+    """Round-13 VERDICT item 2: the shared (hi, lo) long packing used by
+    w_pareto_share and a_gini must pack exactly in-domain (including
+    negative hi — the descending-revenue case), preserve null-in/null-out,
+    and raise loudly in BOTH violation directions instead of wrapping."""
+    from good_enough_timecamp_data_pipeline_spark.operators.order import (
+        packed_sort_key,
+    )
+
+    bits = 24
+    ok = spark.createDataFrame(
+        [
+            (-5, 7),
+            (0, 0),
+            ((1 << 39) - 1, (1 << 24) - 1),
+            (-(1 << 39), 3),
+            (None, 3),
+        ],
+        "hi long, lo long",
+    )
+    got = [
+        r.k
+        for r in ok.select(
+            packed_sort_key(F.col("hi"), F.col("lo"), bits, "t").alias("k")
+        ).collect()
+    ]
+    assert got == [
+        -5 * (1 << 24) + 7,
+        0,
+        ((1 << 39) - 1) * (1 << 24) + (1 << 24) - 1,
+        -(1 << 39) * (1 << 24) + 3,
+        None,
+    ]
+    # packing preserves the (hi, lo) lexicographic order across signs
+    vals = [g for g in got if g is not None]
+    rows = [(h, l) for h, l in [(-5, 7), (0, 0), ((1 << 39) - 1, (1 << 24) - 1), (-(1 << 39), 3)]]
+    assert sorted(range(4), key=lambda i: vals[i]) == sorted(
+        range(4), key=lambda i: rows[i]
+    )
+
+    for hi, lo in [
+        (1 << 39, 0),        # hi too large
+        (-(1 << 39) - 1, 0), # hi too negative
+        (0, 1 << 24),        # lo overflows its field
+        (0, -1),             # lo negative
+    ]:
+        bad = spark.createDataFrame([(hi, lo)], "hi long, lo long")
+        with pytest.raises(Exception) as ei:
+            bad.select(
+                packed_sort_key(F.col("hi"), F.col("lo"), bits, "t").alias("k")
+            ).collect()
+        assert "packable domain" in str(ei.value)
+
+
+def test_pareto_and_gini_guard_wired_to_domain_violation(spark, tmp_path):
+    """The guard must actually fire through the full w_pareto_share and
+    a_gini plans when a custkey exceeds its 2^24 bit field."""
+    from good_enough_timecamp_data_pipeline_spark.plans import warehouse
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 1 << 24, 10.0), (2, 3, 20.0)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    ).write.parquet(f"{d}/orders.parquet")
+    with pytest.raises(Exception) as ei:
+        curation.w_pareto_share(spark, d).collect()
+    assert "packable domain" in str(ei.value)
+    with pytest.raises(Exception) as ei2:
+        warehouse.a_gini(spark, d).collect()
+    assert "packable domain" in str(ei2.value)
