@@ -767,47 +767,45 @@ register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
 
-# --- round-13 driver window ------------------------------------------------
+# --- round-14 driver window ------------------------------------------------
 # The driver's correctness gate samples the FIRST 50 entries of queries().
 # Cumulative driver coverage is 153/153 oracle twins, zero currently
-# failing (r01-r12). Composition per the round-12 VERDICT ("Next round"
-# item 5 — rotate by STALENESS, computed from CORRECTNESS_r01-r12): (a)
-# the 9 rows last driver-checked r9 (staleness 4, deferred from
-# WINDOW_R12 exactly as announced there); (b) twins whose
-# implementations change THIS round: t_line_dedup (packed-key domain
-# guard), t_shard_assign (one-exchange rewrite, VERDICT item 3),
-# e_interval_coverage (at-scale tier warm-up, item 7) — w_pareto_share
-# (item 2) is already in (a); (c) 38 of the 46 r10-era rows. The 8
-# deferred r10 rows (w_rank_distribution w_rolling_7d x_asof_join
-# x_grouped_list x_ordered_paths x_posexplode x_range_join_bucketed
-# x_skew_report) lead WINDOW_R14 at staleness 4, followed by the r11
-# cohort.
-WINDOW_R13 = (
-    # (a) stale since r9
-    "o_latest_per_key", "a_mode", "f_regex_extract", "w_pareto_share",
-    "a_winsorize", "q_shipping_priority", "q_local_supplier_volume",
-    "a_gini", "q_nation_trade",
-    # (b) impl touched this round
-    "t_line_dedup", "t_shard_assign", "e_interval_coverage",
-    # (c) 38 of the 46 r10-era rows
-    "a_benford", "a_chi_square", "a_grouping_sets", "a_ks_test_binned",
-    "a_partial_agg_merge", "a_source_lang_entropy", "c_cdc_apply",
-    "c_snapshot_diff", "d_containment", "d_dq_violations",
-    "d_incremental_dedup", "d_ngram_jaccard", "d_threshold_curve",
-    "e_attribution", "e_ewma_anomaly", "e_funnel_stages",
-    "e_markov_transitions", "e_sessionize", "e_tumbling_window",
-    "f_month_batches", "j_merge_upsert", "j_salted_skew_join",
-    "j_scd2_dim", "s_cosine_topk", "s_embedding_drift",
-    "s_quantize_int8", "t_bm25_topk", "t_ccnet_buckets",
-    "t_dsir_resample", "t_dsir_weights", "t_lm_perplexity",
-    "t_negative_sample", "t_ngram_novelty", "t_quality_gate",
-    "t_scrub_pii", "t_source_caps", "t_temperature_mix",
-    "w_ntile_quartiles",
+# failing (r01-r13). Composition per the round-13 VERDICT ("Next round"
+# item 5 — rotate by STALENESS, computed from CORRECTNESS_r01-r13): (a)
+# the 8 r10-era rows deferred from WINDOW_R13 exactly as announced
+# there (staleness 4 — the current maximum); (b) twins whose
+# implementations change THIS round: w_pareto_share and a_gini (shared
+# packed_sort_key domain guard, VERDICT item 2) — both r13-checked, but
+# impl-touched trumps freshness; (c) 40 of the 47 r11-era rows. The 7
+# deferred r11 rows (t_repetition t_token_stats x_asof_forward
+# x_asof_nearest x_geo_grid_join x_geo_knn x_lateral_topn) lead
+# WINDOW_R15 at staleness 4, followed by the r12 cohort (48 rows) —
+# that fills 50 with 5 r12 rows deferred to r16.
+WINDOW_R14 = (
+    # (a) stale since r10 (deferred from WINDOW_R13)
+    "w_rank_distribution", "w_rolling_7d", "x_asof_join",
+    "x_grouped_list", "x_ordered_paths", "x_posexplode",
+    "x_range_join_bucketed", "x_skew_report",
+    # (b) impl touched this round (packed_sort_key guard)
+    "w_pareto_share", "a_gini",
+    # (c) 40 of the 47 r11-era rows
+    "a_bool_aggs", "a_conditional_agg", "a_corr_stats",
+    "a_groupsum_pricing", "a_histogram", "a_ks_test", "a_weighted_avg",
+    "a_weighted_quantile", "d_cc_clusters", "d_dedup_survivors",
+    "d_exact_dedup", "d_incremental_containment", "d_minhash_lsh",
+    "d_simhash_pairs", "e_dau_wau", "e_gapfill", "e_peak_concurrency",
+    "e_retention_cohorts", "e_sliding_window", "e_windowed_funnel",
+    "f_array_ops", "f_bitwise_ops", "f_epoch_roundtrip", "f_variant_shred",
+    "h_breadcrumb_levels", "h_closure_pairs", "j_scd2_lookup",
+    "o_except_all", "report_project_budget", "report_task_budget",
+    "t_balanced_sample", "t_bigram_lm", "t_bpe_tokens", "t_chunking",
+    "t_corpus_prep", "t_decontam", "t_fingerprint", "t_langid",
+    "t_mixture_weights", "t_quality",
 )
-assert len(WINDOW_R13) == 50 and len(set(WINDOW_R13)) == 50
-_missing = [n for n in WINDOW_R13 if n not in QUERIES or n not in ORACLES]
+assert len(WINDOW_R14) == 50 and len(set(WINDOW_R14)) == 50
+_missing = [n for n in WINDOW_R14 if n not in QUERIES or n not in ORACLES]
 assert not _missing, f"window entries must be registered oracle twins: {_missing}"
-_window = {n: QUERIES[n] for n in WINDOW_R13}
+_window = {n: QUERIES[n] for n in WINDOW_R14}
 _rest = {n: f for n, f in QUERIES.items() if n not in _window}
 QUERIES.clear()
 QUERIES.update(_window)

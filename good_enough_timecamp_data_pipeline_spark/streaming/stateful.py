@@ -39,7 +39,7 @@ from ..plans.testdata import (
 )
 from pyspark.sql import types as T
 
-from .windows import stream_shards
+from .windows import run_finite_stream
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -181,8 +181,6 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Run stateful sessionization over events as a multi-batch stream;
     returns the closed sessions as a batch DataFrame."""
-    import shutil
-
     shared = n_chunks == 4  # default-args call hits the session memo
     src = (
         _chunked_events_dir(spark, sf_dir)
@@ -207,31 +205,16 @@ def streaming_sessionize(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = "stream_sessions_out"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    with tempfile.TemporaryDirectory() as ckpt:
-        # fewer state-store shards: per-batch task overhead dominates at
-        # local scale; on a cluster, size this to active-key cardinality
-        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
-        try:
-            q = (
-                sessions.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            if not shared:  # the memoized staging serves later entries
-                shutil.rmtree(src, ignore_errors=True)
-    # the memory sink keeps the rows in the session; hand the table straight
-    # to the caller instead of round-tripping 10^5 rows through the driver
-    return spark.table(name)
+    # parquet sink: closed sessions are event-scale output (10^5 rows at
+    # sf0.1) — land them executor-side instead of collecting every
+    # micro-batch's rows into the driver (see run_finite_stream)
+    return run_finite_stream(
+        spark,
+        sessions,
+        "stream_sessions_out",
+        sink="parquet",
+        cleanup_dir=None if shared else src,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -342,8 +325,6 @@ def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataF
     """Per-event EWMA scores over events as a multi-batch stream; the
     state handoff between micro-batches is the point (one big batch
     would make the carry trivially correct)."""
-    import shutil
-
     shared = n_chunks == 4  # default-args call hits the session memo
     src = (
         _chunked_events_dir(spark, sf_dir)
@@ -369,27 +350,18 @@ def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataF
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    name = "stream_ewma_out"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
-        try:
-            q = (
-                scored.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            if not shared:  # the memoized staging serves later entries
-                shutil.rmtree(src, ignore_errors=True)
-    return spark.table(name)
+    # parquet sink (round-13 VERDICT item 3): the scored output is
+    # PER-EVENT (600k rows at sf0.1) and the memory sink's per-batch
+    # executor→driver collect was this entry's dominant cost after the
+    # fold went numpy — land batches executor-side and let the caller's
+    # per-user rollup scan parquet distributed
+    return run_finite_stream(
+        spark,
+        scored,
+        "stream_ewma_out",
+        sink="parquet",
+        cleanup_dir=None if shared else src,
+    )
 
 
 def s_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:

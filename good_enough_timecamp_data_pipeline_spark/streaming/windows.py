@@ -110,26 +110,65 @@ def streaming_sliding_counts(
     return _run_to_completion(spark, agg, "stream_sliding_out", cleanup_dir=stream_dir)
 
 
-def _run_to_completion(
-    spark: SparkSession, agg: DataFrame, name: str, cleanup_dir: str | None = None
+_FILE_SINK_DIRS: list[str] = []
+
+
+def _cleanup_file_sink_dirs() -> None:
+    import shutil
+
+    for d in _FILE_SINK_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def run_finite_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "append",
+    sink: str = "memory",
+    cleanup_dir: str | None = None,
 ) -> DataFrame:
-    """Drive a finite streaming agg to completion via a memory sink.
+    """Drive a finite stream to completion and return its full output as
+    a batch DataFrame.
+
+    ``sink="memory"`` suits SMALL outputs (windowed aggregates, per-type
+    counts — bounded by windows × types, not by events): rows live in
+    the driver and the re-read is a LocalTableScan. For BIG outputs
+    (per-event scores, per-pair join rows) the memory sink is the wrong
+    shape twice over: every micro-batch pays an executor→driver collect
+    of its full output, and every downstream consumer then rescans a
+    single-threaded driver-local table. ``sink="parquet"`` lands each
+    micro-batch executor-side through the exactly-once file sink and
+    reads the result back as a distributed parquet scan (round-13
+    VERDICT item 3: the 600k-row memory-sink collection was
+    s_stream_ewma's dominant cost after the fold went numpy). File-sink
+    dirs must outlive this call — the returned DataFrame reads them
+    lazily — so they are cleaned at process exit, not here.
 
     Shuffle partitions are temporarily lowered: each micro-batch pays a
-    per-state-store-shard cost, which dwarfs the work at local scale (on a
-    cluster, shard count is sized to key cardinality instead).
+    per-state-store-shard cost, which dwarfs the work at local scale (on
+    a cluster, shard count is sized to key cardinality instead).
     """
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    out_dir = None
+    if sink == "parquet":
+        if not _FILE_SINK_DIRS:
+            import atexit
+
+            atexit.register(_cleanup_file_sink_dirs)
+        out_dir = tempfile.mkdtemp(prefix=f"{name}_sink_")
+        _FILE_SINK_DIRS.append(out_dir)
     with tempfile.TemporaryDirectory() as ckpt:
         spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:
-            q = (
-                agg.writeStream.outputMode("complete")
-                .format("memory")
-                .queryName(name)
-                .option("checkpointLocation", ckpt)
-                .start()
+            w = df.writeStream.outputMode(output_mode).option(
+                "checkpointLocation", ckpt
             )
+            if sink == "parquet":
+                q = w.format("parquet").option("path", out_dir).start()
+            else:
+                q = w.format("memory").queryName(name).start()
             try:
                 q.processAllAvailable()
             finally:
@@ -140,8 +179,28 @@ def _run_to_completion(
                 import shutil
 
                 shutil.rmtree(cleanup_dir, ignore_errors=True)
+    if sink == "parquet":
+        # explicit schema: the file-sink metadata log lists zero files
+        # when the (finite) stream emitted nothing, and schema inference
+        # would fail there; the streaming plan already knows the schema
+        return spark.read.schema(df.schema).parquet(out_dir)
     # the memory sink keeps the rows in the session; no driver round-trip
     return spark.table(name)
+
+
+def _run_to_completion(
+    spark: SparkSession, agg: DataFrame, name: str, cleanup_dir: str | None = None
+) -> DataFrame:
+    """Drive a finite complete-mode agg (small output) via the memory
+    sink — see run_finite_stream for the sink trade-off."""
+    return run_finite_stream(
+        spark,
+        agg,
+        name,
+        output_mode="complete",
+        sink="memory",
+        cleanup_dir=cleanup_dir,
+    )
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,31 +289,18 @@ def streaming_stream_join(
         "inner",
     ).select(F.col("view_user").alias("user_id"), "view_ts", "click_ts")
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    with tempfile.TemporaryDirectory() as ckpt:
-        spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
-        try:
-            q = (
-                joined.writeStream.outputMode("append")
-                .format("memory")
-                .queryName("stream_join_out")
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            import shutil
-
-            shutil.rmtree(stream_dir, ignore_errors=True)
-    return (
-        spark.table("stream_join_out")
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_pairs"))
+    # parquet sink: the joined PAIRS (not the final per-user counts) are
+    # the stream's output — event-scale, so they land executor-side and
+    # the per-user rollup below is a distributed scan, never a driver
+    # round-trip (see run_finite_stream)
+    pairs = run_finite_stream(
+        spark,
+        joined,
+        "stream_join_out",
+        sink="parquet",
+        cleanup_dir=stream_dir,
     )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
 
 
 def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,26 +1,46 @@
 """Second measured scale point: sf10 (100× the sf0.1 facts, fixed
 dims) over the HEAVY TAIL — the ~16 worst Spark/DuckDB per-query ratios
-from ``BASELINE_COMPARE_SF1.json``, i.e. the twins where Spark's fixed
-per-query constant (driver planning + task scheduling, sub-2 s absolute)
-still dominated at sf1 while DuckDB sat in the milliseconds.
+from ``BASELINE_COMPARE_SF1.json`` — plus the FACT-BOUND representatives
+(the queries whose cost is carried by the scaled documents/events
+tables, i.e. the tables a 100 TB bill is made of).
 
-The builder's growth model (ARCHITECTURE.md sf1 section: Spark ~1.96×
-per data decade vs DuckDB ~3.5×) predicts the MEDIAN tail ratio crosses
-near sf10; this run measures it (round-8 VERDICT item 4). Not the full
-catalog — the non-tail twins already crossed at sf1 (total ratio 0.12×).
+PAIRED PROTOCOL (round-13 VERDICT item 1 — the sf0.1 discipline of
+tools/baseline_pair.py extended here). The r13 experience: DuckDB's
+w_pareto_share denominator measured 0.67 → 0.55 → 0.28 → 0.62 → 0.23 s
+across same-day generations of the SAME query on the SAME data as the
+OS page cache warmed — the committed ratio was a denominator lottery
+while Spark's absolutes moved −58%. So this tool pins the cache state
+instead of sampling it:
 
-Usage::  python tools/sf10_compare.py [base_sf_dir]
+- FRESH synth dir per run: the data is written immediately before the
+  compare, so the page cache deterministically holds the whole dir
+  (maximally warm — consistent with BASELINE.md's warm-canonical
+  policy) for BOTH engines; no cold/warm lottery across generations.
+- ONE session: tools/duckdb_baseline.py interleaves Spark and DuckDB
+  per query in one process over that shared cache state.
+- QUIET-GATED: tools/quiet.py::wait_for_quiet blocks before the synth
+  and before every compare attempt.
+- WORSE-OF-START/END PROMOTION: each attempt is judged by the worse of
+  its own loadavg stamps (a mid-run co-tenant burst slips a start-only
+  check); attempts retry up to --attempts and the best one is promoted,
+  with every attempt's stamps disclosed in the artifact.
+
+Usage::  python tools/sf10_compare.py [base_sf_dir] [--attempts N]
+                                      [--reuse-dir DIR]
 
 Writes ``BASELINE_COMPARE_SF10.json`` via tools/duckdb_baseline.py.
 """
 
 from __future__ import annotations
 
+import importlib.util
+import json
 import os
 import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 # Worst sf1 per-query ratios (BASELINE_COMPARE_SF1.json, descending) that
 # are oracle twins; s_cosine_* operate on the embeddings DIM (fixed by
@@ -65,57 +85,141 @@ FACT_BOUND = [
 ]
 
 
+def _load_quiet():
+    spec = importlib.util.spec_from_file_location(
+        "spark_graft_tools_quiet", os.path.join(REPO, "tools", "quiet.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def main() -> int:
-    argv = [a for a in sys.argv[1:]]
-    fact_bound = "--fact-bound" in argv
-    if fact_bound:
-        argv.remove("--fact-bound")
+    argv = list(sys.argv[1:])
+    attempts_max = 3
+    if "--attempts" in argv:
+        i = argv.index("--attempts")
+        attempts_max = int(argv[i + 1])
+        del argv[i : i + 2]
     sf10 = None
-    if "--reuse-dir" in argv:  # skip synthesis (e.g. the fact-bound pass
-        i = argv.index("--reuse-dir")  # right after the tail pass)
+    fresh_synth = True
+    if "--reuse-dir" in argv:  # diagnostics only — NOT the paired protocol
+        i = argv.index("--reuse-dir")
         sf10 = argv[i + 1]
+        fresh_synth = False
         del argv[i : i + 2]
     base = argv[0] if argv else "/root/testdata/sf0.1"
+
+    quiet = _load_quiet()
+    env_base = dict(os.environ)
+    # sf10 needs driver headroom (a 16g driver GCLocker-thrashed under
+    # the shared sf10 builds); respect an explicit override
+    env_base.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
+
     if sf10 is None:
         from good_enough_timecamp_data_pipeline_spark.session import get_spark
         from tools.scale_probe import scaled_dir
 
+        quiet.wait_for_quiet(what="sf10 synthesis")
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
         spark = get_spark("sf10_synth")
         sf10 = scaled_dir(spark, 100, base=base)
         print(f"sf10 synthesized at {sf10}", flush=True)
         spark.stop()  # the comparison run builds its own tuned session
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    artifact = os.path.join(repo, "BASELINE_COMPARE_SF10.json")
-    env = dict(os.environ)
-    out = artifact
-    if fact_bound:
-        out = os.path.join(repo, "BASELINE_COMPARE_SF10_FACTBOUND.tmp.json")
-    env["SPARK_GRAFT_BASELINE_OUT"] = out
-    rc = subprocess.call(
-        [sys.executable, os.path.join(repo, "tools", "duckdb_baseline.py"), sf10]
-        + (FACT_BOUND if fact_bound else TAIL),
-        env=env,
-    )
-    if rc != 0 or not fact_bound:
-        return rc
-    # merge the fact-bound rows into the canonical artifact, keeping the
-    # tail run's totals/provenance intact
-    import json
+    # one invocation = one session for the whole query set: the tail and
+    # fact-bound passes used to be two processes whose DuckDB sides saw
+    # different cache states
+    queries = TAIL + [q for q in FACT_BOUND if q not in TAIL]
+    artifact = os.path.join(REPO, "BASELINE_COMPARE_SF10.json")
 
-    new = json.load(open(out))
-    merged = json.load(open(artifact)) if os.path.exists(artifact) else {
-        "queries": {}
+    attempts: list[dict] = []
+    best: tuple[float, str] | None = None
+    for attempt in range(1, attempts_max + 1):
+        quiet.wait_for_quiet(what=f"sf10 paired compare (attempt {attempt})")
+        out = artifact + f".attempt{attempt}"
+        env = dict(env_base)
+        env["SPARK_GRAFT_BASELINE_OUT"] = out
+        rc = subprocess.call(
+            [sys.executable, os.path.join(REPO, "tools", "duckdb_baseline.py"), sf10]
+            + queries,
+            env=env,
+        )
+        if rc != 0:
+            print(f"attempt {attempt} failed rc={rc}", file=sys.stderr)
+            continue
+        try:
+            d = json.load(open(out))
+            worst = max(
+                float((d.get("loadavg_start") or ["inf"])[0]),
+                float((d.get("loadavg_end") or ["inf"])[0]),
+            )
+        except (OSError, ValueError):
+            continue
+        attempts.append(
+            {
+                "worst_loadavg_1m": worst,
+                "loadavg_start": d.get("loadavg_start"),
+                "loadavg_end": d.get("loadavg_end"),
+                "spark_total_s": d.get("spark_total_s"),
+                "duckdb_total_s": d.get("duckdb_total_s"),
+                "total_ratio": d.get("total_ratio"),
+            }
+        )
+        if best is None or worst < best[0]:
+            best = (worst, out)
+        if worst <= quiet.quiet_max():
+            break
+        print(
+            f"attempt {attempt} ran loud (worse of start/end loadavg "
+            f"{worst:.2f} > {quiet.quiet_max():.1f})"
+            + ("; retrying" if attempt < attempts_max else " — out of attempts"),
+            file=sys.stderr,
+        )
+    if best is None:
+        print("no sf10 compare attempt produced an artifact", file=sys.stderr)
+        return 1
+
+    promoted = json.load(open(best[1]))
+    promoted["fact_bound_queries"] = FACT_BOUND
+    # per-group summaries: the union total is dominated by the fact-bound
+    # rows' huge DuckDB denominators (d_ngram_jaccard ran 310 s in r13),
+    # so the tail's constant-domination story needs its own subtotal
+    for label, names in (("tail", TAIL), ("fact_bound", FACT_BOUND)):
+        rows = {k: v for k, v in promoted.get("queries", {}).items() if k in names}
+        sp = sum(v["spark_s"] for v in rows.values())
+        du = sum(v["duckdb_s"] for v in rows.values())
+        promoted[f"{label}_spark_total_s"] = round(sp, 2)
+        promoted[f"{label}_duckdb_total_s"] = round(du, 2)
+        promoted[f"{label}_total_ratio"] = round(sp / du, 2) if du else None
+    promoted["paired_protocol"] = {
+        "fresh_synth_dir": fresh_synth,
+        "one_session": True,
+        "page_cache_state": (
+            "warm by construction — the synth dir was written immediately "
+            "before the compare, so both engines read a fully cached dir; "
+            "later attempts share that same state (no cold/warm lottery "
+            "across generations)"
+        ),
+        "quiet_gate_max": quiet.quiet_max(),
+        "promotion": "min over attempts of worse-of-start/end loadavg_1m",
+        "attempts": attempts,
     }
-    merged.setdefault("queries", {}).update(new["queries"])
-    merged["fact_bound_run"] = {
-        k: v for k, v in new.items() if k != "queries"
-    }
-    merged["fact_bound_queries"] = FACT_BOUND
     with open(artifact, "w") as f:
-        json.dump(merged, f, indent=1, sort_keys=True)
-    os.remove(out)
-    print(f"merged {len(new['queries'])} fact-bound rows into {artifact}")
+        json.dump(promoted, f, indent=1, sort_keys=True)
+    import glob
+
+    for path in glob.glob(artifact + ".attempt*"):
+        os.remove(path)
+    if best[0] > quiet.quiet_max():
+        print(
+            f"WARN: promoted a LOUD sf10 pair (best worse-of loadavg "
+            f"{best[0]:.2f}); stamps disclosed in the artifact",
+            file=sys.stderr,
+        )
+    print(
+        f"promoted attempt with worst_loadavg_1m={best[0]:.2f} -> {artifact}"
+    )
     return 0
 
 
