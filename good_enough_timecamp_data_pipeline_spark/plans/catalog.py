@@ -232,6 +232,17 @@ SHAPE_WARMUP = (
     "t_shard_assign",
     "t_token_kl_drift", "w_pareto_share", "x_geo_knn", "x_ordered_paths",
     "x_profile", "x_range_join_bucketed",
+    # streaming kernel family (round-14): a session's FIRST streaming
+    # query pays engine startup no batch warm-up touches — state-store
+    # provider init, FileStreamSource/metadata-log classes, streaming
+    # codegen, micro-batch thread pools (the committed block's first
+    # entry read 2.2 s vs a 0.9 s same-session min). One sf0.001 pass
+    # per streaming shape pays it in the warm-up, per the stated
+    # shape-warmed protocol; plans are still built cold per timed query.
+    "s_stream_tumbling", "s_stream_sliding", "s_stream_sessions",
+    "s_stream_session_window", "s_stream_dedup", "s_stream_join",
+    "s_stream_static_join", "s_stream_upsert",
+    "s_stream_incremental_dedup", "s_stream_deadletter", "s_stream_ewma",
 )
 
 
