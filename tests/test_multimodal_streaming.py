@@ -616,3 +616,32 @@ def test_ewma_user_zero_row_chunks_preserve_state():
     out2 = list(_ewma_user((7,), iter([]), state2))
     assert sum(len(df) for df in out2) == 0
     assert state2.get == (2.5, 4)
+
+
+def test_run_finite_stream_parquet_sink_empty_output(spark, sf_dir, tmp_path):
+    """The parquet file sink must round-trip a finite stream that emits
+    ZERO rows: the sink's metadata log lists no files, so the read-back
+    relies on the explicit schema (plain inference would fail)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import (
+        ensure_events_read_conf,
+        normalize_events_ts,
+    )
+    from good_enough_timecamp_data_pipeline_spark.streaming.windows import (
+        events_stream_schema,
+        run_finite_stream,
+    )
+
+    ensure_events_read_conf(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = normalize_events_ts(
+        spark.readStream.schema(events_stream_schema(spark, sf_dir)).parquet(src)
+    ).filter(F.col("event_id") < -1)  # no such rows
+    out = run_finite_stream(spark, stream, "empty_sink_test", sink="parquet")
+    assert out.count() == 0
+    assert "event_id" in out.columns

@@ -20,10 +20,15 @@ instead of sampling it:
   per query in one process over that shared cache state.
 - QUIET-GATED: tools/quiet.py::wait_for_quiet blocks before the synth
   and before every compare attempt.
-- WORSE-OF-START/END PROMOTION: each attempt is judged by the worse of
-  its own loadavg stamps (a mid-run co-tenant burst slips a start-only
-  check); attempts retry up to --attempts and the best one is promoted,
-  with every attempt's stamps disclosed in the artifact.
+- START-STAMP PROMOTION, end stamps disclosed: the sf0.1 bench judges
+  attempts by the worse of start/end (a mid-run co-tenant burst slips a
+  start-only check), but at sf10 the end stamp is SELF-CONFOUNDED — a
+  32-thread local run at full duty reads loadavg ~15-20 by its own work
+  (the r13 artifact ended at 12.6 on a quiet-start day), so a
+  worse-of criterion would mark every attempt loud forever and carry no
+  tenancy signal. Attempts therefore retry on a loud START and the
+  quietest start is promoted; both stamps of every attempt are
+  disclosed in the artifact for the reader.
 
 Usage::  python tools/sf10_compare.py [base_sf_dir] [--attempts N]
                                       [--reuse-dir DIR]
@@ -150,15 +155,12 @@ def main() -> int:
             continue
         try:
             d = json.load(open(out))
-            worst = max(
-                float((d.get("loadavg_start") or ["inf"])[0]),
-                float((d.get("loadavg_end") or ["inf"])[0]),
-            )
+            start_1m = float((d.get("loadavg_start") or ["inf"])[0])
         except (OSError, ValueError):
             continue
         attempts.append(
             {
-                "worst_loadavg_1m": worst,
+                "start_loadavg_1m": start_1m,
                 "loadavg_start": d.get("loadavg_start"),
                 "loadavg_end": d.get("loadavg_end"),
                 "spark_total_s": d.get("spark_total_s"),
@@ -166,13 +168,13 @@ def main() -> int:
                 "total_ratio": d.get("total_ratio"),
             }
         )
-        if best is None or worst < best[0]:
-            best = (worst, out)
-        if worst <= quiet.quiet_max():
+        if best is None or start_1m < best[0]:
+            best = (start_1m, out)
+        if start_1m <= quiet.quiet_max():
             break
         print(
-            f"attempt {attempt} ran loud (worse of start/end loadavg "
-            f"{worst:.2f} > {quiet.quiet_max():.1f})"
+            f"attempt {attempt} started loud (loadavg "
+            f"{start_1m:.2f} > {quiet.quiet_max():.1f})"
             + ("; retrying" if attempt < attempts_max else " — out of attempts"),
             file=sys.stderr,
         )
@@ -202,7 +204,12 @@ def main() -> int:
             "across generations)"
         ),
         "quiet_gate_max": quiet.quiet_max(),
-        "promotion": "min over attempts of worse-of-start/end loadavg_1m",
+        "promotion": (
+            "min over attempts of START loadavg_1m — the end stamp is "
+            "self-confounded at sf10 (the run's own 32-thread compute "
+            "reads ~15-20 regardless of tenancy) and is disclosed, not "
+            "judged"
+        ),
         "attempts": attempts,
     }
     with open(artifact, "w") as f:
