@@ -177,6 +177,19 @@ def main() -> int:
                     det["conditions_start"]["loadavg_1m"],
                     det.get("conditions_end", {}).get("loadavg_1m", 0.0),
                 )
+                # burst excess: the artifact's own movers re-probes are a
+                # direct in-run tenancy measurement — sum of (run −
+                # reprobe) over flagged entries. The r14 close proved the
+                # stamps alone can invert the pick: a 1.67→3.01-stamped
+                # attempt hid a mid-run burst (1m loadavg decays in
+                # minutes) and read 209 s / 23.0 s excess, while the
+                # 0.31→4.25-stamped attempt was the clean run (148.8 s /
+                # 0.3 s excess).
+                burst_excess = sum(
+                    max(0.0, v.get("run", 0.0) - v["reprobe"])
+                    for v in (det.get("movers_vs_committed") or {}).values()
+                    if isinstance(v, dict) and "reprobe" in v
+                )
                 shutil.copyfile(staged_detail, kept)
             except (OSError, ValueError, KeyError) as ex:
                 # bench exited 0 but its detail artifact is missing or
@@ -188,12 +201,13 @@ def main() -> int:
                     file=sys.stderr,
                 )
                 continue
-            attempts.append((worst_load, kept))
-            if worst_load <= quiet_max():
+            attempts.append(((worst_load > quiet_max(), burst_excess, worst_load), kept))
+            if worst_load <= quiet_max() and burst_excess < 2.0:
                 break
             print(
                 f"  attempt {attempt} ran loud (worse of start/end "
-                f"loadavg {worst_load:.2f} > {quiet_max():.1f})"
+                f"loadavg {worst_load:.2f} vs {quiet_max():.1f}; in-run "
+                f"burst excess {burst_excess:.1f} s)"
                 + (
                     "; retrying"
                     if attempt < args.bench_attempts
@@ -208,16 +222,18 @@ def main() -> int:
                 file=sys.stderr,
             )
             return 1
-        best_load, best_path = min(attempts)
+        # promote: quiet-stamped attempts first, then least in-run burst
+        # excess (the movers re-probes), then the stamp itself
+        (was_loud, best_excess, best_load), best_path = min(attempts)
         import shutil
 
         shutil.copyfile(best_path, staged_detail)
-        if best_load > quiet_max():
+        if was_loud or best_excess >= 2.0:
             print(
-                f"  WARN: promoting a LOUD bench run (best worse-of-"
-                f"start/end loadavg {best_load:.2f} > {quiet_max():.1f} "
-                f"across {len(attempts)} attempt(s)) — the artifact "
-                "stamps show it",
+                f"  WARN: promoting an imperfect bench run (worse-of-"
+                f"stamps loadavg {best_load:.2f}, in-run burst excess "
+                f"{best_excess:.1f} s, across {len(attempts)} attempt(s))"
+                " — the artifact stamps/movers show it",
                 file=sys.stderr,
             )
     # bench.py writes to the UNTRACKED bench_out/ (so ad-hoc / driver
