@@ -48,6 +48,28 @@ ARTIFACTS = [
 ]
 
 
+def attempt_rank(det: dict, quiet_threshold: float) -> tuple:
+    """Rank key for a bench attempt, smaller = better: (ran loud?,
+    in-run burst excess, worse-of-start/end stamp).
+
+    The stamps alone can invert the pick (r14: a mid-run co-tenant
+    burst decays out of the 1m loadavg before the end stamp — the
+    burst-hit attempt read the calmer stamps). The artifact's own
+    movers re-probes are a direct in-run tenancy measurement, so the
+    excess Σ max(0, run − reprobe) breaks ties among stamp-quiet
+    attempts. Raises KeyError on an artifact without stamps."""
+    worst_load = max(
+        det["conditions_start"]["loadavg_1m"],
+        det.get("conditions_end", {}).get("loadavg_1m", 0.0),
+    )
+    burst_excess = sum(
+        max(0.0, v.get("run", 0.0) - v["reprobe"])
+        for v in (det.get("movers_vs_committed") or {}).values()
+        if isinstance(v, dict) and "reprobe" in v
+    )
+    return (worst_load > quiet_threshold, burst_excess, worst_load)
+
+
 def _load_quiet():
     """Load tools/quiet.py by file path (round-13 ADVICE): inserting
     tools/ into sys.path and importing the generic name `quiet` could
@@ -173,22 +195,8 @@ def main() -> int:
             try:
                 with open(staged_detail) as f:
                     det = json.load(f)
-                worst_load = max(
-                    det["conditions_start"]["loadavg_1m"],
-                    det.get("conditions_end", {}).get("loadavg_1m", 0.0),
-                )
-                # burst excess: the artifact's own movers re-probes are a
-                # direct in-run tenancy measurement — sum of (run −
-                # reprobe) over flagged entries. The r14 close proved the
-                # stamps alone can invert the pick: a 1.67→3.01-stamped
-                # attempt hid a mid-run burst (1m loadavg decays in
-                # minutes) and read 209 s / 23.0 s excess, while the
-                # 0.31→4.25-stamped attempt was the clean run (148.8 s /
-                # 0.3 s excess).
-                burst_excess = sum(
-                    max(0.0, v.get("run", 0.0) - v["reprobe"])
-                    for v in (det.get("movers_vs_committed") or {}).values()
-                    if isinstance(v, dict) and "reprobe" in v
+                was_loud, burst_excess, worst_load = attempt_rank(
+                    det, quiet_max()
                 )
                 shutil.copyfile(staged_detail, kept)
             except (OSError, ValueError, KeyError) as ex:
@@ -201,8 +209,8 @@ def main() -> int:
                     file=sys.stderr,
                 )
                 continue
-            attempts.append(((worst_load > quiet_max(), burst_excess, worst_load), kept))
-            if worst_load <= quiet_max() and burst_excess < 2.0:
+            attempts.append(((was_loud, burst_excess, worst_load), kept))
+            if not was_loud and burst_excess < 2.0:
                 break
             print(
                 f"  attempt {attempt} ran loud (worse of start/end "
