@@ -110,13 +110,20 @@ def streaming_sliding_counts(
     return _run_to_completion(spark, agg, "stream_sliding_out", cleanup_dir=stream_dir)
 
 
-_FILE_SINK_DIRS: list[str] = []
+# name -> that entry's LATEST sink dir. Keyed (round-14 ADVICE item 1):
+# a long bench/pytest session re-runs the same streaming entries (shape
+# warm-up + timed run + movers re-probes), and an append-only list
+# accumulated one event-scale parquet dir per call in /tmp. A re-run of
+# the same name now removes the previous call's dir first — safe because
+# every harness consumes the returned (lazily file-backed) DataFrame
+# before re-invoking the same entry; process exit sweeps the rest.
+_FILE_SINK_DIRS: dict[str, str] = {}
 
 
 def _cleanup_file_sink_dirs() -> None:
     import shutil
 
-    for d in _FILE_SINK_DIRS:
+    for d in _FILE_SINK_DIRS.values():
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -144,7 +151,10 @@ def run_finite_stream(
     VERDICT item 3: the 600k-row memory-sink collection was
     s_stream_ewma's dominant cost after the fold went numpy). File-sink
     dirs must outlive this call — the returned DataFrame reads them
-    lazily — so they are cleaned at process exit, not here.
+    lazily — so they are cleaned at process exit, plus eagerly when the
+    SAME ``name`` re-runs (which invalidates the previous call's
+    DataFrame; every harness consumes eagerly, so only the latest
+    call's dir is live at any time).
 
     Shuffle partitions are temporarily lowered: each micro-batch pays a
     per-state-store-shard cost, which dwarfs the work at local scale (on
@@ -157,8 +167,13 @@ def run_finite_stream(
             import atexit
 
             atexit.register(_cleanup_file_sink_dirs)
+        prev = _FILE_SINK_DIRS.pop(name, None)
+        if prev is not None:
+            import shutil
+
+            shutil.rmtree(prev, ignore_errors=True)
         out_dir = tempfile.mkdtemp(prefix=f"{name}_sink_")
-        _FILE_SINK_DIRS.append(out_dir)
+        _FILE_SINK_DIRS[name] = out_dir
     with tempfile.TemporaryDirectory() as ckpt:
         spark.conf.set("spark.sql.shuffle.partitions", stream_shards())
         try:

@@ -645,3 +645,45 @@ def test_run_finite_stream_parquet_sink_empty_output(spark, sf_dir, tmp_path):
     out = run_finite_stream(spark, stream, "empty_sink_test", sink="parquet")
     assert out.count() == 0
     assert "event_id" in out.columns
+
+
+def test_run_finite_stream_rerun_bounds_sink_dirs(spark, sf_dir, tmp_path):
+    """Re-running the same entry name must not accumulate sink dirs
+    (round-14 ADVICE item 1): the previous call's dir is removed and the
+    registry holds exactly one live dir per name."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.plans.testdata import (
+        ensure_events_read_conf,
+        normalize_events_ts,
+    )
+    from good_enough_timecamp_data_pipeline_spark.streaming import windows as W
+
+    ensure_events_read_conf(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    os.symlink(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+
+    def once():
+        stream = normalize_events_ts(
+            spark.readStream.schema(
+                W.events_stream_schema(spark, sf_dir)
+            ).parquet(src)
+        ).filter(F.col("event_id") < -1)
+        return W.run_finite_stream(
+            spark, stream, "sink_dir_bound_test", sink="parquet"
+        )
+
+    once().count()
+    first = W._FILE_SINK_DIRS["sink_dir_bound_test"]
+    assert os.path.isdir(first)
+    once().count()
+    second = W._FILE_SINK_DIRS["sink_dir_bound_test"]
+    assert second != first
+    assert os.path.isdir(second)
+    assert not os.path.exists(first)  # previous dir swept on re-run
+    assert (
+        sum(1 for n in W._FILE_SINK_DIRS if n == "sink_dir_bound_test") == 1
+    )

@@ -36,6 +36,13 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Max acceptable in-run burst excess (Σ max(0, run − reprobe) over the
+# movers re-probes, in seconds) for a bench attempt to be accepted
+# without retry/WARN. One named constant (round-14 ADVICE: the literal
+# 2.0 was duplicated in the early-break and the WARN gate and could
+# silently drift). Overridable for experiments via env.
+BURST_EXCESS_MAX_S = float(os.environ.get("SPARK_GRAFT_BURST_EXCESS_MAX_S", "2.0"))
+
 ARTIFACTS = [
     "bench_detail.json",
     "BASELINE_COMPARE.json",
@@ -68,6 +75,68 @@ def attempt_rank(det: dict, quiet_threshold: float) -> tuple:
         if isinstance(v, dict) and "reprobe" in v
     )
     return (worst_load > quiet_threshold, burst_excess, worst_load)
+
+
+COUNTS_BEGIN = "<!-- GENERATED-COUNTS:BEGIN (round_close rewrites this block; do not hand-edit) -->"
+COUNTS_END = "<!-- GENERATED-COUNTS:END -->"
+
+
+def refresh_generated_counts() -> None:
+    """Rewrite COVERAGE.md's generated-counts block from live sources
+    (round-14 VERDICT item 6: the hand-written test count drifted two
+    rounds running, 417-vs-420 then 424-vs-428). Counts come from
+    ``pytest --collect-only`` (collected == passed whenever the suite is
+    green, which the close ritual separately requires) and from importing
+    the catalog. Warn-and-skip on any failure — docs must not block the
+    commit."""
+    cov = os.path.join(REPO, "COVERAGE.md")
+    if not os.path.exists(cov):
+        return
+    body = open(cov).read()
+    if COUNTS_BEGIN not in body or COUNTS_END not in body:
+        print("  WARN: COVERAGE.md lacks the generated-counts markers",
+              file=sys.stderr)
+        return
+    try:
+        out = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q"],
+            cwd=REPO, capture_output=True, text=True, timeout=600,
+        ).stdout
+        m = re.search(r"(\d+) tests? collected", out)
+        n_tests = int(m.group(1)) if m else None
+        counts = json.loads(subprocess.run(
+            [sys.executable, "-c",
+             "import json, __spark_entry__ as e; q = e.queries(); "
+             "o = e.oracle_sql(); print(json.dumps("
+             "{'queries': len(q), 'oracle': len(o), "
+             "'rows_only': len(set(q) - set(o))}))"],
+            cwd=REPO, capture_output=True, text=True, timeout=300,
+        ).stdout.strip().splitlines()[-1])
+    except Exception as ex:  # noqa: BLE001 — docs step must not block commit
+        print(f"  WARN: generated-counts refresh failed ({ex!r})",
+              file=sys.stderr)
+        return
+    if n_tests is None:
+        print("  WARN: could not parse pytest --collect-only output",
+              file=sys.stderr)
+        return
+    block = (
+        f"{COUNTS_BEGIN}\n"
+        f"**{counts['queries']} catalog `queries()` entries** — "
+        f"{counts['oracle']} DuckDB-oracle twins + "
+        f"{counts['rows_only']} rows-only; "
+        f"**{n_tests} pytest tests collected** "
+        f"(counts machine-generated by `tools/round_close.py` at close).\n"
+        f"{COUNTS_END}"
+    )
+    new = re.sub(
+        re.escape(COUNTS_BEGIN) + r".*?" + re.escape(COUNTS_END),
+        block, body, flags=re.S,
+    )
+    if new != body:
+        open(cov, "w").write(new)
+        print(f"  refreshed COVERAGE.md counts: {counts['queries']} queries / "
+              f"{counts['oracle']} twins / {n_tests} tests")
 
 
 def _load_quiet():
@@ -192,25 +261,33 @@ def main() -> int:
             import shutil
 
             kept = staged_detail + f".attempt{attempt}"
+            # preserve the raw artifact FIRST (round-14 ADVICE): a run
+            # whose detail file lacks stamps is not promotable, but its
+            # per-query numbers are still wanted for diagnosis
+            try:
+                shutil.copyfile(staged_detail, kept)
+            except OSError:
+                pass
             try:
                 with open(staged_detail) as f:
                     det = json.load(f)
                 was_loud, burst_excess, worst_load = attempt_rank(
                     det, quiet_max()
                 )
-                shutil.copyfile(staged_detail, kept)
             except (OSError, ValueError, KeyError) as ex:
                 # bench exited 0 but its detail artifact is missing or
                 # unreadable (round-13 ADVICE): record nothing for this
                 # attempt instead of crashing round_close mid-ritual
+                # (the raw copy above, if any, stays for diagnosis)
                 print(
                     f"  attempt {attempt}: bench_detail unreadable "
-                    f"({ex!r}); attempt not recorded",
+                    f"({ex!r}); attempt not promotable (raw copy kept "
+                    f"at {os.path.basename(kept)} if written)",
                     file=sys.stderr,
                 )
                 continue
             attempts.append(((was_loud, burst_excess, worst_load), kept))
-            if not was_loud and burst_excess < 2.0:
+            if not was_loud and burst_excess < BURST_EXCESS_MAX_S:
                 break
             print(
                 f"  attempt {attempt} ran loud (worse of start/end "
@@ -236,7 +313,7 @@ def main() -> int:
         import shutil
 
         shutil.copyfile(best_path, staged_detail)
-        if was_loud or best_excess >= 2.0:
+        if was_loud or best_excess >= BURST_EXCESS_MAX_S:
             print(
                 f"  WARN: promoting an imperfect bench run (worse-of-"
                 f"stamps loadavg {best_load:.2f}, in-run burst excess "
@@ -253,6 +330,9 @@ def main() -> int:
 
         shutil.copyfile(staged_detail, os.path.join(REPO, "bench_detail.json"))
         print("  promoted bench_out/bench_detail.json -> bench_detail.json")
+
+    print("== generated counts")
+    refresh_generated_counts()
 
     print("== canonical ratios")
     canonical: dict[str, str] = {}

@@ -120,6 +120,13 @@ def main() -> int:
     # sf10 needs driver headroom (a 16g driver GCLocker-thrashed under
     # the shared sf10 builds); respect an explicit override
     env_base.setdefault("SPARK_GRAFT_DRIVER_MEM", "28g")
+    # the synth dir has no sf0.001 sibling, which silently disabled the
+    # shape warm-up at sf10 (r14 VERDICT item 4: every entry paid its
+    # first-plan compile in-run); point warmup() at the canonical
+    # smallest SF next to the BASE dir instead
+    warmup_dir = os.path.join(os.path.dirname(os.path.normpath(base)), "sf0.001")
+    if os.path.isdir(warmup_dir):
+        env_base.setdefault("SPARK_GRAFT_WARMUP_SF_DIR", warmup_dir)
 
     if sf10 is None:
         from good_enough_timecamp_data_pipeline_spark.session import get_spark
@@ -220,12 +227,12 @@ def main() -> int:
         os.remove(path)
     if best[0] > quiet.quiet_max():
         print(
-            f"WARN: promoted a LOUD sf10 pair (best worse-of loadavg "
+            f"WARN: promoted a LOUD sf10 pair (best START loadavg_1m "
             f"{best[0]:.2f}); stamps disclosed in the artifact",
             file=sys.stderr,
         )
     print(
-        f"promoted attempt with worst_loadavg_1m={best[0]:.2f} -> {artifact}"
+        f"promoted attempt with start_loadavg_1m={best[0]:.2f} -> {artifact}"
     )
     return 0
 
