@@ -47,14 +47,6 @@ _NAIVE_JOIN_ROWS_MAX = 50_000_000
 # ~1e-16-relative FP error for any realistic shingle-set size (≤ ~1e6).
 _T_EPS = 1e-9
 
-# Candidate-pair cap under which the cross-set verify broadcasts its
-# corpus-side id set (distinct ids ≤ pairs; ~16 B/id ⇒ ≤ ~32 MB worst
-# case): measured off the PINNED candidate table, so the switch costs one
-# cheap cached count, never a guess from Catalyst's volume-blind
-# checkpoint estimates.
-_VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
-
-
 def _required_overlap(threshold: float, n_sh):
     """⌈t·n⌉ with conservative (never-rounds-up-across-integers) FP."""
     return F.ceil(F.lit(float(threshold)) * n_sh - F.lit(_T_EPS))
@@ -447,10 +439,11 @@ def build_containment_index(
     id_col: str = "doc_id",
     n: int = 5,
     threshold: float = 0.9,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The write-once corpus side of `incremental_containment_pairs`:
     (shingle rows, per-shingle document-frequency table, per-doc prefix
-    under the df order at ``threshold``). Build once per corpus
+    under the df order at ``threshold``, per-doc shingle-array table
+    the verify joins by doc). Build once per corpus
     generation, persist/pass to every arriving batch — the
     `build_lsh_index` discipline for the containment measure. The
     prefix depends on ``threshold``; rebuild when it changes."""
@@ -482,17 +475,26 @@ def _ranked_containment_rows(cor_sh: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def _containment_index_at(
     ranked: DataFrame, df_tbl: DataFrame, threshold: float
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Specialize the threshold-free ranked rows to the (full, df,
-    prefix) tuple `incremental_containment_pairs` consumes. The full
-    table carries n_sh so the probe's verification reads doc sizes as a
-    column instead of re-aggregating them per batch."""
+    prefix, arr) tuple `incremental_containment_pairs` consumes. The
+    full table carries n_sh so candidate generation reads doc sizes as
+    a column; ``arr`` is the per-doc shingle-ARRAY form of the same
+    corpus (doc, shs, n_sh) that verification joins by doc — shingles
+    are distinct per doc (`ngram_shingles` array_distinct), so
+    ``size(array_intersect(...))`` on two arr rows IS the exact
+    intersection count, with no per-pair (doc, sh) shuffle join.
+    collect_list order is nondeterministic and deliberately unsorted:
+    only the SIZE of the intersect is read, which is order-free."""
     full = ranked.select("doc", "sh", "n_sh")
     prefix = ranked.filter(
         F.col("__rk")
         <= F.col("n_sh") - _required_overlap(threshold, F.col("n_sh")) + 1
     ).select("doc", "sh")
-    return full, df_tbl, prefix
+    arr = full.groupBy("doc").agg(
+        F.collect_list("sh").alias("shs"), F.min("n_sh").alias("n_sh")
+    )
+    return full, df_tbl, prefix, arr
 
 
 def incremental_containment_pairs(
@@ -500,7 +502,7 @@ def incremental_containment_pairs(
     corpus_df: DataFrame | None = None,
     *,
     corpus_shingles: DataFrame | None = None,
-    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+    index: tuple[DataFrame, ...] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
@@ -521,12 +523,30 @@ def incremental_containment_pairs(
     a qualifying pair's first common shingle provably sits in the
     SMALLER side's prefix, so whichever side is smaller, one term
     catches it. Both joins carry the O(batch) side against the
-    write-once corpus artifacts (shingle table, df table, prefix table —
-    built once per corpus generation by `build_containment_index` and
-    passed via ``index``), so per-batch cost is O(batch + matches),
-    never O(corpus²). Verification computes exact intersection counts
-    restricted to candidate docs. Threshold arithmetic carries the
-    `_T_EPS` slack (exactness at boundary thresholds)."""
+    write-once corpus artifacts (shingle table, df table, prefix table,
+    per-doc array table — built once per corpus generation by
+    `build_containment_index` and passed via ``index``), so per-batch
+    cost is O(batch + matches), never O(corpus²).
+
+    Verification (round 15 — the old shape's cost audit): exact
+    intersection counts come from ``size(array_intersect)`` over the
+    two sides' per-doc shingle ARRAYS (distinct per doc by
+    construction), joined to the candidate pairs BY DOC ID — the batch
+    side is one tiny groupBy of the already-pinned batch shingles, the
+    corpus side is the index's write-once ``arr`` artifact partitioned
+    by doc. The previous shape re-joined candidate docs' shingle ROWS
+    on (doc, sh) and re-aggregated per pair: for 238 candidate pairs at
+    sf0.1 that plan spent ~1.4 s in two broadcast jobs + two semi-joins
+    + a composite-key shuffle + a pair agg — all stage-count constant,
+    no data. Per-pair work is O(shingles/doc) either way; the array
+    shape does it with zero corpus-side exchange, zero broadcasts and
+    zero driver scalars (the old measured broadcast-vs-shuffle switch
+    on ``cand.count()`` is gone with the join it tuned). A 3-tuple
+    ``index`` (pre-round-15 caller) still works: ``arr`` derives
+    in-probe from the full table restricted to candidate docs — one
+    corpus semi-join, exactly the old verify's corpus cost.
+    Threshold arithmetic carries the `_T_EPS` slack (exactness at
+    boundary thresholds)."""
     if index is None:
         index = build_containment_index(
             corpus_df,
@@ -538,7 +558,11 @@ def incremental_containment_pairs(
         )
     elif corpus_df is not None or corpus_shingles is not None:
         raise ValueError("pass index OR corpus_df/corpus_shingles, not both")
-    cor_sh, df_tbl, cor_prefix = index
+    if len(index) == 3:  # pre-round-15 tuple: no per-doc array artifact
+        cor_sh, df_tbl, cor_prefix = index
+        cor_arr = None
+    else:
+        cor_sh, df_tbl, cor_prefix, cor_arr = index
     # batch-side prefix under the SAME global order: corpus df, with
     # batch-unseen shingles ordering first at df 0 (any consistent total
     # order is exact; corpus frequency is the skew heuristic). The
@@ -575,41 +599,33 @@ def incremental_containment_pairs(
         )
         .distinct()
     )
-    # three consumers (two semi-join id sets + the verify join) would
-    # otherwise re-run the union-distinct candidate subtree — and its two
-    # corpus-side joins — once each; pin the O(batch·matches) result
-    cand = _pin(cand)
-    # exact verification restricted to candidate docs on both sides. The
-    # batch-side id set is O(batch) by the operator's contract → always
-    # broadcast. The corpus-side candidate set is USUALLY O(batch·matches)
-    # but adversarially unbounded (a hot prefix shingle can implicate the
-    # whole corpus), so its join strategy is a MEASURED switch off the
-    # pinned candidate table: broadcast keeps the corpus artifacts'
-    # sh-partitioning intact (zero corpus-side exchange in the whole
-    # probe when the index is partitioned/bucketed by sh); past the cap
-    # it degrades to the shuffle semi-join instead of an OOM broadcast.
-    new_c = new_sh.join(
-        F.broadcast(cand.select(F.col("id_new").alias("doc")).distinct()),
-        "doc",
-        "left_semi",
-    ).select("doc", "sh", "n_sh")
-    dup_ids = cand.select(F.col("dup_of").alias("doc")).distinct()
-    if cand.count() <= _VERIFY_BROADCAST_MAX_PAIRS:
-        dup_ids = F.broadcast(dup_ids)
-    else:
-        dup_ids = dup_ids.hint("shuffle_hash")
-    cor_c = cor_sh.join(dup_ids, "doc", "left_semi")
-    return (
-        cand.join(new_c.alias("a"), F.col("id_new") == F.col("a.doc"))
-        .join(
-            cor_c.alias("b").hint("shuffle_hash"),
-            (F.col("dup_of") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
+    if cor_arr is None:
+        # legacy 3-tuple index: restrict the corpus shingles to candidate
+        # docs (one semi-join — the old verify's corpus cost) and fold to
+        # per-doc arrays in-probe. cand gains a second consumer → pin.
+        cand = _pin(cand)
+        dup_ids = cand.select(F.col("dup_of").alias("doc")).distinct()
+        cor_arr = (
+            cor_sh.join(dup_ids.hint("shuffle_hash"), "doc", "left_semi")
+            .groupBy("doc")
+            .agg(F.collect_list("sh").alias("shs"), F.min("n_sh").alias("n_sh"))
         )
-        .groupBy("id_new", "dup_of")
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.min("a.n_sh").alias("n_new"),
-            F.min("b.n_sh").alias("n_idx"),
+    # batch side folds to per-doc arrays off the pinned shingles — O(batch)
+    new_arr = new_sh.groupBy("doc").agg(
+        F.collect_list("sh").alias("__shs_new"), F.min("n_sh").alias("n_new")
+    )
+    n_inter = F.size(F.array_intersect(F.col("__shs_new"), F.col("b.shs")))
+    return (
+        cand.hint("shuffle_hash")
+        .join(new_arr.alias("a"), F.col("id_new") == F.col("a.doc"))
+        .hint("shuffle_hash")
+        .join(cor_arr.alias("b"), F.col("dup_of") == F.col("b.doc"))
+        .select(
+            "id_new",
+            "dup_of",
+            n_inter.alias("n_inter"),
+            F.col("n_new"),
+            F.col("b.n_sh").alias("n_idx"),
         )
         .withColumn(
             "containment",
@@ -725,21 +741,40 @@ def verify_candidate_pairs(
         .unionByName(candidates.select(F.col("id_b").alias("doc")))
         .distinct()
     )
-    # pinned: consumed by sizes + both sides of the intersection join
-    sh_cand = _pin(sh.join(cand_ids, "doc", "left_semi"))
-    sizes = sh_cand.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    inter = (
-        candidates.join(sh_cand.alias("a"), F.col("id_a") == F.col("a.doc"))
-        .join(
-            sh_cand.alias("b"),
-            (F.col("id_b") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_inter"))
+    # Per-doc shingle-ARRAY verify (round 15): fold the candidate docs'
+    # shingle rows (distinct per doc by `ngram_shingles`) to one array
+    # row per doc, join the pair list by doc id on EACH side, and read
+    # ``size(array_intersect)`` as the exact intersection count. The
+    # previous shape pair-joined the shingle ROWS on (doc, sh) and
+    # re-aggregated per pair — same O(shingles-per-doc) work per pair,
+    # but paid through a composite-key shuffle of both restricted
+    # shingle sets, a pair-agg exchange and two size-table joins; the
+    # array shape replaces all of that with two id-keyed joins against
+    # the pinned per-doc table (stage-count constant dominated at local
+    # scale — the d_incremental_containment audit measured the old tail
+    # at ~1.4 s for 238 pairs). Per-row memory is bounded by the
+    # largest doc's shingle set — the same bound the row shape's
+    # per-pair join output already carried. Array order is
+    # nondeterministic and irrelevant: only the intersect SIZE is read.
+    arr = _pin(
+        sh.join(cand_ids, "doc", "left_semi")
+        .groupBy("doc")
+        .agg(F.collect_list("sh").alias("shs"), F.count("*").alias("n_sh"))
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        candidates.hint("shuffle_hash")
+        .join(arr.alias("a"), F.col("id_a") == F.col("a.doc"))
+        .hint("shuffle_hash")
+        .join(arr.alias("b"), F.col("id_b") == F.col("b.doc"))
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs"))).alias(
+                "n_inter"
+            ),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -921,7 +956,7 @@ def build_containment_index_cached(
     threshold: float = 0.9,
     cache_root: str | None = None,
     expect_fresh: bool = False,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """`build_containment_index` materialized as a WRITE-ONCE parquet
     artifact (the `build_lsh_index_cached` discipline applied to the
     containment measure): first call per ``cache_key`` lands the ranked
@@ -1122,25 +1157,34 @@ def incremental_lsh_pairs(
     # no forced broadcast on either candidate-id set (same rationale as
     # minhash_lsh_pairs): cand_idx in particular is O(dup_rate × corpus);
     # AQE broadcasts when the runtime size allows, shuffles otherwise.
+    # Verify via per-doc shingle ARRAYS (see verify_candidate_pairs —
+    # the round-15 stage-count rewrite): fold each side's candidate
+    # docs' shingle rows to one array row per doc, join the pair list
+    # by id on each side, read size(array_intersect) as the exact
+    # intersection — no composite-key shuffle, no pair agg, no size
+    # joins. Corpus-side cost is unchanged: one semi-join restriction.
     cand_new = candidates.select(F.col("id_new").alias("doc")).distinct()
     cand_idx = candidates.select(F.col("dup_of").alias("doc")).distinct()
-    shc_new = _pin(sh_new.join(cand_new, "doc", "left_semi"))
-    shc_idx = _pin(sh_idx.join(cand_idx, "doc", "left_semi"))
-    sz_new = shc_new.groupBy("doc").agg(F.count("*").alias("n_new"))
-    sz_idx = shc_idx.groupBy("doc").agg(F.count("*").alias("n_idx"))
-
-    inter = (
-        candidates.join(shc_new.alias("a"), F.col("id_new") == F.col("a.doc"))
-        .join(
-            shc_idx.alias("b"),
-            (F.col("dup_of") == F.col("b.doc")) & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy("id_new", "dup_of")
-        .agg(F.count("*").alias("n_inter"))
+    arr_new = sh_new.join(cand_new, "doc", "left_semi").groupBy("doc").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("n_new")
+    )
+    arr_idx = sh_idx.join(cand_idx, "doc", "left_semi").groupBy("doc").agg(
+        F.collect_list("sh").alias("shs"), F.count("*").alias("n_idx")
     )
     return (
-        inter.join(sz_new.withColumnRenamed("doc", "id_new"), "id_new")
-        .join(sz_idx.withColumnRenamed("doc", "dup_of"), "dup_of")
+        candidates.hint("shuffle_hash")
+        .join(arr_new.alias("a"), F.col("id_new") == F.col("a.doc"))
+        .hint("shuffle_hash")
+        .join(arr_idx.alias("b"), F.col("dup_of") == F.col("b.doc"))
+        .select(
+            "id_new",
+            "dup_of",
+            F.size(F.array_intersect(F.col("a.shs"), F.col("b.shs"))).alias(
+                "n_inter"
+            ),
+            F.col("a.n_new").alias("n_new"),
+            F.col("b.n_idx").alias("n_idx"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

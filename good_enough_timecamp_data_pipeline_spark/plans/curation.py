@@ -770,18 +770,17 @@ def g_triangle_count(
         )
         .agg(F.count("*").alias("n_triangles"))
     )
-    stats = edges.agg(
-        F.count("*").alias("n_edges"),
-        F.count_distinct(F.col("u")).alias("_nu"),
+    # edge + node counts in ONE pass over the pinned edges: exploding
+    # (u, v) makes count(*) exactly 2·|E| and count_distinct the node
+    # set — the former union-then-distinct subtree plus separate edge
+    # agg cost one more scan, one more agg and one more crossJoin of
+    # driver-sized singletons (round-15 job-floor trim; this entry
+    # spent 17 jobs on 0.93 s at sf0.1).
+    stats = edges.select(F.explode(F.array("u", "v")).alias("n")).agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        F.count_distinct("n").alias("n_nodes"),
     )
-    nodes = edges.select(F.col("u").alias("n")).unionByName(
-        edges.select(F.col("v").alias("n"))
-    )
-    n_nodes = nodes.agg(F.count_distinct("n").alias("n_nodes"))
-    return (
-        tri.crossJoin(stats.select("n_edges")).crossJoin(n_nodes)
-        .select("n_triangles", "n_edges", "n_nodes")
-    )
+    return tri.crossJoin(stats).select("n_triangles", "n_edges", "n_nodes")
 
 
 G_TRIANGLE_COUNT_SQL = """

@@ -300,10 +300,10 @@ def d_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _inc_containment_corpus_sh(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Write-once corpus containment index (shingles, df table, prefix)
-    for the cross-set probe (shared-artifact accessor; prewarmed by
-    catalog.prewarm_shared)."""
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Write-once corpus containment index (shingles, df table, prefix,
+    per-doc shingle-array table) for the cross-set probe
+    (shared-artifact accessor; prewarmed by catalog.prewarm_shared)."""
     from ..operators.dedup import build_containment_index
     from .shared import shared_checkpoint
 
@@ -313,16 +313,18 @@ def _inc_containment_corpus_sh(
     def derived(which: str):
         def build() -> DataFrame:
             if not holder:
-                full, df_tbl, prefix = build_containment_index(
+                full, df_tbl, prefix, arr = build_containment_index(
                     corpus_df=docs, threshold=0.9
                 )
-                holder.update(full=full, df=df_tbl, prefix=prefix)
+                holder.update(full=full, df=df_tbl, prefix=prefix, arr=arr)
             # checkpoint PARTITIONED BY the probe's join key: localCheckpoint
-            # preserves outputPartitioning, so every per-arrival sh-join
+            # preserves outputPartitioning, so every per-arrival join
             # against these artifacts shuffles only the O(batch) side —
             # the in-session analog of the production index's
-            # bucketBy(sh) parquet layout
-            return holder[which].repartition(F.col("sh"))
+            # bucketBy(sh) parquet layout. The arr table's probe key is
+            # the DOC id (the verify joins candidate pairs by dup_of).
+            key = "doc" if which == "arr" else "sh"
+            return holder[which].repartition(F.col(key))
 
         return build
 
@@ -335,7 +337,10 @@ def _inc_containment_corpus_sh(
     prefix = shared_checkpoint(
         spark, sf_dir, "inc_containment_corpus_prefix_t09", derived("prefix")
     )
-    return full, df_tbl, prefix
+    arr = shared_checkpoint(
+        spark, sf_dir, "inc_containment_corpus_arr", derived("arr")
+    )
+    return full, df_tbl, prefix, arr
 
 
 D_INCREMENTAL_CONTAINMENT_SQL = f"""
