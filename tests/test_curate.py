@@ -260,6 +260,7 @@ def test_curate_cli_profile(spark, tmp_path, sf_dir):
     assert sum(p["n_docs"] for p in prof) == stats["output"]
 
 
+@pytest.mark.slow_e2e
 def test_curate_stream_continuous(spark, tmp_path):
     """Streaming curation: per-micro-batch incremental curation against
     the corpus, plus exact dedup against previously ACCEPTED arrivals."""
@@ -318,6 +319,7 @@ def test_curate_stream_continuous(spark, tmp_path):
     ) == ["batch=0", "batch=1"]
 
 
+@pytest.mark.slow_e2e
 def test_curate_stream_restart_resumes(spark, tmp_path):
     """Restart with the same checkpoint: already-processed feed files
     are not re-emitted; new arrivals land as the next batch id."""
@@ -418,6 +420,7 @@ def test_compact_index_closes_cross_arrival_blind_spot(spark, tmp_path):
     assert [r.doc_id for r in out_old.collect()] == [201]
 
 
+@pytest.mark.slow_e2e
 def test_curate_stream_replay_uncommitted_batch(spark, tmp_path):
     """Replay of an UNCOMMITTED micro-batch (crash between sink write
     and checkpoint commit) re-emits the same partition intact instead of
@@ -810,6 +813,7 @@ def test_drift_report_null_text_rows(spark):
     assert stats2["n_docs"] == 13
 
 
+@pytest.mark.slow_e2e
 def test_curate_stream_containment_reuses_write_once_index(spark, tmp_path, monkeypatch):
     """Round-10 ADVICE item 1, end to end: a containment-mode STREAM
     must land the corpus containment index as a write-once artifact on

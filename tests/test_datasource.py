@@ -343,6 +343,7 @@ def test_streaming_activities_source_incremental_sync(registered, tmp_path):
     assert spark.read.parquet(out).count() == n_before
 
 
+@pytest.mark.slow_e2e
 def test_streaming_activities_source_crash_mid_batch(registered, tmp_path):
     """The entries crash-replay contract holds for the activities
     stream: a writer crash after PARTIAL side effects replays the same
@@ -418,6 +419,7 @@ def test_streaming_activities_source_crash_mid_batch(registered, tmp_path):
     assert got_rows == want_rows and len(got_rows) >= 3
 
 
+@pytest.mark.slow_e2e
 def test_streaming_entries_source_crash_mid_batch(registered, tmp_path):
     """Checkpoint resume after a CRASH, not a clean stop: the writer
     dies partway through one micro-batch (offsets WAL already holds the

@@ -323,6 +323,7 @@ def test_stream_ewma_anomaly_rule(spark, sf_dir):
             assert r.ewma == ewma, (uid, r.event_id)
 
 
+@pytest.mark.slow_e2e
 def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     """The recovery contract behind every foreachBatch sink in the
     engine: stop a stream, add new files, RESTART against the same
@@ -380,6 +381,7 @@ def test_stream_checkpoint_restart_exactly_once(spark, tmp_path):
     assert all(r.doubled == r.id * 2 for r in rows)
 
 
+@pytest.mark.slow_e2e
 def test_watermark_drops_late_event_in_append_mode(spark, tmp_path):
     """Pins the watermark SEMANTICS the windowed streaming aggs rely on:
     an event arriving in a later micro-batch, with an event time behind
