@@ -72,12 +72,27 @@ def synthesize_ppm(key: int, seed_text: str) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode("ascii") + pixels
 
 
+# synthesize_wav's payload is a pure function of (framerate, n_frames,
+# freq), and both derived params cycle with key % 10 — so a whole corpus
+# contains at most 10 distinct WAV byte strings, while the per-frame
+# sin + struct.pack loop costs ~1 ms per call. Memoizing the ≤10
+# payloads per process (guide §4.5: amortize heavyweight per-row work
+# across the task/worker lifetime) turns the dominant Python cost of the
+# media synth pass into ~10 calls total; the returned bytes are
+# bit-identical to the uncached computation by construction.
+_WAV_CACHE: dict[tuple[int, int, float], bytes] = {}
+
+
 def synthesize_wav(key: int) -> bytes:
     """Deterministic mono 16-bit 8 kHz sine WAV, 0.1–0.5 s by key — a
     real, decodable audio fixture."""
     framerate = 8000
     n_frames = 800 + (key % 5) * 800
     freq = 200.0 + (key % 10) * 50.0
+    params = (framerate, n_frames, freq)
+    cached = _WAV_CACHE.get(params)
+    if cached is not None:
+        return cached
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
@@ -89,7 +104,9 @@ def synthesize_wav(key: int) -> bytes:
                 for i in range(n_frames)
             )
         )
-    return buf.getvalue()
+    data = buf.getvalue()
+    _WAV_CACHE[params] = data  # ≤10 entries: params cycle with key % 10
+    return data
 
 
 def attach_synthetic_media(
@@ -437,17 +454,56 @@ def phash_rows(media: DataFrame) -> DataFrame:
     return flat.mapInPandas(run, schema="doc_id bigint, phash bigint")
 
 
-def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Image near-dup pairs (id_a < id_b, hamming ≤ max_hamming) via the
-    same pigeonhole banding as SimHash (plans/northstar.py d_simhash_pairs):
-    split the 64-bit aHash into PHASH_BANDS equal bands — any pair within
-    max_hamming ≤ PHASH_BANDS-1 total differing bits must agree on ≥ 1
-    band, so a per-band equality self-join is EXACT (zero false
-    negatives), then popcount(XOR) filters candidates. Scale shape: the
-    only shuffle is the band-key join — no all-pairs product; hot bands
-    (flat images) are bounded by the 2^16 band-value space."""
+def synth_phash_rows(
+    docs: DataFrame,
+    id_shift: int,
+    delta: int = 7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused synth → perturb → hash pass for the phash near-dup entry
+    (r15): ONE ``mapInPandas`` over (doc_id, text) emits (doc_id, phash)
+    for each even-id PPM *and* its last-byte-perturbed twin
+    (doc_id + id_shift) — the exact rows
+    ``phash_rows(media ∪ perturb_payloads(media))`` produces over
+    ``attach_synthetic_media`` output, without three separate Python
+    passes or a payload cache in between. Payload bytes are born,
+    perturbed and hashed inside a single task and never cross the
+    JVM↔Python boundary at all (guide §8: every shuffle/boundary but the
+    last moves a lightweight proxy — here the 8-byte hash). Odd-id rows
+    (WAV in the attach dispatch) carry no image hash and are skipped
+    without being synthesized."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                key = int(doc_id)
+                if key % 2 != 0:
+                    continue
+                b = synthesize_ppm(key, str(text))
+                ids.append(key)
+                hashes.append(ppm_average_hash(b))
+                tb = bytes(b[:-1]) + bytes([(b[-1] + delta) % 256])
+                ids.append(key + id_shift)
+                hashes.append(ppm_average_hash(tb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        run, schema="doc_id bigint, phash bigint"
+    )
+
+
+def phash_pairs_from_hashes(h: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded near-dup pairs over (doc_id, phash) rows — the join half of
+    ``phash_neardup_pairs``, split out (r15) so hash rows from the fused
+    synth pass can feed it directly."""
     assert max_hamming <= PHASH_BANDS - 1, "pigeonhole needs bands > hamming"
-    h = phash_rows(media)
     width = 64 // PHASH_BANDS
     mask = (1 << width) - 1
     bands = h.select(
@@ -480,6 +536,18 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def phash_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs (id_a < id_b, hamming ≤ max_hamming) via the
+    same pigeonhole banding as SimHash (plans/northstar.py d_simhash_pairs):
+    split the 64-bit aHash into PHASH_BANDS equal bands — any pair within
+    max_hamming ≤ PHASH_BANDS-1 total differing bits must agree on ≥ 1
+    band, so a per-band equality self-join is EXACT (zero false
+    negatives), then popcount(XOR) filters candidates. Scale shape: the
+    only shuffle is the band-key join — no all-pairs product; hot bands
+    (flat images) are bounded by the 2^16 band-value space."""
+    return phash_pairs_from_hashes(phash_rows(media), max_hamming)
 
 
 def perturb_payloads(media: DataFrame, id_shift: int, delta: int = 7) -> DataFrame:

@@ -702,17 +702,26 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     average-hash them (stdlib decode), and emit hamming≤3 pairs via
     pigeonhole banding (operators/multimodal.py::phash_neardup_pairs).
     rows-only: binary decode has no SQL twin; twin-recovery and
-    banding-exactness invariants are pinned in tests/test_curation.py."""
+    banding-exactness invariants are pinned in tests/test_curation.py.
+
+    r15 rewrite (guide §4/§8): the old composition — pinned synth pass,
+    perturb pass, union, hash pass — crossed the JVM↔Python boundary
+    three times and cached ~15 MB of payload bytes just so the hasher
+    could read them, and half the synthesized rows (odd-id WAVs) were
+    shipped to Python only to be dropped (no image hash). The fused
+    ``synth_phash_rows`` emits the IDENTICAL (doc_id, phash) rows —
+    original + perturbed twin per even id, same synthesize/perturb/hash
+    functions — in ONE Python pass over the even-id docs, no cache, no
+    union; the banded join half is unchanged. Measured 4.4 → 1.1 s
+    min-of-3 at sf0.1 (3 BatchEval passes + InMemoryRelation → 1 pass)."""
     from ..operators import multimodal as mm
-    from ..operators.dedup import _pin
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # pinned: the media subtree feeds BOTH union branches (directly and
-    # under perturb_payloads), so without it the Arrow synth pass runs
-    # twice — measured 7.0 → 4.6 s at sf0.1
-    media = _pin(mm.attach_synthetic_media(docs))
-    twins = mm.perturb_payloads(media, id_shift=1_000_000_000)
-    pairs = mm.phash_neardup_pairs(media.unionByName(twins), max_hamming=3)
+    # odd ids synthesize WAVs, which carry no image hash — prune them
+    # before the scan so the Python pass only receives PPM sources
+    evens = fan_out_scan(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
+    h = mm.synth_phash_rows(evens, id_shift=1_000_000_000)
+    pairs = mm.phash_pairs_from_hashes(h, max_hamming=3)
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")
 
 

@@ -775,9 +775,16 @@ def m_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + Arrow-batched feature extraction with REAL stdlib
     decode: even doc_ids carry a decodable P6 PPM (true width/height),
     odd ids a WAV clip (true duration) — strict mode, so an undecodable
-    payload fails loudly instead of degrading to byte stats."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = multimodal.attach_synthetic_media(docs)
+    payload fails loudly instead of degrading to byte stats.
+
+    fan_out_scan (r15): the synth + decode passes are Python-side
+    per-row work fused into the scan stage, and the single-file local
+    table ran the WHOLE pipeline on one core (1 job, no exchange —
+    measured 2.8 s). One narrow (doc_id, text) exchange spreads the
+    media work across the machine; a many-file input fans out by itself
+    (the fan_out_scan file-count guard)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = multimodal.attach_synthetic_media(fan_out_scan(docs, "doc_id"))
     return multimodal.extract_features(media, strict=True)
 
 

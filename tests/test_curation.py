@@ -124,6 +124,24 @@ def test_phash_deterministic_and_twin_recovery(spark, sf_dir):
     pairs.unpersist()
 
 
+def test_synth_phash_rows_matches_composed_pipeline(spark, sf_dir):
+    """r15: the fused synth→perturb→hash pass must emit EXACTLY the
+    (doc_id, phash) rows the composed attach ∪ perturb → phash_rows
+    pipeline produces (the m_phash_neardup rewrite's equivalence proof)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    media = mm.attach_synthetic_media(docs)
+    twins = mm.perturb_payloads(media, id_shift=1_000_000_000)
+    composed = {
+        (r.doc_id, r.phash)
+        for r in mm.phash_rows(media.unionByName(twins)).collect()
+    }
+    fused = {
+        (r.doc_id, r.phash)
+        for r in mm.synth_phash_rows(docs, id_shift=1_000_000_000).collect()
+    }
+    assert fused == composed and len(fused) > 0
+
+
 def test_triangle_count_invariants(spark, sf_dir):
     full = curation.g_triangle_count(spark, sf_dir, vertex_mod=1).collect()[0]
     sub = curation.g_triangle_count(spark, sf_dir, vertex_mod=4).collect()[0]

@@ -503,6 +503,27 @@ def test_read_media_dir_decodes_disk_files(spark, tmp_path):
             assert abs(f.duration_s - dur) < 1e-9
 
 
+def test_synthesize_wav_memo_bit_identical_and_bounded():
+    """r15: synthesize_wav memoizes its ≤10 distinct payloads (params
+    cycle with key % 10). The hit path must return bytes bit-identical
+    to the uncached computation, and the cache must stay bounded."""
+    from good_enough_timecamp_data_pipeline_spark.operators import multimodal as mm
+
+    fresh = {}
+    for key in range(1, 42, 2):  # odd keys, several full key%10 cycles
+        mm._WAV_CACHE.clear()
+        fresh[key] = mm.synthesize_wav(key)  # miss path = original code
+    mm._WAV_CACHE.clear()
+    for key in range(1, 42, 2):
+        assert mm.synthesize_wav(key) == fresh[key]  # mix of miss+hit
+    assert len(mm._WAV_CACHE) <= 10
+    # keys sharing key % 10 share one payload object (the memo works)
+    assert mm.synthesize_wav(3) is mm.synthesize_wav(23)
+    # and decode still sees the true per-key params
+    d = mm.decode_wav(mm.synthesize_wav(7))
+    assert d["n_frames"] == 800 + (7 % 5) * 800 and d["framerate"] == 8000
+
+
 # ---------------------------------------------------------------------------
 # _sessionize_user stitch cases (r13 regression: continuation batches)
 # ---------------------------------------------------------------------------
