@@ -28,7 +28,10 @@ from good_enough_timecamp_data_pipeline_spark.plans import advanced, curation, r
 from good_enough_timecamp_data_pipeline_spark.session import get_spark
 
 BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-FACTORS = [int(a) for a in sys.argv[2:]] or [1, 2, 4, 8]
+# Parse FACTORS lazily under __main__ (end of file), not at import time:
+# importers like tools/sf10_compare.py carry their OWN flags in sys.argv
+# (e.g. --attempts), which crashed this int() on import (r15).
+FACTORS = [1, 2, 4, 8]
 
 
 def scaled_dir(spark, factor: int, base: str | None = None) -> str:
@@ -270,4 +273,5 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    FACTORS = [int(a) for a in sys.argv[2:]] or FACTORS
     main()
