@@ -9,12 +9,15 @@ module learns those weights from labeled documents, distributed:
   index arrays (raw term frequency), persisted — the corpus is scanned
   once, not once per iteration;
 - **full-batch gradient descent**, one Arrow pass per iteration: every
-  partition computes a PARTIAL (gradient, loss, hits) via numpy
-  (`mapInPandas` — same partial-sums shape as `clustering.py`'s k-means),
-  the driver reduces the ≤(partitions × V)-float partials and updates the
-  broadcast weight vector. Per-iteration driver traffic is O(partitions
-  × V) — independent of corpus size, the property that matters when the
-  corpus is 10^9 documents;
+  partition computes a PARTIAL (gradient, loss, hits) via vectorized
+  numpy (`mapInPandas` — same partial-sums shape as `clustering.py`'s
+  k-means), the driver reduces the ≤(partitions × V)-float partials and
+  updates the broadcast weight vector. Per-iteration driver traffic is
+  O(partitions × V) — independent of corpus size, the property that
+  matters when the corpus is 10^9 documents. Single-partition input
+  (one shard = local training) takes a fused bit-identical path: the
+  whole epoch loop in ONE Arrow pass (guide §8 — the featurized rows
+  cross the boundary once);
 - **determinism**: partials are summed in partition order and each
   partition folds its rows in row order, so repeated runs on the same
   files produce bit-identical weights (asserted in tests). No rand():
@@ -59,6 +62,63 @@ class TrainedModel:
     n_rows: int
 
 
+def _featurized_batches(pdfs: Iterator[pd.DataFrame]):
+    """Materialize Arrow batches as (flat, doc_of, y, k, total) tuples:
+    the flattened per-doc index arrays plus a doc-of-element map — the
+    shape both gradient passes consume."""
+    for pdf in pdfs:
+        k = len(pdf)
+        if k == 0:
+            continue
+        idx_col = pdf["idx"]
+        lens = np.fromiter((len(a) for a in idx_col), dtype=np.int64, count=k)
+        total = int(lens.sum())
+        if total:
+            flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in idx_col])
+        else:
+            flat = np.empty(0, dtype=np.int64)
+        doc_of = np.repeat(np.arange(k, dtype=np.int64), lens)
+        y = pdf["label"].to_numpy(dtype=np.float64)
+        yield flat, doc_of, y, k, total
+
+
+def _batch_partial(grad, w, b: float, n_features: int, batch) -> tuple[float, int]:
+    """Accumulate ONE batch's gradient into ``grad`` and return its
+    (loss, hits) — the single shared kernel of the per-iteration
+    distributed pass and the fused single-partition loop (so the two
+    paths are the same float ops in the same order).
+
+    Whole-batch vectorized (optimization guide §4.2): the flattened
+    index array + doc-of-element map turn the per-doc score into one
+    ``bincount`` gather and the gradient scatter into one weighted
+    ``bincount`` — no Python row loop. Every per-element quantity
+    (z, p, per-row loss term, err) is the same formula as the original
+    row loop; only the ASSOCIATION of the float sums changed (bincount
+    segment sums / one np.sum over rows instead of row-sequential
+    accumulation), which moves the partials by ULPs. Determinism is
+    preserved (no rand(), fixed batch order); the trajectory contract
+    is re-pinned by tests/test_round5f.py::
+    test_partial_grad_matches_rowloop_reference."""
+    flat, doc_of, y, k, total = batch
+    # raw term-frequency features (val = 1 per occurrence): measured to
+    # converge ~2× faster here than 1/√n-normalized docs (the gradient
+    # magnitude carries the signal)
+    z = np.bincount(doc_of, weights=w[flat], minlength=k) + b
+    # numerically-stable sigmoid + log-loss, branch-free via |z|
+    pos = z >= 0
+    ezn = np.exp(-np.abs(z))
+    p = np.where(pos, 1.0 / (1.0 + ezn), ezn / (1.0 + ezn))
+    loss = float((np.where(pos, (1.0 - y) * z, -y * z) + np.log1p(ezn)).sum())
+    err = p - y
+    if total:
+        grad[:n_features] += np.bincount(
+            flat, weights=err[doc_of], minlength=n_features
+        )
+    grad[n_features] += err.sum()
+    hits = int(((p >= 0.5) == (y >= 0.5)).sum())
+    return loss, hits
+
+
 def _partial_grad(n_features: int, w_b, b_b):
     """Build the per-partition (gradient, loss, hits) pass. The weight
     vector arrives via a Spark broadcast — one copy per executor, not
@@ -71,29 +131,11 @@ def _partial_grad(n_features: int, w_b, b_b):
         loss = 0.0
         hits = 0
         n = 0
-        for pdf in pdfs:
-            for idx, y in zip(pdf["idx"], pdf["label"]):
-                idx = np.asarray(idx, dtype=np.int64)
-                y = float(y)
-                # raw term-frequency features (val = 1 per occurrence):
-                # measured to converge ~2× faster here than 1/√n-normalized
-                # docs (the gradient magnitude carries the signal)
-                z = (float(w[idx].sum()) + b) if idx.size else b
-                # numerically-stable sigmoid + log-loss
-                if z >= 0:
-                    ez = np.exp(-z)
-                    p = 1.0 / (1.0 + ez)
-                    loss += (1.0 - y) * z + np.log1p(ez)
-                else:
-                    ez = np.exp(z)
-                    p = ez / (1.0 + ez)
-                    loss += -y * z + np.log1p(ez)
-                err = p - y
-                if idx.size:
-                    np.add.at(grad, idx, err)
-                grad[n_features] += err
-                hits += int((p >= 0.5) == (y >= 0.5))
-                n += 1
+        for batch in _featurized_batches(pdfs):
+            l, h = _batch_partial(grad, w, b, n_features, batch)
+            loss += l
+            hits += h
+            n += batch[3]
         out = pd.DataFrame(
             {
                 "grad": [grad.tolist()],
@@ -107,6 +149,57 @@ def _partial_grad(n_features: int, w_b, b_b):
     return compute
 
 
+def _fused_epochs(n_features: int, n_iter: int, lr: float, l2: float):
+    """Single-partition fused trainer (guide §8 — move the heavy bytes
+    once): the featurized rows cross the JVM→Python boundary ONE time
+    and the full epoch loop runs where the data is. With one partition
+    there is no cross-partition reduce, so this is the SAME float ops in
+    the SAME order as the per-iteration driver loop (shared
+    `_batch_partial` kernel, update formulas copied verbatim) —
+    bit-identical weights and history, 1 job instead of n_iter+1
+    (asserted by tests/test_round5f.py::
+    test_train_classifier_fused_matches_periter)."""
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        batches = list(_featurized_batches(pdfs))
+        if not batches:
+            return
+        w = np.zeros(n_features, dtype=np.float64)
+        b = 0.0
+        losses: list[float] = []
+        accs: list[float] = []
+        n = 0
+        for it in range(n_iter):
+            grad = np.zeros(n_features + 1, dtype=np.float64)
+            loss = 0.0
+            hits = 0
+            n = 0
+            for batch in batches:
+                l, h = _batch_partial(grad, w, b, n_features, batch)
+                loss += l
+                hits += h
+                n += batch[3]
+            losses.append(loss / n)
+            accs.append(hits / n)
+            step = grad / n
+            # 1/√(1+t) decay — keep in exact sync with the driver loop in
+            # train_logreg_hashed
+            lr_t = lr / np.sqrt(1.0 + it)
+            w = w - lr_t * (step[:n_features] + l2 * w)
+            b = b - lr_t * step[n_features]
+        yield pd.DataFrame(
+            {
+                "losses": [losses],
+                "accs": [accs],
+                "w": [w.tolist()],
+                "b": [float(b)],
+                "n": [int(n)],
+            }
+        )
+
+    return run
+
+
 def train_logreg_hashed(
     df: DataFrame,
     text_col: str = "text",
@@ -115,6 +208,7 @@ def train_logreg_hashed(
     n_iter: int = 15,
     lr: float = 1.0,
     l2: float = 1e-6,
+    fuse_single_partition: bool = True,
 ) -> TrainedModel:
     """Learn (weights, bias) for P(label=1 | hashed-BoW(text)).
 
@@ -123,14 +217,37 @@ def train_logreg_hashed(
     partition order (deterministic). Returns the model plus the
     (loss, accuracy) history — loss is the FULL-batch log-loss at the
     weights of that iteration's start, so history[0] is the zero-model
-    baseline."""
-    feats = (
-        df.select(
-            hashed_indices(F.col(text_col), n_features).alias("idx"),
-            F.col(label_col).cast("double").alias("label"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    baseline.
+
+    When the featurized input has exactly ONE partition (the degenerate
+    data-parallel case: one shard = local training), the epoch loop runs
+    fused inside a single Arrow pass instead — bit-identical output (no
+    cross-partition reduce exists to reorder), n_iter× less boundary
+    traffic (guide §8). ``fuse_single_partition=False`` forces the
+    per-iteration path (the parity test's reference)."""
+    feats = df.select(
+        hashed_indices(F.col(text_col), n_features).alias("idx"),
+        F.col(label_col).cast("double").alias("label"),
     )
+    if fuse_single_partition and feats.rdd.getNumPartitions() == 1:
+        rows = feats.mapInPandas(
+            _fused_epochs(n_features, n_iter, lr, l2),
+            schema="losses array<double>, accs array<double>, "
+            "w array<double>, b double, n bigint",
+        ).collect()
+        if not rows or rows[0]["n"] == 0:
+            raise ValueError("train_logreg_hashed: empty training input")
+        r = rows[0]
+        return TrainedModel(
+            weights=np.asarray(r["w"], dtype=np.float64),
+            bias=float(r["b"]),
+            history=[
+                (i, float(l), float(a))
+                for i, (l, a) in enumerate(zip(r["losses"], r["accs"]))
+            ],
+            n_rows=int(r["n"]),
+        )
+    feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     schema = "grad array<double>, loss double, hits bigint, n bigint"
     sc = feats.sparkSession.sparkContext
     w = np.zeros(n_features, dtype=np.float64)

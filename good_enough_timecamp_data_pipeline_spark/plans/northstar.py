@@ -196,16 +196,23 @@ FROM t
 
 def t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    tok_rows = docs.select(
-        "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
-    ).withColumn("tok_hash", F.md5("tok"))
+    # tf-weighted signature build (guide §2.3): collapse repeats to
+    # distinct (doc, tok, cnt) first — map-side partial count, since a
+    # doc's tokens are co-located pre-explode — so md5/conv/bit exprs run
+    # once per distinct token per doc; SUM(cnt × ±1) ≡ SUM(±1) exactly
+    tok_counts = (
+        docs.select("doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("tok_hash", F.md5("tok"))
+    )
     # fast engine path: parse each md5 half once, shift/mask per bit —
     # bit-identical to the portable instr/substr SQL the oracle runs
     v1, v2 = text.md5_half_longs("tok_hash")
-    tok_rows = tok_rows.withColumn("_v1", v1).withColumn("_v2", v2)
+    tok_counts = tok_counts.withColumn("_v1", v1).withColumn("_v2", v2)
     return (
-        tok_rows.groupBy("doc_id")
-        .agg(*text.simhash_agg_cols("_v1", "_v2", 64))
+        tok_counts.groupBy("doc_id")
+        .agg(*text.simhash_agg_cols_weighted("_v1", "_v2", "_cnt", 64))
         .select("doc_id", F.expr(text.simhash_bits_concat_sql(64)).alias("simhash"))
     )
 
@@ -629,14 +636,19 @@ def d_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives. That is why the plain pairwise-SQL oracle matches exactly.
     """
     docs = fan_out_scan(_docs_near_dup(spark, sf_dir), "doc_id")
-    tok_rows = docs.select(
-        "doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok")
-    ).withColumn("tok_hash", F.md5("tok"))
+    # tf-weighted signature build — same rewrite as t_simhash (§2.3):
+    # SUM(cnt × ±1) over distinct (doc, tok) ≡ SUM(±1) over instances
+    tok_counts = (
+        docs.select("doc_id", F.explode(text.tokenize(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("_cnt"))
+        .withColumn("tok_hash", F.md5("tok"))
+    )
     v1, v2 = text.md5_half_longs("tok_hash")
-    tok_rows = tok_rows.withColumn("_v1", v1).withColumn("_v2", v2)
+    tok_counts = tok_counts.withColumn("_v1", v1).withColumn("_v2", v2)
     sigs = (
-        tok_rows.groupBy("doc_id")
-        .agg(*text.simhash_agg_cols("_v1", "_v2", 64))
+        tok_counts.groupBy("doc_id")
+        .agg(*text.simhash_agg_cols_weighted("_v1", "_v2", "_cnt", 64))
         .select("doc_id", F.expr(text.simhash_bits_concat_sql(64)).alias("sig"))
         .persist()
     )

@@ -362,12 +362,14 @@ def t_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the ~0.5 zero-model baseline toward 1 (floor-asserted in
     tests/test_round5f.py).
 
-    Scale shape (`operators/classifier.py`): ONE featurize pass
-    persisted, then per iteration one Arrow `mapInPandas` pass emitting
-    (partitions × V)-float partial gradients — driver traffic is
-    independent of corpus size. The learned weights drop into the same
-    zero-shuffle scoring scan as `t_hashed_classifier`
-    (`score_with_model`)."""
+    Scale shape (`operators/classifier.py`): ONE featurize pass, then
+    per iteration one Arrow `mapInPandas` pass emitting (partitions ×
+    V)-float partial gradients — driver traffic is independent of
+    corpus size. On single-partition input (all local bench SFs) the
+    epoch loop runs fused in one Arrow pass instead — bit-identical
+    (test-asserted), n_iter× less boundary traffic. The learned weights
+    drop into the same zero-shuffle scoring scan as
+    `t_hashed_classifier` (`score_with_model`)."""
     from ..operators.classifier import train_logreg_hashed
     from ..operators.text import tokenize
 

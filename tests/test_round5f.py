@@ -183,6 +183,86 @@ def test_train_classifier_deterministic(spark, sf_dir):
     assert (m1.weights == m2.weights).all() and m1.bias == m2.bias
 
 
+def test_partial_grad_matches_rowloop_reference():
+    """The r15 vectorized partial-gradient pass (bincount gather/scatter)
+    must match a row-sequential reference — the pre-vectorization loop —
+    on the same batch: integers exactly, floats to ULP-scale tolerance
+    (only the association of the sums changed)."""
+    import numpy as np
+    import pandas as pd
+
+    from good_enough_timecamp_data_pipeline_spark.operators.classifier import (
+        _partial_grad,
+    )
+
+    V = 32
+    rng = np.random.RandomState(7)
+    docs = [rng.randint(0, V, size=rng.randint(0, 40)).tolist() for _ in range(200)]
+    labels = rng.randint(0, 2, size=200).astype(float)
+    w = rng.randn(V)
+    b = 0.37
+
+    def rowloop(pdf):
+        grad = np.zeros(V + 1)
+        loss, hits, n = 0.0, 0, 0
+        for idx, y in zip(pdf["idx"], pdf["label"]):
+            idx = np.asarray(idx, dtype=np.int64)
+            y = float(y)
+            z = (float(w[idx].sum()) + b) if idx.size else b
+            if z >= 0:
+                ez = np.exp(-z)
+                p = 1.0 / (1.0 + ez)
+                loss += (1.0 - y) * z + np.log1p(ez)
+            else:
+                ez = np.exp(z)
+                p = ez / (1.0 + ez)
+                loss += -y * z + np.log1p(ez)
+            err = p - y
+            if idx.size:
+                np.add.at(grad, idx, err)
+            grad[V] += err
+            hits += int((p >= 0.5) == (y >= 0.5))
+            n += 1
+        return grad, loss, hits, n
+
+    class _B:  # stand-in for a Spark broadcast
+        def __init__(self, v):
+            self.value = v
+
+    pdf = pd.DataFrame({"idx": docs, "label": labels})
+    out = next(iter(_partial_grad(V, _B(w), _B(b))(iter([pdf]))))
+    g_ref, l_ref, h_ref, n_ref = rowloop(pdf)
+    assert out["n"][0] == n_ref
+    assert out["hits"][0] == h_ref
+    assert abs(out["loss"][0] - l_ref) <= 1e-9 * max(1.0, abs(l_ref))
+    assert np.allclose(out["grad"][0], g_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_train_classifier_fused_matches_periter(spark, sf_dir):
+    """The single-partition fused epoch loop must be BIT-identical to the
+    per-iteration driver loop on the same one-partition input (same
+    `_batch_partial` kernel, same update formulas, no cross-partition
+    reduce to reorder)."""
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators.classifier import (
+        train_logreg_hashed,
+    )
+    from good_enough_timecamp_data_pipeline_spark.operators.text import tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(1)
+    labeled = docs.select(
+        "text",
+        F.array_contains(tokenize(F.col("text")), "customer").cast("int").alias("label"),
+    )
+    fused = train_logreg_hashed(labeled, n_iter=5)
+    ref = train_logreg_hashed(labeled, n_iter=5, fuse_single_partition=False)
+    assert fused.history == ref.history
+    assert (fused.weights == ref.weights).all()
+    assert fused.bias == ref.bias
+    assert fused.n_rows == ref.n_rows
+
+
 def test_train_classifier_raises_on_empty(spark):
     import pytest as _pytest
 
