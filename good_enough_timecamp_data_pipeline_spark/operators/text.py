@@ -153,31 +153,15 @@ def simhash_agg_exprs(hash_col: str = "tok_hash", n_bits: int = 64) -> list[str]
 _SIMHASH_AGG_COLS: dict[tuple, list] = {}
 
 
-def simhash_agg_cols(
-    v1_col: str = "_v1", v2_col: str = "_v2", n_bits: int = 64
-) -> list[Column]:
-    """Column twins of `simhash_agg_exprs` over pre-split md5 halves."""
-    key = (v1_col, v2_col, n_bits)
-    cols = _SIMHASH_AGG_COLS.get(key)
-    if cols is None:
-        v1, v2 = F.col(v1_col), F.col(v2_col)
-        cols = [
-            F.sum(simhash_bit_col(v1, v2, j)).alias(f"bit_{j}")
-            for j in range(n_bits)
-        ]
-        _SIMHASH_AGG_COLS[key] = cols
-    return cols
-
-
 def simhash_agg_cols_weighted(
     v1_col: str = "_v1",
     v2_col: str = "_v2",
     cnt_col: str = "_cnt",
     n_bits: int = 64,
 ) -> list[Column]:
-    """Term-frequency-weighted twins of `simhash_agg_cols`: over distinct
-    (doc, token, cnt) rows, SUM(cnt × (±1 bit)) equals SUM(±1 bit) over
-    raw token instances exactly (integer arithmetic), so signatures are
+    """Term-frequency-weighted Column twins of `simhash_agg_exprs`: over
+    distinct (doc, token, cnt) rows, SUM(cnt × (±1 bit)) equals SUM(±1
+    bit) over raw token instances exactly (integer arithmetic), so signatures are
     bit-identical while md5/conv/bit extraction run once per DISTINCT
     token per doc instead of once per instance (guide §2.3 — aggregate
     before you shuffle; the (doc, tok) partial count collapses repeats
