@@ -284,6 +284,12 @@ def main() -> None:
                 "n_ok": len(timings),
                 "n_err": len(errors),
                 "sf": sf,
+                # write-once shared-artifact build seconds (priced OUTSIDE
+                # the per-entry timings above — the established pricing
+                # policy): surfaced on the PARSED line so the driver's
+                # artifact tracks repricing drift round-over-round
+                # (r15 VERDICT item 9; additive field, nothing removed)
+                "shared_build_total_s": detail["shared_build_total_s"],
                 # start/end 1-minute loadavg: the driver-recorded BENCH
                 # artifact self-documents its tenancy conditions
                 "load_1m": [

@@ -225,6 +225,19 @@ def train_logreg_hashed(
     cross-partition reduce exists to reorder), n_iter× less boundary
     traffic (guide §8). ``fuse_single_partition=False`` forces the
     per-iteration path (the parity test's reference)."""
+    if n_iter <= 0:
+        # degenerate config: both paths must agree (r15 ADVICE item 1 —
+        # the fused pass only learned n inside the epoch loop, so it
+        # raised "empty training input" on NON-empty input while the
+        # per-iteration path returned the zero model). Short-circuit to
+        # the zero model the per-iteration loop would produce, with no
+        # Spark work at all.
+        return TrainedModel(
+            weights=np.zeros(n_features, dtype=np.float64),
+            bias=0.0,
+            history=[],
+            n_rows=0,
+        )
     feats = df.select(
         hashed_indices(F.col(text_col), n_features).alias("idx"),
         F.col(label_col).cast("double").alias("label"),

@@ -69,6 +69,18 @@ def ngram_shingles(toks_col, n: int = 5):
     explicitly because Spark's ``sequence(1, 0)`` counts *down* ([1, 0])
     rather than returning empty like DuckDB's ``range``.
 
+    **Row-size bound (the 100 TB story for every per-doc
+    ``collect_list("sh")`` verify array downstream):** the distinct
+    shingle count of a doc is ≤ its token count − n + 1, so a verify
+    array row is bounded by the corpus' max tokens-per-doc — the SAME
+    asymptotic bound the pre-r15 per-pair (doc, sh) join output carried,
+    concentrated in one row instead of many. That bound is an ingestion
+    contract, not an accident: a production corpus lands through
+    bounded-size chunking (the `plans/training.py::t_chunking` shape:
+    fixed 100-token chunks), so "a pathological mega-doc" is excluded
+    upstream of dedup. Pinned by
+    tests/test_text_dedup.py::test_verify_array_rows_bounded_by_doc_tokens.
+
     Takes a *token array column attribute*, not raw text: higher-order
     ``transform`` lambdas run interpreted, so an inline ``tokenize(text)``
     argument would be re-evaluated (a regex split!) once per shingle

@@ -13,6 +13,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import session
+
 from . import (
     advanced,
     analytics,
@@ -67,7 +69,10 @@ def queries() -> dict[str, QueryFn]:
 # the session default (AQE + high partition count) applies everywhere.
 HEAVY = {
     "spark.sql.adaptive.enabled": "true",
-    "spark.sql.shuffle.partitions": "8",
+    # cores/4 ≡ the literal 8 every A/B above measured on the default
+    # 32-core session; derived so low-core runs scale down with the
+    # session tier (r15 VERDICT item 1 — see session.tiny_partitions)
+    "spark.sql.shuffle.partitions": str(session.tiny_partitions()),
 }
 # Membership is decided by measurement, not guesswork: a 3-run
 # interleaved A/B (fresh process per run, median per query) of the light
@@ -98,7 +103,8 @@ QUERY_CONF: dict[str, dict[str, str]] = {
 # interleaved) because AQE coalesces the 64 partitions away.
 WIDE = {
     "spark.sql.adaptive.enabled": "true",
-    "spark.sql.shuffle.partitions": "64",
+    # 2×cores ≡ the literal 64 measured on the default 32-core session
+    "spark.sql.shuffle.partitions": str(2 * session.DEFAULT_CPUS),
 }
 QUERY_CONF["t_cooccurrence_lift"] = WIDE
 # The small-input session profile turns whole-stage codegen OFF (see
@@ -818,41 +824,51 @@ register("s_pq_rerank", round5g.s_pq_rerank)
 register("t_bpe_train", round6.t_bpe_train)
 register("f_variant_write_shred", round7.f_variant_write_shred)
 
-# --- round-15 driver window ------------------------------------------------
+# --- round-16 driver window ------------------------------------------------
 # The driver's correctness gate samples the FIRST 50 entries of queries().
 # Cumulative driver coverage is 153/153 oracle twins, zero currently
-# failing (r01-r14). Composition exactly as pre-planned in the round-14
-# window note and re-prescribed by the r14 VERDICT ("Next round" item
-# 3), staleness computed from CORRECTNESS_r01-r14: (a) the 7 r11-era
-# rows deferred from WINDOW_R14 (staleness 4 — the current maximum; all
-# pre-verified in-round r14 AND re-verified by the r14 judge); (b) 43
-# of the 48 r12-era rows in lexical order, deferring the lexical tail
-# (x_profile x_range_join x_rollup x_topk_per_group x_unpivot) to lead
-# WINDOW_R16 alongside the r13 cohort (48 rows). No impl-touched twins
-# this round: the r15 engine diffs (warm-up dir fallback, streaming
-# file-sink dir bounding) change no twin's query semantics.
-WINDOW_R15 = (
-    # (a) stale since r11 (deferred from WINDOW_R14)
-    "t_repetition", "t_token_stats", "x_asof_forward", "x_asof_nearest",
-    "x_geo_grid_join", "x_geo_knn", "x_lateral_topn",
-    # (b) 43 of the 48 r12-era rows (lexical; tail 5 defer to r16)
-    "a_count_distinct", "a_dedup_pk", "a_distinct_ids", "a_mad_outliers",
-    "a_percentiles", "a_salted_skew_sum", "a_stats_minmax",
-    "a_zscore_outliers", "d_lsh_quality", "f_date_explode", "f_dates",
-    "f_formatting_wide", "f_json_props", "f_string_ids",
-    "g_triangle_count", "j_anti", "j_assembly_left_defaults",
-    "j_broadcast_lookup", "j_first_group_enrich", "j_fuzzy_match",
-    "j_semi", "o_set_ops", "o_sort_topk", "p_filter_pushdown",
-    "p_null_canonicalization", "p_type_coercion", "s_cosine_neardup",
-    "s_embedding_stats", "t_calibration_bins", "t_cooccurrence_lift",
-    "t_hashed_classifier", "t_seq_pack", "t_simhash", "t_split",
-    "t_tfidf", "t_token_kl_drift", "t_topk_tokens", "t_winnow",
-    "w_frames", "w_lag_delta_pct", "w_running_rank", "x_cube", "x_pivot",
+# failing (r01-r15). Composition exactly as prescribed by the r15 VERDICT
+# ("Next round" item 2), "impl-touched trumps freshness" (r14 policy):
+# (a) the four twins whose verify path was REWRITTEN in r15 (per-doc
+# array-intersect verify, cd159ce/41081f0) after the r15 window-rotation
+# commit — the r15 window note's "No impl-touched twins this round" was
+# written at 8b963b8 and went stale when those rewrites landed; the
+# driver has not re-verified them since the rewrite (builder-side
+# tools/oracle_check.py sweeps covered them at sf0.01, plus shared-kernel
+# partial coverage via d_lsh_quality / t_simhash which WERE in
+# WINDOW_R15 and passed); (b) the r12 lexical tail deferred from
+# WINDOW_R15; (c) 41 of the 49 remaining r13-era rows (lexical order),
+# deferring the 8-name lexical tail (t_ngram_novelty t_quality_gate
+# t_scrub_pii t_shard_assign t_source_caps t_temperature_mix
+# w_ntile_quartiles w_pareto_share) to lead WINDOW_R17.
+WINDOW_R16 = (
+    # (a) impl-touched in r15 (array-intersect verify rewrite)
+    "d_incremental_containment", "d_minhash_lsh", "d_simhash_pairs",
+    "d_incremental_dedup",
+    # (b) r12 lexical tail (deferred from WINDOW_R15)
+    "x_profile", "x_range_join", "x_rollup", "x_topk_per_group",
+    "x_unpivot",
+    # (c) 41 of the 49 remaining r13-era rows (lexical; tail 8 defer
+    # to r17)
+    "a_benford", "a_chi_square", "a_gini", "a_grouping_sets",
+    "a_ks_test_binned", "a_mode", "a_partial_agg_merge",
+    "a_source_lang_entropy", "a_winsorize", "c_cdc_apply",
+    "c_snapshot_diff", "d_containment", "d_dq_violations",
+    "d_ngram_jaccard", "d_threshold_curve", "e_attribution",
+    "e_ewma_anomaly", "e_funnel_stages", "e_interval_coverage",
+    "e_markov_transitions", "e_sessionize", "e_tumbling_window",
+    "f_month_batches", "f_regex_extract", "j_merge_upsert",
+    "j_salted_skew_join", "j_scd2_dim", "o_latest_per_key",
+    "q_local_supplier_volume", "q_nation_trade", "q_shipping_priority",
+    "s_cosine_topk", "s_embedding_drift", "s_quantize_int8",
+    "t_bm25_topk", "t_ccnet_buckets", "t_dsir_resample",
+    "t_dsir_weights", "t_line_dedup", "t_lm_perplexity",
+    "t_negative_sample",
 )
-assert len(WINDOW_R15) == 50 and len(set(WINDOW_R15)) == 50
-_missing = [n for n in WINDOW_R15 if n not in QUERIES or n not in ORACLES]
+assert len(WINDOW_R16) == 50 and len(set(WINDOW_R16)) == 50
+_missing = [n for n in WINDOW_R16 if n not in QUERIES or n not in ORACLES]
 assert not _missing, f"window entries must be registered oracle twins: {_missing}"
-_window = {n: QUERIES[n] for n in WINDOW_R15}
+_window = {n: QUERIES[n] for n in WINDOW_R16}
 _rest = {n: f for n, f in QUERIES.items() if n not in _window}
 QUERIES.clear()
 QUERIES.update(_window)

@@ -37,7 +37,14 @@ from pyspark.sql import types as T
 
 
 def stream_shards() -> str:
-    return os.environ.get("SPARK_GRAFT_STREAM_SHARDS", "8")
+    # default = cores/4 (≡ the measured-optimal 8 on the default 32-core
+    # session), so the driver's low-core scaling probe sees fewer-way
+    # state-op parallelism instead of the same 8-task schedule at every
+    # core count (r15 VERDICT item 1 — same derivation as
+    # session.tiny_partitions)
+    from ..session import tiny_partitions
+
+    return os.environ.get("SPARK_GRAFT_STREAM_SHARDS", str(tiny_partitions()))
 
 
 def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:

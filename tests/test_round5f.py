@@ -263,6 +263,27 @@ def test_train_classifier_fused_matches_periter(spark, sf_dir):
     assert fused.n_rows == ref.n_rows
 
 
+def test_train_classifier_niter0_zero_model(spark, sf_dir):
+    """n_iter=0 must return the zero model with empty history on BOTH
+    paths (r15 ADVICE item 1: the fused pass raised 'empty training
+    input' on non-empty single-partition input because n was only
+    counted inside the epoch loop)."""
+    from pyspark.sql import functions as F
+
+    from good_enough_timecamp_data_pipeline_spark.operators.classifier import (
+        train_logreg_hashed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(1)
+    labeled = docs.select("text", (F.col("doc_id") % 2).cast("int").alias("label"))
+    for fuse in (True, False):
+        m = train_logreg_hashed(labeled, n_iter=0, fuse_single_partition=fuse)
+        assert m.history == []
+        assert (m.weights == 0.0).all()
+        assert m.bias == 0.0
+        assert m.n_rows == 0
+
+
 def test_train_classifier_raises_on_empty(spark):
     import pytest as _pytest
 

@@ -451,3 +451,33 @@ def test_incremental_containment_matches_union_exact_join(spark, monkeypatch):
         assert got == expect
 
     check()
+
+
+def test_verify_array_rows_bounded_by_doc_tokens(spark, sf_dir):
+    """Row-size bound of the per-doc verify arrays (r15 VERDICT item 8 /
+    ngram_shingles docstring): the distinct shingle count of every doc —
+    exactly what one collect_list("sh") verify row holds — is bounded by
+    its token count − n + 1, and the corpus-wide max is ingestion-bounded
+    (chunked docs), so no verify row degenerates into a mega-row."""
+    n = 5
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = (
+        docs.select(
+            F.size(text.tokenize(F.col("text"))).alias("n_toks"),
+            F.size(
+                dedup.ngram_shingles(text.tokenize(F.col("text")), n)
+            ).alias("n_sh"),
+        )
+        .agg(
+            F.max(F.col("n_sh") - F.greatest(F.col("n_toks") - (n - 1), F.lit(0)))
+            .alias("excess"),
+            F.max("n_sh").alias("max_sh"),
+            F.max("n_toks").alias("max_toks"),
+        )
+        .collect()[0]
+    )
+    # invariant: distinct shingles ≤ tokens − n + 1 (never exceeded)
+    assert per_doc.excess <= 0
+    # ingestion contract: the corpus' largest doc (hence largest verify
+    # array row) stays document-sized, not corpus-sized
+    assert per_doc.max_sh <= per_doc.max_toks
