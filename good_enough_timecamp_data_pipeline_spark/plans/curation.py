@@ -720,7 +720,12 @@ def m_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # odd ids synthesize WAVs, which carry no image hash — prune them
     # before the scan so the Python pass only receives PPM sources
     evens = fan_out_scan(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
-    h = mm.synth_phash_rows(evens, id_shift=1_000_000_000)
+    # persist the (doc_id, phash) rows: both sides of the band self-join
+    # read them, and without the pin the fused synth+hash Python pass
+    # executes twice per query (r15 ADVICE item 3). The pinned rows are
+    # 16 bytes each — nothing like the ~15 MB payload cache the r15
+    # rewrite removed. Measured (same-window min-of-3): 1.04 → 0.72 s.
+    h = mm.synth_phash_rows(evens, id_shift=1_000_000_000).persist()
     pairs = mm.phash_pairs_from_hashes(h, max_hamming=3)
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs")).orderBy("hamming")
 

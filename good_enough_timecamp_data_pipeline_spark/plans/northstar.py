@@ -815,10 +815,14 @@ def s_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     state handed across micro-batches. Emits sessions closed by a later
     event. 3 time-ordered chunks = 2 cross-batch state handoffs — the
     minimum that still proves repeated state carry-over; each extra
-    micro-batch costs a fixed ~1.5 s of per-batch pandas-group dispatch
-    over 15k users at local scale (closed-session output is chunk-count
-    invariant, so this is pure overhead)."""
-    return streaming_sessionize(spark, sf_dir, n_chunks=3)
+    micro-batch costs a fixed ~1 s of engine constants (closed-session
+    output is chunk-count invariant, so this is pure overhead). Since
+    r16 the SHARED staging default is also 3 chunks (see
+    streaming/stateful.py::SHARED_CHUNKS), so this entry rides the
+    session-memoized chunk dir instead of re-staging privately per
+    call — the same events scan serves all three chunk-replay
+    entries."""
+    return streaming_sessionize(spark, sf_dir)
 
 
 def s_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:

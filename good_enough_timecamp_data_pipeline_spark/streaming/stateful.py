@@ -135,8 +135,23 @@ def _sessionize_user(
     )
 
 
+# Shared chunk-replay count for the three chunk-replay streaming entries.
+# 3 time-ordered chunks = 2 cross-batch state handoffs — the minimum that
+# proves REPEATED state carry-over (the adjudicated r12-r14 envelope is
+# "3-4 chunks"; s_stream_sessions already ran 3 since r12). Every output
+# is chunk-count invariant (chunks are ts-range partitions, equal
+# timestamps never straddle a boundary, and each operator folds/merges
+# in global (ts, event_id) order across batches), so each extra
+# micro-batch is a fixed ~1 s of engine constants (micro-batch planning,
+# state-store commit, pandas-group dispatch) buying nothing — measured
+# r16: streaming_ewma 4.10 s at 4 chunks vs 3.01 s at 3.
+SHARED_CHUNKS = 3
+
+
 @session_memo
-def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+def _chunked_events_dir(
+    spark: SparkSession, sf_dir: str, n_chunks: int = SHARED_CHUNKS
+) -> str:
     """Land events as time-ordered parquet chunks for multi-batch streaming.
 
     FileStreamSource replays files in *modification-time* order, and a
@@ -177,11 +192,11 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> 
 
 
 def streaming_sessionize(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+    spark: SparkSession, sf_dir: str, n_chunks: int = SHARED_CHUNKS
 ) -> DataFrame:
     """Run stateful sessionization over events as a multi-batch stream;
     returns the closed sessions as a batch DataFrame."""
-    shared = n_chunks == 4  # default-args call hits the session memo
+    shared = n_chunks == SHARED_CHUNKS  # default-args call hits the session memo
     src = (
         _chunked_events_dir(spark, sf_dir)
         if shared
@@ -258,14 +273,30 @@ def _ewma_user(
     # concatenate BEFORE sorting: one key's micro-batch data may span
     # several Arrow record batches (> arrow.maxRecordsPerBatch rows), and
     # per-chunk sorting would fold events out of global (ts_us, event_id)
-    # order, breaking bit-exact parity with batch_ewma_final
+    # order, breaking bit-exact parity with batch_ewma_final.
+    # Column-wise numpy + lexsort (r16): the per-GROUP call overhead is
+    # this operator's dominant cost at 2k users × 4 micro-batches — the
+    # old pd.concat + DataFrame.sort_values built two full frames per
+    # call (~1.1 ms); extracting the three columns and ordering with one
+    # np.lexsort is ~0.2 ms with the IDENTICAL (ts_us, event_id) order
+    # (event_id is unique, so the order is total — stability moot), so
+    # the fold consumes bit-identical sequences.
     chunks = list(pdfs)
-    ordered = (
-        pd.concat(chunks, ignore_index=True).sort_values(["ts_us", "event_id"])
-        if chunks
-        else None
-    )
-    if ordered is None or not len(ordered):
+    if len(chunks) == 1:
+        ts_np = chunks[0]["ts_us"].to_numpy(dtype=np.int64)
+        eid_np = chunks[0]["event_id"].to_numpy(dtype=np.int64)
+        vals_np = chunks[0]["value"].to_numpy(dtype=np.float64)
+    elif chunks:
+        ts_np = np.concatenate([c["ts_us"].to_numpy(dtype=np.int64) for c in chunks])
+        eid_np = np.concatenate(
+            [c["event_id"].to_numpy(dtype=np.int64) for c in chunks]
+        )
+        vals_np = np.concatenate(
+            [c["value"].to_numpy(dtype=np.float64) for c in chunks]
+        )
+    else:
+        ts_np = np.empty(0, dtype=np.int64)
+    if ts_np.size == 0:
         # guard on TOTAL row count, not `not chunks` (round-13 ADVICE): a
         # key can arrive as a non-empty iterator of zero-row Arrow chunks,
         # which would make prev[0] below raise IndexError — mirror
@@ -284,7 +315,10 @@ def _ewma_user(
         )
         return
 
-    vals_np = ordered["value"].to_numpy(dtype=np.float64)
+    order = np.lexsort((eid_np, ts_np))  # primary ts_us, secondary event_id
+    ts_np = ts_np[order]
+    eid_np = eid_np[order]
+    vals_np = vals_np[order]
     # ONLY the recurrence stays a Python loop (each step must be the exact
     # IEEE sequence 0.5*v + 0.5*prev that batch_ewma_final folds — a
     # closed-form/np reformulation would drift by ULPs and break the
@@ -312,8 +346,8 @@ def _ewma_user(
     yield pd.DataFrame(
         {
             "user_id": np.full(vals_np.size, user_id, dtype=np.int64),
-            "ts_us": ordered["ts_us"].to_numpy(dtype=np.int64),
-            "event_id": ordered["event_id"].to_numpy(dtype=np.int64),
+            "ts_us": ts_np,
+            "event_id": eid_np,
             "value": vals_np,
             "ewma": ew,
             "anomaly": anomaly,
@@ -321,11 +355,13 @@ def _ewma_user(
     )
 
 
-def streaming_ewma(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> DataFrame:
+def streaming_ewma(
+    spark: SparkSession, sf_dir: str, n_chunks: int = SHARED_CHUNKS
+) -> DataFrame:
     """Per-event EWMA scores over events as a multi-batch stream; the
     state handoff between micro-batches is the point (one big batch
     would make the carry trivially correct)."""
-    shared = n_chunks == 4  # default-args call hits the session memo
+    shared = n_chunks == SHARED_CHUNKS  # default-args call hits the session memo
     src = (
         _chunked_events_dir(spark, sf_dir)
         if shared

@@ -436,7 +436,7 @@ def batch_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_session_windows(
-    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+    spark: SparkSession, sf_dir: str, n_chunks: int | None = None
 ) -> DataFrame:
     """Native session_window over a multi-batch stream (complete mode, so
     still-open sessions surface too — unlike the append-mode pandas-state
@@ -445,9 +445,11 @@ def streaming_session_windows(
     plan is asserted in tests. Default chunk count matches the
     session-memoized shared staging (see _chunked_events_dir) so the
     three chunk-replay entries share one events scan."""
-    from .stateful import _chunked_events_dir
+    from .stateful import SHARED_CHUNKS, _chunked_events_dir
 
-    shared = n_chunks == 4
+    if n_chunks is None:
+        n_chunks = SHARED_CHUNKS
+    shared = n_chunks == SHARED_CHUNKS
     src = (
         _chunked_events_dir(spark, sf_dir)
         if shared
