@@ -168,6 +168,47 @@ def main() -> None:
     except Exception as e:
         print(f"curate pipeline bench failed: {e}", file=sys.stderr)
 
+    # P>1 trainer-path side metric (round-15 VERDICT item 5): the fused
+    # single-partition branch fires on every local SF (one file → one
+    # partition), so the per-iteration distributed loop — the path a
+    # sharded 100 TB input takes — would otherwise have no tracked
+    # number. Time one 15-iteration train over a 4-file copy of the
+    # distant-supervision frame (temp dir, removed after). Not part of
+    # catalog_total (t_train_classifier already times the declared
+    # entry); tools/trainer_p_probe.py is the min-of-3 + parity harness.
+    trainer_p4_sec = None
+    try:
+        import shutil
+        import tempfile
+
+        from good_enough_timecamp_data_pipeline_spark.operators.classifier import (
+            train_logreg_hashed,
+        )
+        from good_enough_timecamp_data_pipeline_spark.operators.text import tokenize
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        labeled = docs.select(
+            "text",
+            F.array_contains(tokenize(F.col("text")), "customer")
+            .cast("int")
+            .alias("label"),
+        )
+        tmp = tempfile.mkdtemp(prefix="bench_trainer_p4_")
+        try:
+            labeled.repartition(4, "text").write.mode("overwrite").parquet(tmp)
+            sharded = spark.read.parquet(tmp)
+            spark.sparkContext.setJobGroup("bench:trainer_p4", "trainer P>1 probe")
+            t0 = time.time()
+            train_logreg_hashed(sharded, n_iter=15)
+            trainer_p4_sec = round(time.time() - t0, 3)
+        finally:
+            spark.sparkContext.setJobGroup("", "")
+            shutil.rmtree(tmp, ignore_errors=True)
+        spark.catalog.clearCache()
+    except Exception as e:
+        print(f"trainer P>1 probe failed: {e}", file=sys.stderr)
+
     # re-probe EVERY mover past 0.8 s vs the COMMITTED bench_detail.json
     # (was top-5 — which left r12's s_stream_dedup +1.8 s regression with
     # no mover row, round-12 VERDICT item 1): a delta that does NOT
@@ -246,6 +287,9 @@ def main() -> None:
         # exact → LSH near-dup → gates → split/shard, counters on the
         # write) — regression-tracked across rounds like per-query entries
         "curate_pipeline_sec": curate_pipeline_sec,
+        # P>1 trainer path (15 per-iteration Arrow passes over a 4-file
+        # shard copy) — the scale path the fused entry can't exercise
+        "trainer_p4_sec": trainer_p4_sec,
     }
     print(json.dumps(detail))
     sys.stdout.flush()

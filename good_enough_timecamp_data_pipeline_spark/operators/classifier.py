@@ -242,7 +242,25 @@ def train_logreg_hashed(
         hashed_indices(F.col(text_col), n_features).alias("idx"),
         F.col(label_col).cast("double").alias("label"),
     )
-    if fuse_single_partition and feats.rdd.getNumPartitions() == 1:
+    # Fusion eligibility in two tiers (r15 ADVICE item 2): the `.rdd`
+    # partition-count probe forces plan analysis + RDD translation
+    # (~1.3 s of driver time per fresh plan — the cost layout.py's
+    # fan_out_scan documents and avoids), so first consult the cheap
+    # file count. >1 input file ⇒ the scan yields >1 partition, the
+    # fused path can't apply, and the probe would be pure overhead on
+    # exactly the large sharded inputs where plans are biggest. ≤1 file
+    # (or a non-file source, where inputFiles() is empty) still needs
+    # the authoritative partition count — a single file larger than
+    # maxPartitionBytes splits, and fusing a multi-partition input
+    # would train on one shard only.
+    if fuse_single_partition:
+        try:
+            single_file_plausible = len(feats.inputFiles()) <= 1
+        except Exception:
+            single_file_plausible = True
+    else:
+        single_file_plausible = False
+    if single_file_plausible and feats.rdd.getNumPartitions() == 1:
         rows = feats.mapInPandas(
             _fused_epochs(n_features, n_iter, lr, l2),
             schema="losses array<double>, accs array<double>, "
