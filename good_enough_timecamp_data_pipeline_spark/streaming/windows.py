@@ -19,7 +19,11 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.testdata import ensure_events_read_conf, normalize_events_ts
+from ..plans.testdata import (
+    ensure_events_read_conf,
+    normalize_events_ts,
+    session_memo,
+)
 from pyspark.sql import types as T
 
 # State-store shard count for the finite driven-to-completion streams
@@ -501,6 +505,44 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_completion(spark, agg, "stream_static_out", cleanup_dir=stream_dir)
 
 
+@session_memo
+def _lsh_feed_dir(
+    spark: SparkSession, sf_dir: str, n_batches: int = 2, batch_every: int = 25
+) -> str:
+    """Land the incremental-dedup feed (every ``batch_every``-th corpus
+    doc, id-shifted + token-appended — a near-dup of a known source) as
+    ``n_batches`` mtime-spaced parquet files for micro-batch replay.
+
+    SESSION-MEMOIZED at the default args (r16, same policy as the chunk
+    staging and the dead-letter feed): the feed is a pure function of
+    ``sf_dir``, and each call previously re-paid ``n_batches`` filtered
+    ``coalesce(1)`` writes. Priced as ``lsh_feed_staging`` in
+    ``catalog.prewarm_shared``. Callers must NOT delete the returned
+    dir; parameterized calls build a private dir the caller owns (but
+    note the default-args call's dir is shared either way — only
+    non-default args pass through the memo)."""
+    import glob as _glob
+    import shutil
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    stream_dir = tempfile.mkdtemp(prefix="stream_lsh_feed_")
+    base_ts = __import__("time").time() - 3600
+    for k in range(n_batches):
+        batch = docs.filter(F.col("doc_id") % batch_every == k).select(
+            (F.col("doc_id") + F.lit((k + 1) * 100_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" zz{k}")).alias("text"),
+        )
+        staging = f"{stream_dir}/staging_{k}"
+        batch.coalesce(1).write.mode("overwrite").parquet(staging)
+        # feed plain files (one per micro-batch), not Spark output dirs
+        (part,) = _glob.glob(f"{staging}/part-*.parquet")
+        path = f"{stream_dir}/b{k}.parquet"
+        shutil.move(part, path)
+        shutil.rmtree(staging, ignore_errors=True)
+        os.utime(path, (base_ts + k * 10, base_ts + k * 10))
+    return stream_dir
+
+
 def streaming_incremental_dedup(
     spark: SparkSession,
     sf_dir: str,
@@ -536,33 +578,17 @@ def streaming_incremental_dedup(
     from ..operators import dedup
     from ..plans.northstar import _corpus_lsh_index
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    work = tempfile.mkdtemp(prefix="stream_lsh_")
-    stream_dir = f"{work}/feed"
-    out_dir = f"{work}/pairs"
-    os.makedirs(stream_dir)
-
     # land (or reuse) the write-once corpus index BEFORE the stream
     # starts — the artifact the probes address; a no-op when the harness
     # prewarmed it
     _corpus_lsh_index(spark, sf_dir)
 
-    import glob as _glob
-
-    base_ts = __import__("time").time() - 3600
-    for k in range(n_batches):
-        batch = docs.filter(F.col("doc_id") % batch_every == k).select(
-            (F.col("doc_id") + F.lit((k + 1) * 100_000_000)).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(f" zz{k}")).alias("text"),
-        )
-        staging = f"{work}/staging_{k}"
-        batch.coalesce(1).write.mode("overwrite").parquet(staging)
-        # feed plain files (one per micro-batch), not Spark output dirs
-        (part,) = _glob.glob(f"{staging}/part-*.parquet")
-        path = f"{stream_dir}/b{k}.parquet"
-        shutil.move(part, path)
-        shutil.rmtree(staging, ignore_errors=True)
-        os.utime(path, (base_ts + k * 10, base_ts + k * 10))
+    if (n_batches, batch_every) == (2, 25):
+        stream_dir = _lsh_feed_dir(spark, sf_dir)  # session-shared default
+    else:
+        stream_dir = _lsh_feed_dir(spark, sf_dir, n_batches, batch_every)
+    work = tempfile.mkdtemp(prefix="stream_lsh_out_")
+    out_dir = f"{work}/pairs"
 
     feed_schema = spark.read.parquet(f"{stream_dir}/b0.parquet").schema
     stream = (
@@ -608,6 +634,10 @@ def streaming_incremental_dedup(
     # temp dirs deleted below.
     rows = result.collect()
     shutil.rmtree(work, ignore_errors=True)
+    if (n_batches, batch_every) != (2, 25):
+        # parameterized calls own their private feed dir; the shared
+        # default-args dir lives for the session (see _lsh_feed_dir)
+        shutil.rmtree(stream_dir, ignore_errors=True)
     return spark.createDataFrame(rows, result.schema)
 
 
@@ -635,33 +665,24 @@ def validation_reasons() -> "F.Column":
     )
 
 
-def streaming_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream ingestion with a dead-letter queue: every arriving row is
-    validated; clean rows land in the main table, failing rows land in a
-    QUARANTINE table carrying their ordered reason codes — the standard
-    production shape for crawl/telemetry ingestion where one malformed
-    row must neither kill the stage (see the multimodal non-strict
-    decode) nor silently vanish (audit requirement).
+@session_memo
+def _deadletter_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Land the dead-letter feed (the events file plus a corrupted copy:
+    negative values / unknown types / nulled ts, ids shifted) as two
+    mtime-spaced parquet files for 2-micro-batch replay.
 
-    foreachBatch writes BOTH tables from one validated micro-batch
-    DataFrame: the validation projection runs once, the two filtered
-    writes share it, and the routing decision is recorded in data (the
-    quarantine's ``reasons``), not in logs. The feed is the events file
-    plus a corrupted copy (negative values / unknown types / nulled ts,
-    ids shifted) so the quarantine path is actually exercised.
-
-    Returns per-(route, reason) counts; valid rows carry reason 'ok'.
-    Batch-equality + exact-partition invariants in tests/test_curation.py.
-    """
+    SESSION-MEMOIZED (r16): the feed is a pure function of ``sf_dir``,
+    yet every call re-paid two full-table ``coalesce(1)`` writes — the
+    same per-call staging waste the r12 chunk-staging memo removed for
+    the chunk-replay entries. Built in ``catalog.prewarm_shared`` and
+    priced as ``deadletter_feed_staging`` so the one-time cost doesn't
+    land on whichever harness invocation runs the entry first. Callers
+    must NOT delete the returned dir."""
+    import glob as _glob
     import shutil
 
     ensure_events_read_conf(spark)
-    work = tempfile.mkdtemp(prefix="deadletter_")
-    stream_dir = f"{work}/feed"
-    main_dir = f"{work}/main"
-    dlq_dir = f"{work}/quarantine"
-    os.makedirs(stream_dir)
-
+    stream_dir = tempfile.mkdtemp(prefix="deadletter_feed_")
     events = normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
     # corrupted copy: rotate each row through one of three corruption modes
     m = F.col("event_id") % 3
@@ -675,15 +696,51 @@ def streaming_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = __import__("time").time() - 3600
     for i, (name, df) in enumerate((("clean", events), ("dirty", corrupted))):
-        staging = f"{work}/staging_{name}"
+        staging = f"{stream_dir}/staging_{name}"
         df.coalesce(1).write.mode("overwrite").parquet(staging)
-        import glob as _glob
-
         (part,) = _glob.glob(f"{staging}/part-*.parquet")
         path = f"{stream_dir}/{name}.parquet"
         shutil.move(part, path)
         shutil.rmtree(staging, ignore_errors=True)
         os.utime(path, (base + i * 10, base + i * 10))
+    return stream_dir
+
+
+def streaming_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream ingestion with a dead-letter queue: every arriving row is
+    validated; clean rows land in the main table, failing rows land in a
+    QUARANTINE table carrying their ordered reason codes — the standard
+    production shape for crawl/telemetry ingestion where one malformed
+    row must neither kill the stage (see the multimodal non-strict
+    decode) nor silently vanish (audit requirement).
+
+    foreachBatch writes BOTH tables from one validated micro-batch
+    DataFrame: the validation projection runs once, the two filtered
+    writes share it, and the routing decision is recorded in data (the
+    quarantine's ``reasons``), not in logs. The feed (session-shared,
+    see _deadletter_feed_dir) is the events file plus a corrupted copy
+    so the quarantine path is actually exercised.
+
+    Returns per-(route, reason) counts; valid rows carry reason 'ok'.
+    Batch-equality + exact-partition invariants in tests/test_curation.py.
+    """
+    import shutil
+
+    ensure_events_read_conf(spark)
+    stream_dir = _deadletter_feed_dir(spark, sf_dir)
+    # sink dirs: bounded per-name like run_finite_stream's file sinks —
+    # a re-run of the entry removes the previous call's outputs first
+    if not _FILE_SINK_DIRS:
+        import atexit
+
+        atexit.register(_cleanup_file_sink_dirs)
+    prev = _FILE_SINK_DIRS.pop("stream_deadletter_out", None)
+    if prev is not None:
+        shutil.rmtree(prev, ignore_errors=True)
+    work = tempfile.mkdtemp(prefix="deadletter_out_")
+    _FILE_SINK_DIRS["stream_deadletter_out"] = work
+    main_dir = f"{work}/main"
+    dlq_dir = f"{work}/quarantine"
 
     stream = normalize_events_ts(
         spark.readStream.schema(spark.read.parquet(f"{stream_dir}/clean.parquet").schema)
@@ -715,7 +772,7 @@ def streaming_deadletter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 q.stop()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-            shutil.rmtree(stream_dir, ignore_errors=True)
+            # stream_dir is the SESSION-SHARED feed — never delete it here
 
     main = (
         spark.read.parquet(main_dir)
